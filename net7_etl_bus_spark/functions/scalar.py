@@ -1,0 +1,250 @@
+"""Scalar function surface: string / date / math / array / map / JSON
+(SURVEY.md §2.3 ``fn_*``) plus the reference's derived-key helper.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` —
+JVM-side, inside WholeStageCodegen, never Python. Functions chosen for
+the oracle-checked registry are ones with identical cross-engine
+semantics (no locale-, libm- or regex-dialect-sensitive behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+
+def composite_key(zip_col: Column | str, state_col: Column | str) -> Column:
+    """``f"{zip}_{stateCode}"`` — the reference's upsert/dedup key
+    (reference Utilities/ZipCodeHelpers.cs:11-14). Zip codes cross
+    state borders, so neither column alone is a key."""
+    z = F.col(zip_col) if isinstance(zip_col, str) else zip_col
+    s = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.concat_ws("_", z, s)
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_uc,
+           LOWER(c_mktsegment) AS seg_lc,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           CONCAT_WS('#', c_name, c_mktsegment) AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           CONTAINS(c_name, '001') AS has_001
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("#", "c_name", "c_mktsegment").alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.contains(F.col("c_name"), F.lit("001")).alias("has_001"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_dom,
+           DATE_TRUNC('day', o_orderdate) + INTERVAL 30 DAY AS due_date,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_dom"),
+        (F.date_trunc("day", "o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0) AS dev_from_50k,
+           CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS price_r1,
+           CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           CAST(CEIL(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+           SQRT(l_extendedprice) AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions restricted to IEEE-exact ops (abs/round/floor/
+    ceil/sqrt/mod/greatest/least/sign) — transcendentals (ln, pow) are
+    excluded from the oracle set because libm implementations may
+    differ by 1 ulp across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dev_from_50k"),
+        F.round("l_extendedprice", 1).cast("double").alias("price_r1"),
+        F.floor(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.ceil(F.col("l_discount") * 100.0).alias("disc_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS INT) AS n_tokens,
+           tokens[1] AS first_token,
+           tokens[len(tokens)] AS last_token,
+           array_to_string(tokens[1:3], ' ') AS first_trigram,
+           CAST(list_contains(tokens, 'spark') AS BOOLEAN) AS mentions_spark
+    FROM toks
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text (split/size/element_at/
+    slice/array_contains) — all higher-order-function-adjacent built-ins,
+    no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+        F.concat_ws(" ", F.slice("tokens", 1, 3)).alias("first_trigram"),
+        F.array_contains("tokens", "spark").alias("mentions_spark"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE event_type
+             WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+             WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1
+           END AS type_code,
+           CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                THEN TRUE ELSE FALSE END AS known_type
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type usage: a broadcast-literal map column with element_at
+    lookup. The oracle expresses the same lookup as CASE — the check
+    compares resulting values, exercising that Spark's MapType lookup
+    semantics (missing key -> NULL) are handled."""
+    e = load_table(spark, sf_dir, "events")
+    code_map = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3),
+        F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5),
+    )
+    looked_up = F.element_at(code_map, F.col("event_type"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.coalesce(looked_up, F.lit(-1)).alias("type_code"),
+        looked_up.isNotNull().alias("known_type"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events ``props`` payload —
+    get_json_object stays JVM-side; at 100 TB prefer from_json with an
+    explicit schema once the payload shape is known (single parse,
+    typed struct, prunable)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "fn_json_typed",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def fn_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with explicit schema — the scale path: one parse into
+    a typed struct instead of N get_json_object passes."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    return e.select(
+        "event_id", F.from_json("props", schema).getField("k").alias("k")
+    )
+
+
+@register(
+    "checksum_sha256",
+    oracle="""
+    SELECT doc_id, sha256(text) AS text_sha256, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def checksum_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed content checksumming (the reference's SHA-256 file
+    identity, Utilities/FileSystem.cs:17-24, generalized to per-record
+    content hashes). Lower-hex output matches across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )

@@ -1,0 +1,379 @@
+"""Document deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest first (the standard cascade for 100 TB corpora):
+
+1. ``dedup_exact`` — hash-groupBy on normalized text. One shuffle of
+   (hash, doc_id) pairs, never the documents themselves.
+2. ``dedup_simhash`` — near-dup fingerprint; groupable/bucketable.
+3. ``dedup_minhash_lsh`` — MinHash signatures + banded LSH: candidate
+   pairs only where a band bucket collides, so the join is on band
+   hashes (tiny) instead of all-pairs.
+4. ``dedup_ngram_jaccard`` — exact Jaccard on shingle sets. Quadratic
+   in bucket size — at scale it runs only as the *verify* stage on
+   LSH candidate pairs (``dedup_minhash_verified``), never standalone
+   over the full corpus.
+
+All hashing is md5-of-UTF-8 (identical hex in Spark and DuckDB), so
+every stage is differentially tested against the DuckDB oracle — the
+MinHash here is deterministic by construction, unlike MLlib's
+seeded-random MinHashLSH (which is also wrapped, without an oracle,
+as ``dedup_minhash_mllib``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+# MinHash configuration: 16 hash functions, banded 4x4.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_N = 3  # word 3-grams
+
+_NORM = "lower(trim(text))"
+
+
+def normalized_text(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.split(normalized_text("text"), " ").alias("w"))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct word-SHINGLE_N-gram shingles per doc.
+
+    Built with sequence+transform (JVM higher-order functions) then a
+    single explode — no Python in the path. Docs shorter than
+    SHINGLE_N words produce no shingles (dropped, same as the oracle).
+    """
+    toks = _tokens(df)
+    shingle_list = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (SHINGLE_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + k) for k in range(SHINGLE_N)]
+        ),
+    )
+    return (
+        toks.filter(F.size("w") >= SHINGLE_N)
+        .select("doc_id", F.explode(shingle_list).alias("s"))
+        .distinct()
+    )
+
+
+# Oracle-side twin of _shingles (DuckDB list comprehension).
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks, UNNEST(list_transform(
+        generate_series(1, len(w) - {SHINGLE_N - 1}),
+        i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(SHINGLE_N))})
+      )) AS t(s)
+  WHERE len(w) >= {SHINGLE_N}
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash of normalized text; survivor is the
+    smallest doc_id (deterministic). Map-side partial aggregation means
+    the shuffle carries one row per (partition, hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN (SELECT MIN(doc_id) AS keep_doc_id FROM documents GROUP BY md5({_NORM})) k
+      ON d.doc_id = k.keep_doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving rows themselves (what a pipeline actually writes
+    out): semi-join documents to the per-hash min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.groupBy(F.md5(normalized_text("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .select("keep_doc_id")
+    )
+    return d.join(
+        keep, d.doc_id == keep.keep_doc_id, "left_semi"
+    ).select("doc_id", "lang", "source")
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 16 MinHash columns h0..h15.
+
+    Hash family: h_i(s) = md5(s || '#i'); the signature element is the
+    MIN over the doc's shingle set. Computed as 16 min-aggregates in a
+    single groupBy pass over the exploded shingles — the data is
+    exploded once, not 16 times.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_SIG = f"""
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(md5(s || '#{i}')) AS h{i}" for i in range(N_HASHES))}
+  FROM shingles GROUP BY doc_id
+)
+"""
+
+_SQL_BANDS = "bands AS (\n" + "\nUNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, "
+    f"md5(concat({', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))})) AS band_hash FROM sig"
+    for b in range(N_BANDS)
+) + "\n)"
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"WITH {_SQL_SHINGLES}, {_SQL_SIG} SELECT * FROM sig",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs.
+
+    Scale shape: signatures are one row per doc (16 hex strings);
+    banding multiplies rows by N_BANDS only; the self-join is an
+    equi-join on (band_id, band_hash) — only colliding buckets produce
+    work. With s-curve (16 hashes, 4x4 bands) pairs with Jaccard ~0.5+
+    collide with high probability. Skewed buckets (e.g. boilerplate
+    docs) are handled by AQE skew-join splitting.
+    """
+    sig = _minhash_signature(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        piece = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_hash"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SQL_JACCARD_PAIRS = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD_PAIRS}
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.08
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard over all pairs sharing >=1 shingle.
+
+    The jaccard value is integer-arithmetic + one double division —
+    bit-identical across engines. This op is the exactness baseline;
+    at 100 TB only the LSH-candidate-restricted variant below runs.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.08)
+    )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    {_SQL_JACCARD_PAIRS}
+    SELECT c.doc_a, c.doc_b,
+           CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.c, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: LSH candidates -> exact
+    Jaccard verification restricted to those pairs. This is the
+    cascade that scales: candidate generation is bucket-join-bounded,
+    verification cost is |candidates|, not |corpus|^2."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i_doc_a"), F.col("b.doc_id").alias("i_doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.coalesce(F.col("c"), F.lit(0)).cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("c"), F.lit(0))
+    )
+    return (
+        cand.join(
+            inter,
+            (F.col("doc_a") == F.col("i_doc_a")) & (F.col("doc_b") == F.col("i_doc_b")),
+            "left",
+        )
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(
+                 "SUM(CASE WHEN substring(md5(tok), %d, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b%d" % (i + 1, i)
+                 for i in range(_SIMHASH_BITS)
+             )}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           concat({', '.join(f"CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END" for i in range(_SIMHASH_BITS))}) AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit, md5-derived bit votes, token
+    frequency weighted). Near-dup docs land on equal/close fingerprints;
+    grouping by simhash (or by a few rotated prefixes, for Hamming
+    distance 1-3) buckets candidates with zero pairwise work. One
+    explode + one groupBy with 16 conditional sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok"))
+    hexset = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = [
+        F.sum(
+            F.when(F.substring(F.md5("tok"), i + 1, 1).isin(*hexset), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*votes)
+    simhash = F.concat(
+        *[F.when(F.col(f"b{i}") >= 0, "1").otherwise("0") for i in range(_SIMHASH_BITS)]
+    )
+    return bits.select("doc_id", simhash.alias("simhash"))
+
+
+@register("dedup_minhash_mllib")  # no oracle: MLlib's hash family is engine-specific
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (seeded, deterministic within Spark,
+    but not reproducible in DuckDB — rows-only check). Kept as the
+    library-native path; `dedup_minhash_lsh` is the oracle-checked
+    equivalent."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).groupBy("doc_id").agg(F.collect_set("s").alias("sh_set"))
+    cv = CountVectorizer(inputCol="sh_set", outputCol="features", binary=True)
+    model = cv.fit(sh)
+    feats = model.transform(sh)
+    # Filter all-zero vectors (MinHashLSH requires >=1 nonzero entry).
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,495 @@
+"""Core relational surface: scans, filters, projections, joins,
+aggregations, set operations (SURVEY.md §2.3).
+
+Each op is a thin, named, tested composition of built-in DataFrame
+operators — Catalyst handles pushdown/pruning/reordering, AQE handles
+runtime sizing and skew. Docstrings record the intended physical plan
+at scale; tests/test_plans.py asserts the load-bearing properties
+(pushed filters, broadcast choice, pruned schemas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import dsum, register, sql_dsum
+
+# --- scans -------------------------------------------------------------
+
+
+@register(
+    "parquet_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with explicit projection (column pruning)."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_discount < 0.02
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter; all three predicates push to the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_discount") < 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "project_expr",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_totalprice,
+      CAST(ROUND(o_totalprice * 1.07, 2) AS DOUBLE) AS price_with_tax,
+      UPPER(o_orderpriority) AS priority_uc,
+      DATE_TRUNC('day', o_orderdate) AS order_date
+    FROM orders
+    """,
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-column projection — pure narrow map, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 1.07, 2).cast("double").alias("price_with_tax"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        # timestamp (not DATE) output: DATE round-trips differently
+        # through Arrow/pandas in the two engines
+        F.date_trunc("day", "o_orderdate").alias("order_date"),
+    )
+
+
+# --- joins -------------------------------------------------------------
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join. At bench SF customer fits the broadcast
+    threshold so AQE picks broadcast-hash; at 100 TB with a huge build
+    side it degrades to shuffled hash join on the key — both correct,
+    both skew-protected by AQE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension side: fact table never
+    shuffles; the filtered part table ships to every executor once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_type"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in the ON clause —
+    moving it to WHERE would change semantics to inner)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_acctbal
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "F"), "right"
+    ).select("o_orderkey", "c_custkey", "c_acctbal")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL JOIN sn ON cn.c_nationkey = sn.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides (sort-merge at scale —
+    full outer cannot broadcast)."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+        F.coalesce(cn.c_nationkey, sn.s_nationkey).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — existence test, never duplicates the left side.
+    Mirrors the reference's key-set restriction (semi_join_incoming,
+    reference DataflowProcessor.cs:124-131) as a distributed join
+    instead of a pushed-down IN list."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the load-bearing incremental-processing op
+    (reference anti_join_processed, DataflowProcessor.cs:140-148): at
+    scale this is a broadcast/shuffle anti-join against the processed
+    snapshot, never a giant IN list shipped to a database."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+    WITH buckets(bucket_name, lo, hi) AS (
+      VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+             ('medium', 150000.0, 300000.0), ('large', 300000.0, 450000.0),
+             ('huge', 450000.0, 100000000.0)
+    )
+    SELECT b.bucket_name, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN buckets b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range-band) join: fact rows against literal range
+    buckets. Physical plan is BroadcastNestedLoopJoin — correct here
+    because the banded side is tiny; a large-large range join should
+    instead bucketize both sides to convert to equi-join (that pattern
+    is what join_asof uses)."""
+    o = load_table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 50000.0),
+            ("small", 50000.0, 150000.0),
+            ("medium", 150000.0, 300000.0),
+            ("large", 300000.0, 450000.0),
+            ("huge", 450000.0, 100000000.0),
+        ],
+        "bucket_name string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(buckets),
+            (o.o_totalprice >= buckets.lo) & (o.o_totalprice < buckets.hi),
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --- aggregation -------------------------------------------------------
+
+
+@register(
+    "agg_hash",
+    oracle=f"""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with map-side partial aggregation — the
+    shuffle carries one row per (partition, suppkey), not per input
+    row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase aggregate; the
+    distinct keys are partially deduped map-side before shuffling."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_count_distinct_approx")  # no oracle: HLL sketches differ by engine
+def agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No DuckDB oracle: the
+    two engines' sketches legitimately disagree; tests assert bounded
+    relative error against the exact count instead."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal')} AS sum_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL on a temp view (the DataFrame API has no
+    grouping-sets method; SQL is the idiomatic Spark surface for it).
+    Physically a single Expand + hash aggregate — one pass over data.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nesb_customer_gs")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n_cust,
+               {sql_dsum('c_acctbal')} AS sum_bal
+        FROM nesb_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust, {sql_dsum('c_acctbal')} AS sum_bal
+    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+# --- sort / limit / top-k ---------------------------------------------
+
+
+@register(
+    "sort_orderby",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS pos
+    FROM supplier
+    """,
+)
+def sort_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (range-partitioned exchange at scale). The sort
+    position is materialized as a column so the order itself is
+    value-hash-checkable by the order-insensitive driver compare."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_name", "s_acctbal", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+@register(
+    "limit_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (per
+    partition top-N then driver merge), never a full global sort.
+    Tiebreak on the unique key makes the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) t
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter. Spark pushes a
+    per-partition top-k (WindowGroupLimit) below the shuffle, so the
+    exchange carries at most k rows per group per input partition."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --- set operations ----------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name — no shuffle, just concatenated partitions."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity
+    # differences, which is EXCEPT ALL semantics — not what SQL EXCEPT means)
+    return c.subtract(s)

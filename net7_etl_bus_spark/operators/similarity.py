@@ -1,0 +1,212 @@
+"""Embedding similarity search (SURVEY.md §2.3 / BASELINE.json north
+star: ANN over an ``array<float>`` column).
+
+``sim_search_topk`` is the exactness baseline (brute-force cosine,
+broadcast queries); ``sim_search_lsh`` is the scale path (random
+hyperplane signatures -> bucket-restricted search);
+``emb_dedup_cosine`` applies the same kernel to near-duplicate removal.
+
+Numeric determinism: all dot products are computed by a sequential
+``aggregate`` fold over index order in double precision — both Spark
+and DuckDB evaluate the identical operation sequence, so cosine values
+are bit-identical and oracle-hashable (no rounding fudge needed).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+def _cosine(a, b):
+    """cos(a,b) as a Column; sequential fold in index order.
+
+    ``zip_with`` products are computed per-index in double, then
+    ``aggregate`` folds left-to-right from 0.0 — the exact same
+    sequence DuckDB's list_dot_product-equivalent oracle (expressed
+    with the same fold) performs.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+# DuckDB twin: list_transform + a left fold via list_reduce (sequential).
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+_SQL_COS = (
+    _sql_dot("q.embedding", "c.embedding")
+    + " / ("
+    + _sql_norm("q.embedding")
+    + " * "
+    + _sql_norm("c.embedding")
+    + ")"
+)
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_SQL_COS} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) t
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_search_topk", oracle=_TOPK_ORACLE)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a small query set.
+
+    Scale shape: queries broadcast (they are few); the corpus is
+    scanned once, fully parallel, with per-partition top-k pushed below
+    the shuffle by WindowGroupLimit. Cost is O(|corpus| x |queries|) —
+    the right baseline, and often the right *answer* when queries are
+    a broadcastable batch. For query sets too big to broadcast, see
+    sim_search_lsh.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("q_emb"), F.col("c_emb")))
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= TOP_K
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed) for sign-LSH."""
+    rng = random.Random(20240813)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+@register("sim_search_lsh")  # no oracle: bucketing logic is the point, checked by pytest recall test
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: 8-bit hyperplane signature ->
+    bucket; candidates = corpus rows sharing the query's bucket; exact
+    cosine + top-k within bucket only.
+
+    Scale shape: the corpus is signed once (narrow map), bucketed by an
+    8-bit key, and the search join is an equi-join on the bucket key —
+    no all-pairs work. Recall (vs sim_search_topk) is measured in
+    tests/test_similarity.py; more tables (signature rotations) buy
+    recall at linear cost, same as MinHash banding.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+
+    def signature(emb):
+        dots = F.transform(
+            planes_lit,
+            lambda p: F.aggregate(
+                F.zip_with(p, emb, lambda x, y: x * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.aggregate(
+            dots,
+            F.lit(0),
+            lambda acc, d: acc * 2 + F.when(d >= 0, 1).otherwise(0),
+        )
+
+    signed = e.withColumn("bucket", signature(F.col("embedding")))
+    q = signed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = signed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("q_emb"), F.col("c_emb")))
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= TOP_K
+    )
+
+
+_EMB_DEDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_dot("a.embedding", "b.embedding")} /
+         ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_sql_dot("a.embedding", "b.embedding")} /
+        ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= 0.85
+"""
+
+
+@register("emb_dedup_cosine", oracle=_EMB_DEDUP_ORACLE)
+def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= 0.85),
+    brute-force over all pairs — correctness baseline for the
+    LSH-bucketed variant (at 100 TB, run the bucket join from
+    sim_search_lsh first, then this exact check on candidates only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine") >= 0.85)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,226 @@
+"""Text analysis operators for training-data curation (SURVEY.md §2.3
+/ BASELINE.json north star): stats, quality scoring, token counting,
+language ID heuristic, document fingerprinting.
+
+Everything is built-in expression work (split / higher-order functions
+/ md5) — JVM-side, codegen'd, zero Python in the hot path. All outputs
+are integer arithmetic or single IEEE divisions, so they are
+oracle-hashable without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+from .dedup import normalized_text
+
+_NORM = "lower(trim(text))"
+_SQL_W = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+           n_chars AS n_chars_declared,
+           CAST(len({_SQL_W}) AS BIGINT) AS n_words,
+           CAST(LENGTH(REPLACE({_NORM}, ' ', '')) AS DOUBLE) / len({_SQL_W}) AS avg_word_len,
+           CAST(len(list_distinct({_SQL_W})) AS BIGINT) AS n_distinct_words,
+           CAST(len(list_distinct({_SQL_W})) AS DOUBLE) / len({_SQL_W}) AS ttr
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/word counts, average word length,
+    type-token ratio. Narrow map over the corpus — scales with bytes
+    scanned, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+        F.size(w).cast("bigint").alias("n_words"),
+        (
+            F.length(F.replace(normalized_text("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(w)
+        ).alias("avg_word_len"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_words"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("ttr"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+_SQL_STOP = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_W} AS w, LENGTH(text) AS nc FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> x IN ({_SQL_STOP}))) AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(w, x -> x IN ({_SQL_STOP}))) AS DOUBLE) / len(w) AS stopword_ratio,
+           CAST(len(list_filter(w, x -> LENGTH(x) > 12)) AS BIGINT) AS n_long_words,
+           (nc BETWEEN 100 AND 20000) AND
+             (CAST(len(list_filter(w, x -> x IN ({_SQL_STOP}))) AS DOUBLE) / len(w) >= 0.01)
+             AS passes_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate in the Gopher/C4 style (length bounds + stopword
+    ratio + long-word screen), expressed as pure column filters so it
+    composes with any scan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / F.size(w)
+    return d.select(
+        "doc_id",
+        stop_hits.cast("bigint").alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        F.size(F.filter(w, lambda x: F.length(x) > 12)).cast("bigint").alias("n_long_words"),
+        (
+            (F.length("text") >= 100) & (F.length("text") <= 20000) & (stop_ratio >= 0.01)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_W} AS w, LENGTH(text) AS nc FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS ws_tokens,
+           CAST(CEIL(nc / 4.0) AS BIGINT) AS char_est_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(w, x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT))),
+                (acc, v) -> acc + v) AS BIGINT) AS subword_est_tokens
+    FROM t
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, the chars/4 heuristic, and a
+    BPE-ish per-word ceil(len/4) subword estimate — integer arithmetic
+    only, so cross-engine exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    subword = F.aggregate(
+        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char_est_tokens"),
+        subword.cast("bigint").alias("subword_est_tokens"),
+    )
+
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "que", "es"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def _sql_lang_hits(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> x IN ({toks})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang AS lang_declared, {_SQL_W} AS w FROM documents),
+    hits AS (
+      SELECT doc_id, lang_declared,
+             {', '.join(f'{_sql_lang_hits(lg)} AS hits_{lg}' for lg in _LANG_MARKERS)}
+      FROM t
+    )
+    SELECT doc_id, lang_declared,
+           CASE
+             WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+             WHEN hits_es >= hits_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang_predicted,
+           CAST(hits_en + hits_de + hits_es + hits_fr AS BIGINT) AS marker_hits
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic with a fixed priority
+    tie-break (en > de > es > fr) so the argmax is deterministic.
+    A real pipeline swaps the marker lists for character-n-gram
+    profiles; the operator shape (narrow map, no shuffle) is
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    def _hit_counter(toks):
+        # one-arg lambda: a second arg would make F.filter pass the
+        # element index into it
+        return F.size(F.filter(w, lambda x: x.isin(*toks)))
+
+    hits = {lg: _hit_counter(toks) for lg, toks in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    total = hits["en"] + hits["de"] + hits["es"] + hits["fr"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        predicted.alias("lang_predicted"),
+        total.cast("bigint").alias("marker_hits"),
+    )
+
+
+_FP_WINDOW = 8  # char-shingle width for the fingerprint
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS txt FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(generate_series(1, LENGTH(txt) - {_FP_WINDOW - 1}),
+                    i -> md5(substring(txt, i, {_FP_WINDOW}))), 'min') AS fingerprint
+    FROM t
+    WHERE LENGTH(txt) >= {_FP_WINDOW}
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over all rolling 8-char shingles
+    (winnowing with window = whole doc). Identical docs share the
+    fingerprint; docs differing only in a small edit usually still
+    share it (the global min survives unless the edit touches the
+    minimal shingle). Narrow map, no shuffle; at scale group by the
+    fingerprint column to bucket near-identical docs."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = normalized_text("text")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - (_FP_WINDOW - 1)),
+        lambda i: F.md5(txt.substr(i, F.lit(_FP_WINDOW))),
+    )
+    return (
+        d.filter(F.length(txt) >= _FP_WINDOW)
+        .select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
+    )

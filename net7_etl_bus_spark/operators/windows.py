@@ -1,0 +1,235 @@
+"""Window functions and the as-of join (SURVEY.md §2.3).
+
+Every window uses a total order (unique-key tiebreak) so results are
+deterministic and oracle-hashable. At scale, window partitions must be
+bounded (per-user, per-customer) — none of these ops sorts the whole
+dataset in one partition; skewed partition keys are AQE's problem for
+the shuffle and bounded-memory ExternalSorter's for the sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+
+@register(
+    "win_rank_dense_rownum",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rownum
+    FROM part
+    """,
+)
+def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number in one window pass (same partition
+    spec ⇒ one shuffle + one sort shared by all three)."""
+    p = load_table(spark, sf_dir, "part")
+    w_rank = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    w_rn = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w_rank).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w_rank).cast("bigint").alias("price_dense_rank"),
+        F.row_number().over(w_rn).cast("bigint").alias("price_rownum"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time — the building block for
+    sessionization and as-of logic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "win_running_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS order_seq
+    FROM orders
+    """,
+)
+def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer. Decimal accumulation
+    keeps the prefix sums exact so both engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           CAST(COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                               RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+             AS n_similar_size
+    FROM part
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering key — counts parts whose
+    size is within ±5 of the current row's size, per brand."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-5, 5)
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_similar_size"),
+    )
+
+
+@register(
+    "win_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal) AS DOUBLE) AS bal_cume_dist
+    FROM customer
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/cume_dist). Single global
+    window — fine for ranking dimension-sized tables; for fact-scale
+    data use approx percentiles instead (see text stats)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    w_cd = Window.orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+        F.cume_dist().over(w_cd).cast("double").alias("bal_cume_dist"),
+    )
+
+
+# --- as-of join ---------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+),
+other AS (
+  SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'signup'
+)
+SELECT o.event_id, o.user_id, o.ts, o.event_type,
+       (SELECT MAX(s.signup_ts) FROM signups s
+        WHERE s.user_id = o.user_id AND s.signup_ts <= o.ts) AS last_signup_ts
+FROM other o
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event matched to the most recent
+    signup at-or-before it for the same user.
+
+    Spark lacks a native as-of join, so this is the documented custom
+    operator (SURVEY.md §2.3): union both sides tagged, one window pass
+    carries the latest right-side timestamp forward (``last(ignorenulls)``),
+    then filter back to left rows. One shuffle on (user_id), no
+    pandas/Python in the path, and — unlike a naive
+    range-join-then-max — no row blowup on users with many matches.
+    """
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type", F.lit(None).cast("timestamp").alias("r_ts")
+    )
+    right = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("ts").alias("r_ts"),
+    )
+    # Order: at equal ts, right rows sort before left rows (is_left=1
+    # after 0) so a signup at exactly l.ts matches (<= semantics).
+    unioned = left.unionByName(right).withColumn(
+        "is_left", F.when(F.col("event_id").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_signup_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "last_signup_ts")
+    )
+
+
+@register("join_asof_pandas", oracle=_ASOF_ORACLE)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via ``applyInPandas`` + ``merge_asof`` —
+    the Arrow-batched escape hatch pattern for semantics DataFrame ops
+    can't express. Co-groups both sides by user_id (one shuffle each),
+    then runs pandas' backward merge per group. Kept alongside
+    ``join_asof`` to differentially test the custom-UDF path against
+    the pure-DataFrame path (and the DuckDB oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    right = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values("ts", kind="mergesort")
+        if lpdf.empty or rpdf.empty:
+            lpdf["last_signup_ts"] = pd.NaT
+            return lpdf
+        rpdf = rpdf.sort_values("signup_ts", kind="mergesort")
+        out = pd.merge_asof(
+            lpdf, rpdf[["signup_ts"]], left_on="ts", right_on="signup_ts", direction="backward"
+        )
+        return out.rename(columns={"signup_ts": "last_signup_ts"})
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string, last_signup_ts timestamp"
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(lambda l, r: merge(l, r), schema)
+    )

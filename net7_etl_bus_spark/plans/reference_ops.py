@@ -1,0 +1,350 @@
+"""The reference's own operator surface (SURVEY.md §2.1), re-expressed
+Spark-first over the committed fixtures.
+
+Each op cites the reference location it matches (paths under
+/root/reference/). Fixture paths are repo-absolute and committed, so
+the DuckDB oracle reads the same bytes via read_csv/read_parquet.
+Time-dependent predicates (TTL, gate) use the fixed REFERENCE_NOW
+instant from scripts/gen_fixtures.py so both engines evaluate the same
+literals; the live pipeline (pipeline.py) substitutes the real clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import ETL_IMPORTS_PATH, FIXTURES_DIR, ZIP_CSV_PATH, ZIP_DETAILS_PATH
+from ..functions.scalar import composite_key
+from ..schemas import ZIP_CSV_SCHEMA, ZIP_RECORD_COLUMNS
+from .registry import register
+
+REFERENCE_NOW = "2024-02-01 00:00:00"
+TTL_CUTOFF = "2024-01-02 00:00:00"  # REFERENCE_NOW - 30 days
+
+_SQL_CSV = f"read_csv('{ZIP_CSV_PATH}', header=true, all_varchar=true)"
+_SQL_CSV_DUPS = f"read_csv('{FIXTURES_DIR}/zip_codes_with_dups.csv', header=true, all_varchar=true)"
+_SQL_DETAILS = f"read_parquet('{ZIP_DETAILS_PATH}')"
+_SQL_IMPORTS = f"read_parquet('{ETL_IMPORTS_PATH}')"
+
+
+def read_zip_csv(spark: SparkSession, path: str = ZIP_CSV_PATH) -> DataFrame:
+    """S2 csv_scan: header CSV with explicit typed schema (inference
+    would corrupt leading-zero zips) + the reference's header-binding
+    projection: rename 5 columns, drop state_fips.
+    Reference: CsvDataHandler.cs:15-22, ZipCodeRecord.cs:8-17."""
+    raw = spark.read.option("header", True).schema(ZIP_CSV_SCHEMA).csv(path)
+    return raw.select(
+        *[F.col(src).alias(dst) for src, dst in ZIP_RECORD_COLUMNS.items()]
+    )
+
+
+@register(
+    "csv_scan",
+    oracle=f"""
+    SELECT state AS State, state_abbr AS StateCode, zipcode AS ZipCode,
+           county AS County, city AS City
+    FROM {_SQL_CSV}
+    """,
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_zip_csv(spark)
+
+
+@register(
+    "derive_composite_key",
+    oracle=f"""
+    SELECT zipcode || '_' || state_abbr AS CompositeKey,
+           zipcode AS ZipCode, state_abbr AS StateCode
+    FROM {_SQL_CSV}
+    """,
+)
+def derive_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: f"{zip}_{stateCode}" — the upsert/dedup identity (zip codes
+    cross state borders). Reference: Utilities/ZipCodeHelpers.cs:11-14."""
+    z = read_zip_csv(spark)
+    return z.select(
+        composite_key("ZipCode", "StateCode").alias("CompositeKey"),
+        "ZipCode",
+        "StateCode",
+    )
+
+
+@register(
+    "project_widen",
+    oracle=f"""
+    SELECT zipcode || '_' || state_abbr AS CompositeKey,
+           zipcode AS ZipCode, state AS State, state_abbr AS StateCode,
+           county AS County, city AS City,
+           CAST(NULL AS DOUBLE) AS Latitude,
+           CAST(NULL AS DOUBLE) AS Longitude,
+           CAST(NULL AS DOUBLE) AS Elevation,
+           CAST(NULL AS VARCHAR) AS Timezone,
+           TIMESTAMP '{REFERENCE_NOW}' AS CreationDateUtc,
+           TIMESTAMP '{REFERENCE_NOW}' AS LastModifiedDateUtc,
+           CAST(7 AS INT) AS ImportId
+    FROM {_SQL_CSV}
+    """,
+)
+def project_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: widen ZipCodeRecord -> ZipCodeDetails (derived key, null
+    enrichment columns, audit timestamps, run-id FK). Reference:
+    DataflowProcessor.cs:252-261, 221-222. The fixed timestamp stands
+    in for current_timestamp() so the op is oracle-checkable; the live
+    pipeline passes the batch start time."""
+    z = read_zip_csv(spark)
+    ts = F.lit(REFERENCE_NOW).cast("timestamp")
+    return z.select(
+        composite_key("ZipCode", "StateCode").alias("CompositeKey"),
+        "ZipCode",
+        "State",
+        "StateCode",
+        "County",
+        "City",
+        F.lit(None).cast("double").alias("Latitude"),
+        F.lit(None).cast("double").alias("Longitude"),
+        F.lit(None).cast("double").alias("Elevation"),
+        F.lit(None).cast("string").alias("Timezone"),
+        ts.alias("CreationDateUtc"),
+        ts.alias("LastModifiedDateUtc"),
+        F.lit(7).cast("int").alias("ImportId"),
+    )
+
+
+@register(
+    "dedup_by_key",
+    oracle=f"""
+    SELECT ZipCode, StateCode, County, City FROM (
+      SELECT zipcode AS ZipCode, state_abbr AS StateCode, county AS County, city AS City,
+             ROW_NUMBER() OVER (PARTITION BY zipcode, state_abbr
+                                ORDER BY county, city) AS rk
+      FROM {_SQL_CSV_DUPS}) t
+    WHERE rk = 1
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with on_duplicate='first': keep one row per composite key,
+    deterministically (smallest (county, city)). The reference instead
+    fail-fasts on duplicates (ToDictionary throws,
+    ServiceBusWorker.cs:115) — that mode is exposed as
+    pipeline.dedup_or_fail and unit-tested; this is the scalable
+    variant."""
+    raw = spark.read.option("header", True).schema(ZIP_CSV_SCHEMA).csv(
+        f"{FIXTURES_DIR}/zip_codes_with_dups.csv"
+    )
+    w = Window.partitionBy("zipcode", "state_abbr").orderBy("county", "city")
+    return (
+        raw.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("zipcode").alias("ZipCode"),
+            F.col("state_abbr").alias("StateCode"),
+            F.col("county").alias("County"),
+            F.col("city").alias("City"),
+        )
+    )
+
+
+# "Valid processed" predicate shared by semi/anti joins below.
+# Reference: DataflowProcessor.cs:128-138 — completeness AND freshness.
+_SQL_VALID_PROCESSED = f"""
+SELECT CompositeKey FROM {_SQL_DETAILS}
+WHERE ZipCode IS NOT NULL AND ZipCode <> ''
+  AND Latitude IS NOT NULL AND Longitude IS NOT NULL
+  AND Elevation IS NOT NULL AND Timezone IS NOT NULL
+  AND LastModifiedDateUtc >= TIMESTAMP '{TTL_CUTOFF}'
+"""
+
+
+def _details(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(ZIP_DETAILS_PATH)
+
+
+def valid_processed_keys(spark: SparkSession) -> DataFrame:
+    """F2+F3: completeness filter AND TTL freshness filter."""
+    d = _details(spark)
+    return d.filter(
+        F.col("ZipCode").isNotNull()
+        & (F.col("ZipCode") != "")
+        & F.col("Latitude").isNotNull()
+        & F.col("Longitude").isNotNull()
+        & F.col("Elevation").isNotNull()
+        & F.col("Timezone").isNotNull()
+        & (F.col("LastModifiedDateUtc") >= F.lit(TTL_CUTOFF).cast("timestamp"))
+    ).select("CompositeKey")
+
+
+@register("completeness_filter", oracle=f"""
+    SELECT CompositeKey, Latitude, Longitude, Elevation, Timezone FROM {_SQL_DETAILS}
+    WHERE ZipCode IS NOT NULL AND ZipCode <> ''
+      AND Latitude IS NOT NULL AND Longitude IS NOT NULL
+      AND Elevation IS NOT NULL AND Timezone IS NOT NULL
+    """)
+def completeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: fully-enriched rows only. Reference: DataflowProcessor.cs:130-135."""
+    d = _details(spark)
+    return d.filter(
+        F.col("ZipCode").isNotNull()
+        & (F.col("ZipCode") != "")
+        & F.col("Latitude").isNotNull()
+        & F.col("Longitude").isNotNull()
+        & F.col("Elevation").isNotNull()
+        & F.col("Timezone").isNotNull()
+    ).select("CompositeKey", "Latitude", "Longitude", "Elevation", "Timezone")
+
+
+@register("ttl_freshness_filter", oracle=f"""
+    SELECT CompositeKey, LastModifiedDateUtc FROM {_SQL_DETAILS}
+    WHERE LastModifiedDateUtc >= TIMESTAMP '{TTL_CUTOFF}'
+    """)
+def ttl_freshness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: LastModified within the 30-day TTL. Reference:
+    DataflowProcessor.cs:121,136; TTL default Constants.cs:20."""
+    d = _details(spark)
+    return d.filter(
+        F.col("LastModifiedDateUtc") >= F.lit(TTL_CUTOFF).cast("timestamp")
+    ).select("CompositeKey", "LastModifiedDateUtc")
+
+
+@register(
+    "semi_join_incoming",
+    oracle=f"""
+    SELECT d.CompositeKey, d.City, d.Latitude FROM {_SQL_DETAILS} d
+    WHERE EXISTS (SELECT 1 FROM {_SQL_CSV} z
+                  WHERE z.zipcode || '_' || z.state_abbr = d.CompositeKey)
+    """,
+)
+def semi_join_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: restrict the target-table snapshot to keys present in the
+    incoming batch. Reference pushes a giant SQL IN list
+    (DataflowProcessor.cs:124-131); at scale this must be a broadcast
+    semi-join of the incoming key set — which is what this is."""
+    d = _details(spark)
+    z = read_zip_csv(spark).select(
+        composite_key("ZipCode", "StateCode").alias("CompositeKey")
+    )
+    return d.join(F.broadcast(z), "CompositeKey", "left_semi").select(
+        "CompositeKey", "City", "Latitude"
+    )
+
+
+@register(
+    "anti_join_processed",
+    oracle=f"""
+    SELECT z.zipcode || '_' || z.state_abbr AS CompositeKey,
+           z.zipcode AS ZipCode, z.state_abbr AS StateCode
+    FROM {_SQL_CSV} z
+    WHERE z.zipcode || '_' || z.state_abbr NOT IN ({_SQL_VALID_PROCESSED})
+    """,
+)
+def anti_join_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the load-bearing incremental op — incoming rows minus
+    already-valid-and-fresh keys; only new/stale/incomplete rows
+    proceed to (expensive) enrichment. Reference:
+    DataflowProcessor.cs:140-148 (client-side hash anti-join)."""
+    z = read_zip_csv(spark).withColumn(
+        "CompositeKey", composite_key("ZipCode", "StateCode")
+    )
+    return z.join(valid_processed_keys(spark), "CompositeKey", "left_anti").select(
+        "CompositeKey", "ZipCode", "StateCode"
+    )
+
+
+# Gate candidates: sentinel checksums from scripts/gen_fixtures.py.
+_GATE_CANDIDATES = [
+    ("aa" * 32, False),  # active run with same checksum -> skip
+    ("bb" * 32, False),  # completed fresh -> skip
+    ("cc" * 32, False),  # completed stale -> run
+    ("dd" * 32, False),  # errored (not active, ended) fresh -> skip per predicate
+    ("ee" * 32, False),  # unknown checksum -> run
+    ("bb" * 32, True),   # forceRun bypasses the gate -> run
+]
+_SQL_GATE_CANDIDATES = ", ".join(
+    f"('{cs}', {str(force).upper()})" for cs, force in _GATE_CANDIDATES
+)
+
+
+@register(
+    "run_gate_predicate",
+    oracle=f"""
+    WITH cand(checksum, force_run) AS (VALUES {_SQL_GATE_CANDIDATES})
+    SELECT c.checksum, c.force_run,
+           c.force_run OR NOT EXISTS (
+             SELECT 1 FROM {_SQL_IMPORTS} i
+             WHERE i.FileChecksum = c.checksum
+               AND (i.IsActive OR (i.ImportStartTimeUtc > TIMESTAMP '{TTL_CUTOFF}'
+                                   AND i.EndDateTimeUtc IS NOT NULL))
+           ) AS should_run
+    FROM cand c
+    """,
+)
+def run_gate_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: duplicate-run gate. Skip when a control row has the same
+    checksum AND (still active OR (started within TTL AND finished));
+    forceRun bypasses. Reference: DataflowProcessor.cs:86-99, TTL
+    ProcessingSettings.cs:7. Evaluated as a broadcast join against the
+    (tiny) control table — the driver-side decision in the live
+    pipeline collects this one boolean."""
+    cand = spark.createDataFrame(_GATE_CANDIDATES, "checksum string, force_run boolean")
+    imports = spark.read.parquet(ETL_IMPORTS_PATH)
+    blocking = imports.filter(
+        F.col("IsActive")
+        | (
+            (F.col("ImportStartTimeUtc") > F.lit(TTL_CUTOFF).cast("timestamp"))
+            & F.col("EndDateTimeUtc").isNotNull()
+        )
+    ).select(F.col("FileChecksum").alias("checksum"), F.lit(True).alias("blocked"))
+    return (
+        cand.join(F.broadcast(blocking.distinct()), "checksum", "left")
+        .select(
+            "checksum",
+            "force_run",
+            (F.col("force_run") | F.col("blocked").isNull()).alias("should_run"),
+        )
+    )
+
+
+@register(
+    "lookup_by_id",
+    oracle=f"SELECT Id, FileChecksum, Status, EndDateTimeUtc FROM {_SQL_IMPORTS} WHERE Id = 2",
+)
+def lookup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: finalize-time lookup of the run's control row. Reference:
+    DataflowProcessor.cs:295."""
+    return (
+        spark.read.parquet(ETL_IMPORTS_PATH)
+        .filter(F.col("Id") == 2)
+        .select("Id", "FileChecksum", "Status", "EndDateTimeUtc")
+    )
+
+
+@register(
+    "count_agg",
+    oracle=f"SELECT Status, COUNT(*) AS n_runs FROM {_SQL_IMPORTS} GROUP BY Status",
+)
+def count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: record counts driving flow decisions/logging. Reference:
+    ServiceBusWorker.cs:117-128."""
+    return (
+        spark.read.parquet(ETL_IMPORTS_PATH)
+        .groupBy("Status")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+    )
+
+
+@register(
+    "exists_agg",
+    oracle=f"""
+    SELECT EXISTS (SELECT 1 FROM {_SQL_IMPORTS} WHERE IsActive) AS any_active,
+           EXISTS (SELECT 1 FROM {_SQL_IMPORTS} WHERE Status = 'Error') AS any_errored
+    """,
+)
+def exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: existence probes (FirstOrDefault()?.Id > 0 in the
+    reference, DataflowProcessor.cs:88) — limit(1)-style short-circuit
+    aggregates."""
+    imports = spark.read.parquet(ETL_IMPORTS_PATH)
+    return imports.agg(
+        (F.count(F.when(F.col("IsActive"), 1)) > 0).alias("any_active"),
+        (F.count(F.when(F.col("Status") == "Error", 1)) > 0).alias("any_errored"),
+    )

@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The session is configured for correctness parity (UTC timestamps — the
+reference stores ``timestamptz``/``DateTime.UtcNow`` everywhere, see
+SURVEY.md §1.2) and for large-cluster behavior: AQE on (runtime
+coalescing + skew-join splitting), Arrow transfer for the few Python
+stages, and broadcast-join threshold sized so dimension tables
+(region/nation/customer at any SF we test, and the control tables) are
+broadcast rather than shuffled.
+
+On a real 1000-executor cluster the only knobs expected to change are
+``spark.sql.shuffle.partitions`` (AQE coalesces down from a high
+initial number, so prod sets it ~2-3x total cores) and executor
+memory sizing; nothing in the engine hard-codes partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; see module docstring
+# for what changes on a real cluster.
+_DEFAULT_CONF = {
+    # Correctness: the reference persists UTC timestamps only
+    # (Utilities -> DateTime.UtcNow; Postgres timestamptz).
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew
+    # join splitting, and dynamic join-strategy switching. This is the
+    # 100 TB safety net for skewed keys and misestimated sizes.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/part/supplier, zip fixture,
+    # control tables) should hash-broadcast, not shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Scan parallelism: default 128m split size is right for the
+    # target cluster; local test files are single-row-group anyway.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # ANSI off matches both DuckDB's permissive casts and the
+    # reference's tolerant per-row error handling.
+    "spark.sql.ansi.enabled": "false",
+    # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as raw nanos longs and convert in
+    # data.load_table (ns -> us truncation, matching DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "net7-etl-bus-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and
+    no cluster master is configured — tests and bench run single-JVM,
+    production passes its own master/deploy config.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

@@ -1,0 +1,197 @@
+"""Generate the committed, deterministic reference-pipeline fixtures.
+
+Run once (python scripts/gen_fixtures.py); outputs are committed so
+Spark queries and DuckDB oracles read identical bytes at identical
+paths. Shapes follow FIXTURES.md §1-3 (zip CSV, enriched details
+table, run-control table). All values are seeded-deterministic; all
+timestamps are fixed UTC instants relative to REFERENCE_NOW.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIXTURES = os.path.join(os.path.dirname(HERE), "fixtures")
+
+# Fixed "now" used by every TTL/gate computation in oracle-checked
+# queries (real pipeline code uses the actual clock).
+REFERENCE_NOW = datetime(2024, 2, 1, 0, 0, 0)
+TTL_DAYS = 30
+
+STATES = [
+    ("01", "Alabama", "AL"),
+    ("04", "Arizona", "AZ"),
+    ("06", "California", "CA"),
+    ("08", "Colorado", "CO"),
+    ("13", "Georgia", "GA"),
+    ("17", "Illinois", "IL"),
+    ("36", "New York", "NY"),
+    ("48", "Texas", "TX"),
+]
+COUNTIES = ["Clay", "Lee", "Madison", "Polk", "St.Clair", "Washington"]
+CITIES = ["Acmar", "Brookside", "Centerville", "Dora", "Easton", "Fairfield", "Georgetown"]
+
+
+def gen_zip_rows() -> list[tuple[str, str, str, str, str, str]]:
+    rng = random.Random(20230903)
+    rows = []
+    seen = set()
+    # 240 regular rows, unique (zipcode, state) keys.
+    while len(rows) < 240:
+        fips, state, abbr = STATES[rng.randrange(len(STATES))]
+        zipcode = f"{rng.randrange(501, 99951):05d}"
+        if (zipcode, abbr) in seen:
+            continue
+        seen.add((zipcode, abbr))
+        rows.append(
+            (fips, state, abbr, zipcode, COUNTIES[rng.randrange(len(COUNTIES))],
+             CITIES[rng.randrange(len(CITIES))])
+        )
+    # 12 cross-state duplicate zips (same zipcode, two states) — the
+    # composite-key rationale: zip codes cross state borders.
+    for i in range(12):
+        zipcode = rows[i][3]
+        donor = rows[i]
+        fips, state, abbr = STATES[(STATES.index((donor[0], donor[1], donor[2])) + 1) % len(STATES)]
+        if (zipcode, abbr) in seen:
+            continue
+        seen.add((zipcode, abbr))
+        rows.append((fips, state, abbr, zipcode, COUNTIES[i % len(COUNTIES)], CITIES[i % len(CITIES)]))
+    # Golden row from the reference's own CSV test.
+    if ("35004", "AL") not in seen:
+        rows.append(("01", "Alabama", "AL", "35004", "St.Clair", "Acmar"))
+    # A leading-zero zip (schema must keep strings).
+    if ("00501", "NY") not in seen:
+        rows.append(("36", "New York", "NY", "00501", "Suffolk", "Holtsville"))
+    return rows
+
+
+def write_zip_csv(rows, path, extra_exact_dups: int = 0) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("state_fips,state,state_abbr,zipcode,county,city\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+        # exact (zipcode,state) duplicate rows — the fail-fast case
+        for r in rows[:extra_exact_dups]:
+            f.write(",".join((r[0], r[1], r[2], r[3], "DupCounty", "DupCity")) + "\n")
+
+
+def deterministic_enrichment(zipcode: str):
+    """Pure function zip -> (lat, lng, elevation, timezone); mirrors the
+    deterministic mock client in operators/enrich.py."""
+    h = int(zipcode) if zipcode.isdigit() else sum(ord(c) for c in zipcode)
+    lat = round(24.0 + (h % 2500) / 100.0, 4)
+    lng = round(-125.0 + (h % 5800) / 100.0, 4)
+    elevation = round((h % 4400) / 10.0, 1)
+    tz = ["Eastern Standard Time", "Central Daylight Time", "Mountain Standard Time",
+          "Pacific Standard Time"][h % 4]
+    return lat, lng, elevation, tz
+
+
+def gen_details(zip_rows):
+    """Enriched target-table state covering every gate/filter case:
+    complete+fresh, complete+stale, incomplete, and absent rows."""
+    rng = random.Random(7)
+    cols = {k: [] for k in (
+        "CompositeKey ZipCode State StateCode County City Latitude Longitude "
+        "Elevation Timezone CreationDateUtc LastModifiedDateUtc ImportId".split()
+    )}
+    for i, (fips, state, abbr, zipcode, county, city) in enumerate(zip_rows):
+        bucket = i % 4
+        if bucket == 3:
+            continue  # absent from target -> must be (re)processed
+        lat, lng, elev, tz = deterministic_enrichment(zipcode)
+        if bucket == 1:  # incomplete enrichment (elevation failed)
+            elev = None
+        if bucket == 2:  # stale (older than TTL)
+            modified = REFERENCE_NOW - timedelta(days=TTL_DAYS + 10 + (i % 20))
+        else:
+            modified = REFERENCE_NOW - timedelta(days=1 + (i % 20))
+        created = modified - timedelta(days=100)
+        cols["CompositeKey"].append(f"{zipcode}_{abbr}")
+        cols["ZipCode"].append(zipcode)
+        cols["State"].append(state)
+        cols["StateCode"].append(abbr)
+        cols["County"].append(county)
+        cols["City"].append(city)
+        cols["Latitude"].append(lat)
+        cols["Longitude"].append(lng)
+        cols["Elevation"].append(elev)
+        cols["Timezone"].append(tz)
+        cols["CreationDateUtc"].append(created)
+        cols["LastModifiedDateUtc"].append(modified)
+        cols["ImportId"].append(1 + (i % 3))
+    schema = pa.schema(
+        [
+            ("CompositeKey", pa.string()),
+            ("ZipCode", pa.string()),
+            ("State", pa.string()),
+            ("StateCode", pa.string()),
+            ("County", pa.string()),
+            ("City", pa.string()),
+            ("Latitude", pa.float64()),
+            ("Longitude", pa.float64()),
+            ("Elevation", pa.float64()),
+            ("Timezone", pa.string()),
+            ("CreationDateUtc", pa.timestamp("us")),
+            ("LastModifiedDateUtc", pa.timestamp("us")),
+            ("ImportId", pa.int32()),
+        ]
+    )
+    return pa.table(cols, schema=schema)
+
+
+# Checksums used by gate fixtures and tests (not real file hashes —
+# distinct sentinel values the control table stores).
+CS_ACTIVE = "aa" * 32      # import currently running (IsActive)
+CS_FRESH = "bb" * 32       # completed < TTL days ago
+CS_STALE = "cc" * 32       # completed > TTL days ago
+CS_ERRORED = "dd" * 32     # errored run (EndDateTimeUtc set, not active)
+CS_UNKNOWN = "ee" * 32     # never seen
+
+
+def gen_imports():
+    rows = [
+        # Id, FileName, FileChecksum, IsActive, Status, start, end
+        (1, "geo_data.csv", CS_STALE, False, "Complete",
+         REFERENCE_NOW - timedelta(days=45), REFERENCE_NOW - timedelta(days=45, hours=-1)),
+        (2, "geo_data.csv", CS_FRESH, False, "Complete",
+         REFERENCE_NOW - timedelta(days=3), REFERENCE_NOW - timedelta(days=3, hours=-1)),
+        (3, "geo_data.csv", CS_ACTIVE, True, "Running",
+         REFERENCE_NOW - timedelta(hours=2), None),
+        (4, "geo_data.csv", CS_ERRORED, False, "Error",
+         REFERENCE_NOW - timedelta(days=2), REFERENCE_NOW - timedelta(days=2, hours=-1)),
+    ]
+    schema = pa.schema(
+        [
+            ("Id", pa.int32()),
+            ("FileName", pa.string()),
+            ("FileChecksum", pa.string()),
+            ("IsActive", pa.bool_()),
+            ("Status", pa.string()),
+            ("ImportStartTimeUtc", pa.timestamp("us")),
+            ("EndDateTimeUtc", pa.timestamp("us")),
+        ]
+    )
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def main() -> None:
+    os.makedirs(FIXTURES, exist_ok=True)
+    rows = gen_zip_rows()
+    write_zip_csv(rows, os.path.join(FIXTURES, "zip_codes.csv"))
+    write_zip_csv(rows, os.path.join(FIXTURES, "zip_codes_with_dups.csv"), extra_exact_dups=8)
+    pq.write_table(gen_details(rows), os.path.join(FIXTURES, "zip_code_details.parquet"))
+    pq.write_table(gen_imports(), os.path.join(FIXTURES, "etl_bus_imports.parquet"))
+    print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
+
+
+if __name__ == "__main__":
+    main()
