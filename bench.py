@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution,
+no driver-side collect cost, no output materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from net7_etl_bus_spark.plans import registry  # noqa: E402
+from net7_etl_bus_spark.session import get_spark  # noqa: E402
+
+# Headline set: scan-agg, shuffle joins, windows, as-of, dedup cascade,
+# similarity, text — the ops whose physical plans carry the 100 TB story.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "agg_hash",
+    "agg_cube",
+    "win_running_agg",
+    "topk_per_group",
+    "join_asof",
+    "win_session",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "sim_search_topk",
+    "text_stats",
+    "text_token_count",
+]
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("net7-etl-bus-bench")
+    qs = registry.queries()
+
+    # Warm up the JVM/codegen path once (not timed).
+    qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
