@@ -1,0 +1,187 @@
+"""Multimodal (image/audio/video) column plumbing (BASELINE.json north
+star: "multimodal columns").
+
+Media travels as opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` stages. The decode kernels themselves
+need codec libraries (PIL/ffmpeg/torchaudio) that are NOT in this
+container — they are STUBBED behind ``require_real_codecs()`` with a
+deterministic fake keyed on the content hash, so the Spark-side
+plumbing (schema, batch shape, partitioning, UDF signatures, null
+passthrough) is real and fully tested while the kernel swap is a
+one-function change in production.
+
+Scale notes baked into the design:
+* binary payloads stay in executor memory only per-batch (Arrow
+  record batches); never collected, never shuffled unless the caller
+  repartitions — feature extraction is a narrow map.
+* metadata is a separate small struct column so metadata-only queries
+  prune the (huge) binary column at the parquet scan.
+* ``spark.sql.files.maxPartitionBytes`` + per-file row-group layout
+  govern batch memory; features (small arrays) are what downstream
+  joins/aggregations touch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("media_type", StringType()),
+        StructField("content_sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+class CodecsUnavailableError(NotImplementedError):
+    """Raised when a real decode is requested in an environment
+    without codec libraries."""
+
+
+def require_real_codecs() -> None:
+    """Gate for the real decode path. Production installs PIL/ffmpeg
+    and flips REAL_CODECS; this container never does."""
+    raise CodecsUnavailableError(
+        "image/audio codecs are not installed in this environment; "
+        "use deterministic_fake=True (the default) for the plumbing path"
+    )
+
+
+def _fake_feature(content: bytes) -> list[float]:
+    """Deterministic stand-in for an embedding: 8 doubles derived from
+    the content digest. Stable across runs/machines, so tests can pin
+    golden values."""
+    digest = hashlib.sha256(content or b"").digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
+    ]
+
+
+def synthesize_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from the documents fixture: the text bytes
+    stand in for encoded image payloads. Exercises the exact
+    binary-column read/write path real media uses."""
+    from ..data import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame, deterministic_fake: bool = True, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract as a narrow mapInPandas stage.
+
+    Real path: decode content (PIL/ffmpeg), run the feature model per
+    Arrow batch. Fake path (this container): digest-derived features —
+    identical plumbing, deterministic outputs. Null/empty content
+    passes through with a null feature (per-row tolerance, same policy
+    as the enrichment stage).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            require_real_codecs()
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content_sha256": [
+                        hashlib.sha256(c or b"").hexdigest() if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "feature": [
+                        _fake_feature(c) if c is not None else None for c in pdf["content"]
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_no, frame_sha256). The real kernel seeks the
+    container stream; the fake derives per-frame digests from
+    (content, frame_no) — same fan-out shape, same schema."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("frame_sha256", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            require_real_codecs()
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "video" or r["content"] is None:
+                    continue
+                n_frames = max(1, int(r["meta"]["duration_ms"] or 0) // every_ms)
+                for k in range(min(n_frames, 16)):
+                    h = hashlib.sha256(bytes(r["content"]) + k.to_bytes(4, "big")).hexdigest()
+                    rows.append((int(r["media_id"]), k, h))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_sha256"])
+
+    return media.mapInPandas(run, schema)

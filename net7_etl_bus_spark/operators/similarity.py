@@ -121,7 +121,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed) for sign-LSH."""
     rng = random.Random(20240813)
     planes = []
@@ -132,23 +132,32 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
+N_TABLES = 4
+BITS_PER_TABLE = 4
+
+
 @register("sim_search_lsh")  # no oracle: bucketing logic is the point, checked by pytest recall test
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH ANN: 8-bit hyperplane signature ->
-    bucket; candidates = corpus rows sharing the query's bucket; exact
-    cosine + top-k within bucket only.
+    """Sign-random-projection LSH ANN with multiple hash tables:
+    4 tables x 4-bit signatures; candidates = corpus rows sharing the
+    query's bucket in ANY table (the OR-of-ANDs construction — same
+    s-curve trick as MinHash banding); exact cosine + top-k on the
+    candidate union only.
 
-    Scale shape: the corpus is signed once (narrow map), bucketed by an
-    8-bit key, and the search join is an equi-join on the bucket key —
-    no all-pairs work. Recall (vs sim_search_topk) is measured in
-    tests/test_similarity.py; more tables (signature rotations) buy
-    recall at linear cost, same as MinHash banding.
+    One 8+-bit table has near-zero recall when true neighbors sit at
+    cosine ~0.4 (P[all bits agree] = (1-θ/π)^bits ≈ 2%); shorter
+    signatures OR'd across tables trade precision (bigger buckets) for
+    recall at linear cost. Scale shape: signing is a narrow map over
+    the corpus; each table's search is an equi-join on (table, bucket);
+    corpus rows explode xN_TABLES only in the join keys, not payloads.
+    Recall vs sim_search_topk is pinned by tests/test_similarity.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
     planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
 
-    def signature(emb):
+    def signatures(emb):
+        """Array of N_TABLES bucket ids for one embedding."""
         dots = F.transform(
             planes_lit,
             lambda p: F.aggregate(
@@ -157,28 +166,45 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, v: acc + v,
             ),
         )
-        return F.aggregate(
-            dots,
-            F.lit(0),
-            lambda acc, d: acc * 2 + F.when(d >= 0, 1).otherwise(0),
+        bits = F.transform(dots, lambda d: F.when(d >= 0, 1).otherwise(0))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+            lambda t: F.aggregate(
+                F.slice(bits, t * BITS_PER_TABLE + 1, BITS_PER_TABLE),
+                F.lit(0),
+                lambda acc, b: acc * 2 + b,
+            ),
         )
 
-    signed = e.withColumn("bucket", signature(F.col("embedding")))
-    q = signed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    signed = e.withColumn("sigs", signatures(F.col("embedding")))
+    buckets = signed.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode("sigs").alias("table_id", "bucket"),
     )
-    c = signed.select(
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "table_id",
+        "bucket",
+    )
+    c = buckets.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        "table_id",
         "bucket",
     )
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
+    candidates = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("q_emb"), F.col("c_emb")))
-        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+        .select("query_id", "neighbor_id", "neighbor_label", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
     )
+    scored = candidates.withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("c_emb"))
+    ).select("query_id", "neighbor_id", "neighbor_label", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rk") <= TOP_K

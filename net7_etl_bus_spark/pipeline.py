@@ -1,0 +1,212 @@
+"""The reference's five-step ETL run, Spark-first (SURVEY.md §3.2).
+
+One call = one run of the reference's message-triggered pipeline:
+
+1. run gate     — SHA-256 checksum vs control table (+TTL, +forceRun)
+2. scan + key   — typed CSV scan, rename/drop projection, composite key,
+                  duplicate handling (fail-fast like the reference, or
+                  scalable keep-first)
+3. incremental  — anti-join against valid+fresh processed keys
+4. transform    — bounded-parallel enrichment (3 dependent calls/row,
+                  per-row error tolerance)
+5. load+finalize— keyed MERGE upsert + control row Complete/Error
+
+The whole batch body (steps 2-4 and the MERGE source) is ONE lazy
+logical plan — Catalyst sees scan->project->dedup->anti-join->enrich
+and optimizes it end-to-end; only the gate decision and control-table
+bookkeeping are driver-side actions. The streaming entry point
+(streaming/trigger.py) calls exactly this function from foreachBatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import composite_key
+from .operators.enrich import DeterministicMockClient, enrich_dataframe
+from .plans.reference_ops import read_zip_csv
+from .sources import sinks
+from .sources.batch import file_checksum
+
+DEFAULT_TTL_DAYS = 30  # reference Constants.cs:20 / appSettings.json:10
+
+
+@dataclass
+class RunResult:
+    """Mirror of the reference's EtlRunConditions + outcome counters."""
+
+    should_run: bool
+    reason: str
+    run_id: int | None = None
+    rows_incoming: int = 0
+    rows_to_process: int = 0
+    rows_upserted: int = 0
+
+
+def evaluate_run_gate(
+    spark: SparkSession,
+    control_path: str,
+    checksum: str,
+    force_run: bool,
+    now: datetime,
+    ttl_days: int = DEFAULT_TTL_DAYS,
+) -> bool:
+    """F1 (reference DataflowProcessor.cs:86-99): skip when a control
+    row with the same checksum is active, or started within TTL and
+    finished. The control table is tiny — this collects one boolean."""
+    if force_run:
+        return True
+    cutoff = now - timedelta(days=ttl_days)
+    control = sinks.read_control(spark, control_path)
+    blocking = control.filter(
+        (F.col("FileChecksum") == checksum)
+        & (
+            F.col("IsActive")
+            | ((F.col("ImportStartTimeUtc") > F.lit(cutoff)) & F.col("EndDateTimeUtc").isNotNull())
+        )
+    )
+    return blocking.limit(1).count() == 0
+
+
+def valid_processed_keys(
+    spark: SparkSession, target_path: str, now: datetime, ttl_days: int = DEFAULT_TTL_DAYS
+) -> DataFrame:
+    """F2+F3 over the live target table: fully-enriched AND fresh."""
+    import os
+
+    if not os.path.exists(target_path):
+        return spark.createDataFrame([], "CompositeKey string")
+    cutoff = now - timedelta(days=ttl_days)
+    return (
+        spark.read.parquet(target_path)
+        .filter(
+            F.col("ZipCode").isNotNull()
+            & (F.col("ZipCode") != "")
+            & F.col("Latitude").isNotNull()
+            & F.col("Longitude").isNotNull()
+            & F.col("Elevation").isNotNull()
+            & F.col("Timezone").isNotNull()
+            & (F.col("LastModifiedDateUtc") >= F.lit(cutoff))
+        )
+        .select("CompositeKey")
+    )
+
+
+class DuplicateKeyError(ValueError):
+    """Raised in on_duplicate='error' mode — the reference's
+    fail-fast ToDictionary semantics (ServiceBusWorker.cs:115)."""
+
+
+def dedup_incoming(df: DataFrame, on_duplicate: str = "error") -> DataFrame:
+    """J3 with explicit duplicate policy (SURVEY.md §7.4.2).
+
+    'error'  -> reference-exact: any (ZipCode, StateCode) collision
+                aborts the run.
+    'first'  -> scalable: keep the deterministically-first row per key
+                (smallest (County, City)).
+    """
+    if on_duplicate == "error":
+        dup = (
+            df.groupBy("ZipCode", "StateCode")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise DuplicateKeyError(
+                f"duplicate composite key {r['ZipCode']}_{r['StateCode']} in input"
+            )
+        return df
+    if on_duplicate == "first":
+        w = Window.partitionBy("ZipCode", "StateCode").orderBy("County", "City")
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    raise ValueError(f"on_duplicate must be 'error' or 'first', got {on_duplicate!r}")
+
+
+def run_etl(
+    spark: SparkSession,
+    csv_path: str,
+    target_path: str,
+    control_path: str,
+    force_run: bool = False,
+    now: datetime | None = None,
+    client_factory=DeterministicMockClient,
+    on_duplicate: str = "error",
+    ttl_days: int = DEFAULT_TTL_DAYS,
+    max_concurrency: int = 5,
+) -> RunResult:
+    """One full reference run. Returns counters mirroring the
+    reference's logging (ServiceBusWorker.cs:117-128)."""
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+
+    # Step 1 — gate (driver-side; two tiny control-table actions).
+    checksum = file_checksum(csv_path)
+    if not evaluate_run_gate(spark, control_path, checksum, force_run, now, ttl_days):
+        return RunResult(False, "duplicate-run gate: checksum already active/fresh")
+    run_id = sinks.control_insert_running(
+        spark, control_path, csv_path.rsplit("/", 1)[-1], checksum, now
+    )
+
+    try:
+        # Step 2 — scan + projection + key + duplicate policy.
+        incoming = read_zip_csv(spark, csv_path).withColumn(
+            "CompositeKey", composite_key("ZipCode", "StateCode")
+        )
+        incoming = dedup_incoming(incoming, on_duplicate)
+        rows_incoming = incoming.count()
+        if rows_incoming == 0:
+            sinks.control_finalize(spark, control_path, run_id, True, now)
+            return RunResult(True, "empty input", run_id, 0, 0, 0)
+
+        # Step 3 — incremental anti-join (J2). Broadcast the (small)
+        # valid-key set; at 100 TB AQE flips this to a shuffle anti-join
+        # automatically when the snapshot outgrows the threshold.
+        processed = valid_processed_keys(spark, target_path, now, ttl_days)
+        todo = incoming.join(processed, "CompositeKey", "left_anti")
+
+        # Step 4 — enrichment (T1-T4) + audit columns (P4).
+        enriched = enrich_dataframe(
+            todo, client_factory, max_concurrency=max_concurrency
+        )
+        ts = F.lit(now)
+        updates = enriched.select(
+            "CompositeKey",
+            "ZipCode",
+            "State",
+            "StateCode",
+            "County",
+            "City",
+            "Latitude",
+            "Longitude",
+            "Elevation",
+            "Timezone",
+            ts.alias("CreationDateUtc"),
+            ts.alias("LastModifiedDateUtc"),
+            F.lit(run_id).cast("int").alias("ImportId"),
+        )
+        rows_to_process = updates.count()
+
+        # Step 5 — keyed MERGE upsert (S5); CreationDateUtc preserved
+        # for existing keys (SURVEY.md §7.4.3).
+        sinks.upsert_parquet(spark, updates, target_path)
+        sinks.control_finalize(spark, control_path, run_id, True, now)
+        return RunResult(
+            True, "complete", run_id, rows_incoming, rows_to_process, rows_to_process
+        )
+    except Exception:
+        # C2 run-level error channel: mark Error, rethrow. The queue
+        # layer still acknowledges the message (at-most-once, matching
+        # ServiceBusWorker.cs:150-155) — but because the upsert is a
+        # keyed MERGE, a manual or forced re-run converges (idempotent).
+        sinks.control_finalize(spark, control_path, run_id, False, now)
+        raise

@@ -1,0 +1,64 @@
+"""Batch sources: typed scans and file-identity checksums
+(reference S2, S3, S7).
+
+Every scan takes an explicit schema (SURVEY.md §1.3 — inference is a
+semantic regression for string-typed codes). ``json_scan`` and
+``csv_scan`` are thin, named wrappers so the registry and pipeline
+share one entry point per format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def csv_scan(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> DataFrame:
+    """S2: header CSV with typed binding (reference CsvDataHandler.cs:15-22)."""
+    return spark.read.option("header", header).schema(schema).csv(path)
+
+
+def json_scan(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema (the reference's
+    IFileDataHandler anticipates XML/JSON handlers,
+    Core/Interfaces/IFileDataHandler.cs:7-11)."""
+    return spark.read.schema(schema).json(path)
+
+
+def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def file_checksum(path: str) -> str:
+    """S3 driver-side: SHA-256 lower-hex of the file bytes — the
+    reference's file identity for the run gate
+    (Utilities/FileSystem.cs:17-24). Fine for a single trigger file;
+    for datasets use :func:`files_checksums`."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def files_checksums(spark: SparkSession, glob_path: str) -> DataFrame:
+    """S3 distributed: per-file SHA-256 over a binaryFile scan —
+    (path, length, checksum). At 100 TB the bytes hash where they
+    live; only (path, hash) rows come back."""
+    return (
+        spark.read.format("binaryFile")
+        .load(glob_path)
+        .select(
+            "path",
+            "length",
+            F.sha2(F.col("content"), 256).alias("checksum"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Keyed upsert sink and control-table lifecycle (reference S4, S5, C1).
+
+The reference bulk-upserts batches into Postgres by primary key
+(DataflowProcessor.cs:172-181, BulkInsertOrUpdateAsync on CompositeKey)
+and brackets each run with control-table rows (insert Running at
+start DataflowProcessor.cs:76-83; finalize Complete/Error + end
+timestamp DataflowProcessor.cs:292-308).
+
+Spark-first redesign: the sink is a keyed MERGE. On a lakehouse
+deployment this is exactly ``MERGE INTO target USING updates ON
+target.key = updates.key WHEN MATCHED UPDATE ... WHEN NOT MATCHED
+INSERT ...`` (Delta/Iceberg — transactional, partition-pruned, scales
+to 100 TB because only touched files rewrite). This container has no
+lakehouse format, so ``upsert_parquet`` implements the identical MERGE
+semantics as read -> anti-join -> union -> atomic directory swap; the
+semantics (including CreationDateUtc preservation, SURVEY.md §7.4.3)
+are what the golden tests pin down, and the Delta MERGE text is
+recorded here for the production path.
+
+Keyed MERGE is naturally idempotent: replaying the same batch
+(same keys, same values) converges to the same table state — that is
+the engine's exactly-once story per SURVEY.md §7.4.1 (the reference
+is at-most-once: it completes the queue message even on failure).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ETL_IMPORT_SCHEMA, STATUS_COMPLETE, STATUS_ERROR, STATUS_RUNNING
+
+# The production MERGE this sink emulates (Delta/Iceberg deployment):
+DELTA_MERGE_SQL = """
+MERGE INTO zip_code_details t
+USING updates u
+  ON t.CompositeKey = u.CompositeKey
+WHEN MATCHED THEN UPDATE SET
+  t.ZipCode = u.ZipCode, t.State = u.State, t.StateCode = u.StateCode,
+  t.County = u.County, t.City = u.City,
+  t.Latitude = u.Latitude, t.Longitude = u.Longitude,
+  t.Elevation = u.Elevation, t.Timezone = u.Timezone,
+  t.LastModifiedDateUtc = u.LastModifiedDateUtc,
+  t.ImportId = u.ImportId
+  -- CreationDateUtc intentionally NOT updated (set on insert only)
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write df to a temp dir, then swap into place. Parquet-dir
+    emulation of a transactional commit (a lakehouse table gets this
+    from its log; see DELTA_MERGE_SQL)."""
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"nesb_upsert_{uuid.uuid4().hex}"
+    )
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + f".old-{uuid.uuid4().hex}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str = "CompositeKey",
+    preserve_on_update: tuple[str, ...] = ("CreationDateUtc",),
+) -> None:
+    """MERGE semantics onto a parquet target.
+
+    ``preserve_on_update`` columns keep the *existing* row's value for
+    matched keys (the reference overwrites CreationDateUtc on every
+    update and flags it TODO, DataflowProcessor.cs:221; we implement
+    the stated intent — set on insert only).
+    """
+    updates = updates.dropDuplicates([key])  # one row per key per batch
+    if not os.path.exists(path):
+        _atomic_overwrite(spark, updates, path)
+        return
+    target = spark.read.parquet(path)
+    # Preserve selected columns from existing rows.
+    existing = target.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__old_{c}") for c in preserve_on_update]
+    )
+    merged_updates = updates.join(existing, updates[key] == F.col("__k"), "left")
+    for c in preserve_on_update:
+        merged_updates = merged_updates.withColumn(
+            c, F.coalesce(F.col(f"__old_{c}"), F.col(c))
+        )
+    merged_updates = merged_updates.select(*updates.columns)
+    untouched = target.join(updates.select(key), on=key, how="left_anti")
+    _atomic_overwrite(spark, untouched.unionByName(merged_updates), path)
+
+
+# --- control table ------------------------------------------------------
+
+
+def _utcnow_naive() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def read_control(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ETL_IMPORT_SCHEMA)
+
+
+def control_insert_running(
+    spark: SparkSession,
+    path: str,
+    file_name: str,
+    checksum: str,
+    now: datetime | None = None,
+) -> int:
+    """S4: append a Running control row; returns its Id (max+1 over a
+    tiny driver-side table — the reference uses a DB identity)."""
+    control = read_control(spark, path)
+    row = control.agg(F.max("Id")).collect()[0][0]
+    next_id = int(row or 0) + 1
+    new = spark.createDataFrame(
+        [
+            (
+                next_id,
+                file_name,
+                checksum,
+                True,
+                STATUS_RUNNING,
+                now or _utcnow_naive(),
+                None,
+            )
+        ],
+        ETL_IMPORT_SCHEMA,
+    )
+    _atomic_overwrite(spark, control.unionByName(new), path)
+    return next_id
+
+
+def control_finalize(
+    spark: SparkSession,
+    path: str,
+    run_id: int,
+    success: bool,
+    now: datetime | None = None,
+) -> None:
+    """C1: set Status Complete/Error, clear IsActive, stamp end time
+    (reference DataflowProcessor.cs:292-308)."""
+    control = read_control(spark, path)
+    status = STATUS_COMPLETE if success else STATUS_ERROR
+    end = now or _utcnow_naive()
+    updated = (
+        control.withColumn(
+            "Status",
+            F.when(F.col("Id") == run_id, F.lit(status)).otherwise(F.col("Status")),
+        )
+        .withColumn(
+            "IsActive",
+            F.when(F.col("Id") == run_id, F.lit(False)).otherwise(F.col("IsActive")),
+        )
+        .withColumn(
+            "EndDateTimeUtc",
+            F.when(F.col("Id") == run_id, F.lit(end)).otherwise(F.col("EndDateTimeUtc")),
+        )
+    )
+    _atomic_overwrite(spark, updated, path)

@@ -1,0 +1,160 @@
+"""Golden ETL pipeline tests (SURVEY.md §5.2): the five-step run,
+idempotent re-runs, the gate, duplicate policy, error channel, and
+CreationDateUtc preservation — including the test the reference
+commented out (exclusion on re-run, DataflowProcessorTests.cs:225-239).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.data import FIXTURES_DIR, ZIP_CSV_PATH
+from net7_etl_bus_spark.operators.enrich import DeterministicMockClient
+from net7_etl_bus_spark.pipeline import DuplicateKeyError, run_etl
+from net7_etl_bus_spark.sources.batch import file_checksum
+
+NOW = datetime(2024, 2, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "target": str(tmp_path / "zip_code_details.parquet"),
+        "control": str(tmp_path / "etl_bus_imports.parquet"),
+    }
+
+
+def test_full_run_golden_values(spark, paths):
+    res = run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    assert res.should_run and res.reason == "complete"
+    assert res.rows_incoming == 254
+    assert res.rows_to_process == 254  # empty target: everything processes
+
+    target = spark.read.parquet(paths["target"])
+    assert target.count() == 254
+    # Golden enrichment row — the reference's own mock constants
+    # (DataflowProcessorTests.cs:57-95).
+    golden = target.filter(F.col("CompositeKey") == "35004_AL").collect()[0]
+    assert golden["Latitude"] == 31.2562
+    assert golden["Longitude"] == -85.6229
+    assert golden["Elevation"] == 101.1
+    assert golden["Timezone"] == "Central Daylight Time"
+    assert golden["State"] == "Alabama"
+    # Leading-zero zip survived the string schema.
+    assert target.filter(F.col("ZipCode") == "00501").count() == 1
+
+    control = spark.read.parquet(paths["control"])
+    row = control.collect()[0]
+    assert row["Status"] == "Complete"
+    assert not row["IsActive"]
+    assert row["EndDateTimeUtc"] is not None
+    assert row["FileChecksum"] == file_checksum(ZIP_CSV_PATH)
+
+
+def test_rerun_same_file_gated(spark, paths):
+    run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    res2 = run_etl(
+        spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW + timedelta(hours=1)
+    )
+    assert not res2.should_run  # same checksum, completed within TTL
+
+
+def test_force_run_bypasses_gate_and_antijoin_skips_rows(spark, paths):
+    run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    res2 = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        force_run=True,
+        now=NOW + timedelta(hours=1),
+    )
+    # The reference's commented-out exclusion test, made to pass: all
+    # rows are fresh+complete, so the anti-join excludes everything.
+    assert res2.should_run
+    assert res2.rows_incoming == 254
+    assert res2.rows_to_process == 0
+
+
+def test_stale_rows_reprocessed_and_creation_preserved(spark, paths):
+    run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    later = NOW + timedelta(days=40)  # beyond the 30-day TTL
+    res2 = run_etl(
+        spark, ZIP_CSV_PATH, paths["target"], paths["control"], force_run=True, now=later
+    )
+    assert res2.rows_to_process == 254  # everything stale -> reprocess
+    target = spark.read.parquet(paths["target"])
+    row = target.filter(F.col("CompositeKey") == "35004_AL").collect()[0]
+    # LastModified advanced; CreationDateUtc preserved from the first
+    # run (the reference's stated-intent TODO, SURVEY.md §7.4.3).
+    assert row["LastModifiedDateUtc"] == later
+    assert row["CreationDateUtc"] == NOW
+    assert row["ImportId"] == 2
+
+
+def test_partial_enrichment_failures_rerun_until_complete(spark, paths):
+    # Elevation fails for one zip -> row lands incomplete (null
+    # elevation), others complete. The next run re-processes ONLY the
+    # incomplete row (completeness filter), and a healthy client heals it.
+    failing = lambda: DeterministicMockClient(fail_elevation={"35004"})  # noqa: E731
+    run_etl(
+        spark, ZIP_CSV_PATH, paths["target"], paths["control"], client_factory=failing, now=NOW
+    )
+    target = spark.read.parquet(paths["target"])
+    bad = target.filter(F.col("CompositeKey") == "35004_AL").collect()[0]
+    assert bad["Elevation"] is None
+    assert bad["Latitude"] == 31.2562  # independence: geocode still set
+    assert bad["Timezone"] == "Central Daylight Time"
+
+    res2 = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        force_run=True,
+        now=NOW + timedelta(hours=2),
+    )
+    assert res2.rows_to_process == 1  # only the incomplete row
+    healed = (
+        spark.read.parquet(paths["target"])
+        .filter(F.col("CompositeKey") == "35004_AL")
+        .collect()[0]
+    )
+    assert healed["Elevation"] == 101.1
+
+
+def test_geocode_failure_nulls_all_enrichment(spark, paths):
+    failing = lambda: DeterministicMockClient(fail_geocode={"35004"})  # noqa: E731
+    run_etl(
+        spark, ZIP_CSV_PATH, paths["target"], paths["control"], client_factory=failing, now=NOW
+    )
+    row = (
+        spark.read.parquet(paths["target"])
+        .filter(F.col("CompositeKey") == "35004_AL")
+        .collect()[0]
+    )
+    assert row["Latitude"] is None and row["Longitude"] is None
+    assert row["Elevation"] is None and row["Timezone"] is None
+
+
+def test_duplicate_key_error_mode(spark, paths):
+    dup_csv = f"{FIXTURES_DIR}/zip_codes_with_dups.csv"
+    with pytest.raises(DuplicateKeyError):
+        run_etl(spark, dup_csv, paths["target"], paths["control"], now=NOW)
+    # C2: the run was marked Error in the control table.
+    control = spark.read.parquet(paths["control"])
+    assert control.filter(F.col("Status") == "Error").count() == 1
+
+
+def test_duplicate_key_first_mode(spark, paths):
+    dup_csv = f"{FIXTURES_DIR}/zip_codes_with_dups.csv"
+    res = run_etl(
+        spark, dup_csv, paths["target"], paths["control"], on_duplicate="first", now=NOW
+    )
+    assert res.should_run
+    target = spark.read.parquet(paths["target"])
+    assert target.count() == 254  # dups collapsed to one row per key
+    assert target.groupBy("CompositeKey").count().filter("count > 1").count() == 0

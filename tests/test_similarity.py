@@ -1,0 +1,83 @@
+"""Similarity/dedup quality tests: LSH recall vs exact baselines,
+approx-distinct error bounds, MinHash banding behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.plans import registry
+
+from .conftest import SF_SMALL
+
+QUERIES = registry.queries()
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Sign-LSH ANN must recover a reasonable share of the true
+    top-10 neighbors for bucket-colliding queries, and every returned
+    neighbor must be a true corpus row with correct cosine (checked by
+    construction). One 8-bit table: recall is modest by design; this
+    pins it doesn't silently collapse."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_search_topk"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_search_lsh"](spark, SF_SMALL).collect()
+    }
+    assert approx, "LSH returned nothing"
+    # Every LSH hit for a query set of 5 must be from the corpus and
+    # self-matches are excluded by construction.
+    assert all(q < 5 and q != n for q, n in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"recall collapsed: {recall}"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    rows = QUERIES["agg_count_distinct_approx"](spark, SF_SMALL).collect()
+    from net7_etl_bus_spark.data import load_table
+
+    l = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]]
+        assert rel_err < 0.1, (r["l_returnflag"], rel_err)
+
+
+def test_minhash_lsh_catches_exact_duplicates(spark):
+    """Any two docs with identical normalized text share all 16
+    minhashes, hence all bands -> must appear as a candidate pair."""
+    from net7_etl_bus_spark.data import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    groups = (
+        d.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    want = set()
+    for g in groups:
+        ids = sorted(g["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()
+    }
+    assert want <= got, f"missing exact-dup pairs: {want - got}"
+
+
+def test_minhash_verified_jaccard_high_for_exact_dups(spark):
+    rows = QUERIES["dedup_minhash_verified"](spark, SF_SMALL).collect()
+    assert rows
+    # verified jaccard is within [0, 1]
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)

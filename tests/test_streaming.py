@@ -1,0 +1,189 @@
+"""Streaming layer tests: the queue-trigger end-to-end run, streamed
+windowed aggregations vs their batch equivalents, watermark late-data
+drops, and streaming dedup.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.data import ZIP_CSV_PATH, load_table
+from net7_etl_bus_spark.schemas import EVENTS_SCHEMA
+from net7_etl_bus_spark.streaming import windows as sw
+from net7_etl_bus_spark.streaming.batch_equiv import win_session, win_tumbling
+from net7_etl_bus_spark.streaming.trigger import (
+    process_triggers_available_now,
+    send_trigger,
+)
+
+from .conftest import SF_SMALL
+
+NOW = datetime(2024, 2, 1, 0, 0, 0)
+
+
+def test_queue_trigger_end_to_end(spark, tmp_path):
+    """S1: two trigger messages -> first runs, second gated (same
+    checksum); a later force_run message runs again."""
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target.parquet")
+    control = str(tmp_path / "control.parquet")
+
+    send_trigger(queue, force_run=False)
+    send_trigger(queue, force_run=False)
+    results = process_triggers_available_now(
+        spark, queue, ckpt, ZIP_CSV_PATH, target, control, now=NOW
+    )
+    assert len(results) == 2
+    assert results[0].should_run and results[0].rows_upserted == 254
+    assert not results[1].should_run  # checksum gate
+    assert spark.read.parquet(target).count() == 254
+
+    send_trigger(queue, force_run=True)
+    results2 = process_triggers_available_now(
+        spark, queue, ckpt, ZIP_CSV_PATH, target, control, now=NOW
+    )
+    # checkpoint: already-processed trigger files are NOT replayed
+    assert len(results2) == 1
+    assert results2[0].should_run
+    assert results2[0].rows_to_process == 0  # everything fresh -> anti-joined away
+
+
+def _write_events_json(spark, sf_dir, out_dir):
+    """Replay the events table as a JSON-lines directory (file stream
+    source; timestamps serialized ISO so the stream re-parses them)."""
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+
+
+def _run_stream_to_memory(spark, stream_df, name, ckpt, output_mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_json"))
+    _write_events_json(spark, SF_SMALL, d)
+    return d
+
+
+def _read_events_stream(spark, events_dir):
+    return spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
+
+
+def test_stream_tumbling_equals_batch(spark, events_stream_dir, tmp_path):
+    streamed = _run_stream_to_memory(
+        spark,
+        sw.stream_tumbling_counts(_read_events_stream(spark, events_stream_dir)),
+        "t_tumbling",
+        str(tmp_path / "ckpt1"),
+    )
+    batch = win_tumbling(spark, SF_SMALL)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_session_equals_batch(spark, events_stream_dir, tmp_path):
+    streamed = _run_stream_to_memory(
+        spark,
+        sw.stream_session_windows(_read_events_stream(spark, events_stream_dir)),
+        "t_session",
+        str(tmp_path / "ckpt2"),
+    )
+    batch = win_session(spark, SF_SMALL)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_dedup_bounded_state(spark, events_stream_dir, tmp_path):
+    deduped = _run_stream_to_memory(
+        spark,
+        sw.stream_dedup(_read_events_stream(spark, events_stream_dir)),
+        "t_dedup",
+        str(tmp_path / "ckpt3"),
+        output_mode="append",
+    )
+    # Within-watermark dedup can only keep >= the distinct key count
+    # (state expiry may re-admit keys across far-apart batches) and
+    # <= total events; with AvailableNow over one directory it lands
+    # exactly on the distinct count per watermark window. Sanity-bound:
+    distinct_keys = (
+        load_table(spark, SF_SMALL, "events").select("user_id", "event_type").distinct().count()
+    )
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert distinct_keys <= deduped.count() <= total
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 2 carries an event far older than the
+    advanced watermark -> it must be dropped from the aggregation."""
+    import json
+    import os
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+
+    def write_batch(fname, rows):
+        with open(os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:05:00.000000+00:00", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T06:00:00.000000+00:00", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).json(d)
+    agg = sw.stream_tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # Late arrival: hours behind the 06:00 watermark-advancing event.
+    write_batch(
+        "b2.json",
+        [
+            {"event_id": 3, "ts": "2024-01-01T00:10:00.000000+00:00", "user_id": 2,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+    )
+    run_once()
+    emitted = spark.read.parquet(out)
+    first_window = emitted.filter(F.col("window_start") == "2024-01-01 00:00:00").agg(
+        F.sum("n_events")
+    ).collect()[0][0]
+    # The late event (event_id 3) was dropped: the 00:00 window still
+    # counts only the on-time event.
+    assert first_window == 1
