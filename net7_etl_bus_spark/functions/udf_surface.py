@@ -1,0 +1,162 @@
+"""UDF surface (SURVEY.md §2.3): scalar Python UDF, Arrow-vectorized
+pandas UDF, applyInPandas UDAF, and a lateral-join UDTF.
+
+These ops exist to prove the extension surface, with the performance
+contract stated per op: row-at-a-time Python UDFs are the SLOW path
+(pickle per row, no codegen) and are never used in engine hot paths —
+every builtin-expressible op in this repo uses pyspark.sql.functions.
+When Python is genuinely needed (custom models, merge_asof, codecs),
+the Arrow-batched forms here (pandas_udf / applyInPandas / mapInPandas)
+are the pattern: columnar transfer, ~10-100x over row-at-a-time.
+
+Each op still carries a DuckDB oracle: the Python result must equal
+the relational result bit-for-bit, which also pins the UDF's semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import ZIP_CSV_PATH, load_table
+from ..plans.registry import register
+
+_SQL_CSV = f"read_csv('{ZIP_CSV_PATH}', header=true, all_varchar=true)"
+
+
+@register(
+    "udf_scalar",
+    oracle=f"""
+    SELECT zipcode || '_' || state_abbr AS CompositeKey,
+           city,
+           CAST(length(lower(city)) - length(regexp_replace(lower(city), '[aeiou]', '', 'g')) AS INT)
+             AS n_vowels
+    FROM {_SQL_CSV}
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the composite key (ZipCodeHelpers.cs:11-14)
+    computed in Python instead of concat_ws. Deliberately the slow path:
+    fine on a 254-row dimension, wrong on a 100 TB fact table (each row
+    round-trips driver-pickled Python). The oracle pins identical
+    semantics to the builtin version in derive_composite_key."""
+
+    @F.udf("string")
+    def py_key(zipcode: str, state: str) -> str:
+        return f"{zipcode}_{state}"
+
+    @F.udf("int")
+    def py_vowels(city: str) -> int:
+        return sum(1 for ch in city.lower() if ch in "aeiou")
+
+    from ..plans.reference_ops import read_zip_csv
+
+    z = read_zip_csv(spark)
+    return z.select(
+        py_key("ZipCode", "StateCode").alias("CompositeKey"),
+        F.col("City").alias("city"),
+        py_vowels("City").alias("n_vowels"),
+    )
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: the TPC-H charge expression
+    evaluated as one numpy expression per Arrow batch. Same IEEE
+    multiply sequence as the SQL (left-assoc, one rounding per op), so
+    the hash matches bit-for-bit — which is the point: vectorized
+    Python is a *correct* stand-in for codegen'd expressions where a
+    model call would slot in."""
+
+    @F.pandas_udf("double")
+    def charge(e: pd.Series, d: pd.Series, t: pd.Series) -> pd.Series:
+        return e * (1 - d) * (1 + t)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "udaf_applyInPandas",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+             AS total_spend,
+           MAX(o_totalprice) AS max_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group aggregation via applyInPandas (the UDAF
+    surface): one shuffle on the group key, then an arbitrary pandas
+    program per group. Cent-exact accumulation (floor-scaled int64)
+    keeps the float sum order-independent so it hash-matches the
+    oracle — same discipline as registry.dsum."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        prices = pdf["o_totalprice"].to_numpy()
+        cents = np.floor(prices * 100.0).astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total_spend": [cents / 100.0],
+                "max_order": [prices.max()],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        stats, "o_custkey bigint, n_orders bigint, total_spend double, max_order double"
+    )
+
+
+@register(
+    "udtf_surface",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: one input document row expands to
+    N token rows. The UDTF is the engine's user-facing flat-map
+    surface (tokenizers, parsers, frame samplers); the lateral-join
+    form keeps it streaming — no collect, no explode of a
+    driver-built array. split(' ') (not split()) so the oracle's
+    string_split has identical empty-token semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class TokenExplode:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for tok in text.split(" "):
+                yield (doc_id, tok)
+
+    spark.udtf.register("token_explode", TokenExplode)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM udtf_docs_in, LATERAL token_explode(doc_id, text) t"
+    )

@@ -161,7 +161,8 @@ def sample_frames(
     """Video frame sampling: one output row per sampled frame
     (media_id, frame_no, frame_sha256). The real kernel seeks the
     container stream; the fake derives per-frame digests from
-    (content, frame_no) — same fan-out shape, same schema."""
+    sha256(content + b"-" + frame_no) — same fan-out shape, same
+    schema, and SQL-expressible so the oracle can check the plumbing."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -180,8 +181,67 @@ def sample_frames(
                     continue
                 n_frames = max(1, int(r["meta"]["duration_ms"] or 0) // every_ms)
                 for k in range(min(n_frames, 16)):
-                    h = hashlib.sha256(bytes(r["content"]) + k.to_bytes(4, "big")).hexdigest()
+                    h = hashlib.sha256(
+                        bytes(r["content"]) + b"-" + str(k).encode()
+                    ).hexdigest()
                     rows.append((int(r["media_id"]), k, h))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_sha256"])
 
     return media.mapInPandas(run, schema)
+
+
+# --- registry entries -------------------------------------------------
+# The synthesized media table derives from `documents` (text bytes as
+# payload), so everything except the fake feature vector is
+# SQL-expressible and the mapInPandas plumbing gets a full oracle
+# check, not just a rows-only one.
+
+from ..plans.registry import register  # noqa: E402
+
+_MEDIA_TYPE_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'image'
+     WHEN doc_id % 3 = 1 THEN 'audio'
+     ELSE 'video' END
+"""
+
+
+@register(
+    "mm_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           sha256(text) AS content_sha256,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode/feature plumbing, oracle-checked: the
+    mapInPandas stage's hash + byte-count outputs must match DuckDB
+    recomputing them from the source text. The feature vector column
+    is exercised by tests/test_multimodal.py (digest-derived, not SQL)."""
+    media = synthesize_media_from_documents(spark, sf_dir)
+    return extract_features(media).select(
+        "media_id", "media_type", "content_sha256", "n_bytes"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT media_id, CAST(k AS INT) AS frame_no,
+           sha256(text || '-' || k) AS frame_sha256
+    FROM (
+      SELECT doc_id AS media_id, text,
+             unnest(range(0, least(greatest(1, CAST(n_chars * 10 AS INT) // 1000), 16))) AS k
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (1 row -> up to 16 frames),
+    oracle-checked end to end: per-frame digests recomputed by DuckDB
+    from (text, frame_no) must match the mapInPandas kernel's output."""
+    media = synthesize_media_from_documents(spark, sf_dir)
+    return sample_frames(media, every_ms=1000)

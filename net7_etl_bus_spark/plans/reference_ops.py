@@ -13,8 +13,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from ..data import ETL_IMPORTS_PATH, FIXTURES_DIR, ZIP_CSV_PATH, ZIP_DETAILS_PATH
+from ..data import (
+    API_RESPONSES_PATH,
+    ETL_IMPORTS_PATH,
+    FIXTURES_DIR,
+    ZIP_CSV_PATH,
+    ZIP_DETAILS_PATH,
+)
 from ..functions.scalar import composite_key
 from ..schemas import ZIP_CSV_SCHEMA, ZIP_RECORD_COLUMNS
 from .registry import register
@@ -347,4 +360,123 @@ def exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imports.agg(
         (F.count(F.when(F.col("IsActive"), 1)) > 0).alias("any_active"),
         (F.count(F.when(F.col("Status") == "Error", 1)) > 0).alias("any_errored"),
+    )
+
+
+# --- JSON source + nested extraction + audit columns ------------------
+
+_SQL_API = f"read_json('{API_RESPONSES_PATH}', format='newline_delimited')"
+
+API_RESPONSE_SCHEMA = StructType(
+    [
+        StructField("composite_key", StringType()),
+        StructField("status", StringType()),
+        StructField("error_message", StringType()),
+        StructField(
+            "results",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "geometry",
+                            StructType(
+                                [
+                                    StructField(
+                                        "location",
+                                        StructType(
+                                            [
+                                                StructField("lat", DoubleType()),
+                                                StructField("lng", DoubleType()),
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            ),
+                        ),
+                        StructField("elevation", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "timezone",
+            StructType([StructField("timeZoneName", StringType())]),
+        ),
+    ]
+)
+
+
+@register(
+    "json_scan",
+    oracle=f"""
+    SELECT composite_key, status, error_message,
+           CAST(len(results) AS BIGINT) AS n_results
+    FROM {_SQL_API}
+    """,
+)
+def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema (inference on a 100 TB
+    JSON lake means a second full read — never at scale). The anticipated
+    JSON handler slot in the reference: Core/Interfaces/IFileDataHandler.cs:7-11.
+    Error responses ride in-band (GoogleApiResponseBase.cs:5-12)."""
+    raw = spark.read.schema(API_RESPONSE_SCHEMA).json(API_RESPONSES_PATH)
+    return raw.select(
+        "composite_key",
+        "status",
+        "error_message",
+        F.size("results").cast("bigint").alias("n_results"),
+    )
+
+
+@register(
+    "extract_nested_json",
+    oracle=f"""
+    SELECT composite_key, status,
+           results[1].geometry.location.lat AS latitude,
+           results[1].geometry.location.lng AS longitude,
+           results[1].elevation AS elevation,
+           timezone.timeZoneName AS timezone_name
+    FROM {_SQL_API}
+    """,
+)
+def extract_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: from_json on a raw string column + nested field extraction —
+    the API-response flattening path (GeocodeResponse.cs:9-12,
+    ElevationResponse.cs:10-11, TimeZoneResponse.cs:11). Reads the file
+    as *text* deliberately: this is the shape of a queue payload column,
+    not a JSON datasource scan (that's json_scan)."""
+    raw = spark.read.text(API_RESPONSES_PATH)
+    parsed = raw.select(F.from_json("value", API_RESPONSE_SCHEMA).alias("r"))
+    first = F.element_at("r.results", 1)
+    return parsed.select(
+        F.col("r.composite_key").alias("composite_key"),
+        F.col("r.status").alias("status"),
+        first["geometry"]["location"]["lat"].alias("latitude"),
+        first["geometry"]["location"]["lng"].alias("longitude"),
+        first["elevation"].alias("elevation"),
+        F.col("r.timezone")["timeZoneName"].alias("timezone_name"),
+    )
+
+
+@register(
+    "audit_timestamps",
+    oracle=f"""
+    SELECT zipcode || '_' || state_abbr AS CompositeKey,
+           TIMESTAMP '{REFERENCE_NOW}' AS CreationDateUtc,
+           TIMESTAMP '{REFERENCE_NOW}' AS LastModifiedDateUtc
+    FROM {_SQL_CSV}
+    """,
+)
+def audit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: stamp CreationDateUtc/LastModifiedDateUtc audit columns
+    (DataflowProcessor.cs:221-222). Oracle-checked with the fixed
+    REFERENCE_NOW instant; the live pipeline uses current_timestamp()
+    and sets Creation only on the MERGE insert branch — the fix the
+    reference flags as 'TODO: Do not overwrite this'."""
+    z = read_zip_csv(spark)
+    now = F.lit(REFERENCE_NOW).cast("timestamp")
+    return z.select(
+        composite_key("ZipCode", "StateCode").alias("CompositeKey"),
+        now.alias("CreationDateUtc"),
+        now.alias("LastModifiedDateUtc"),
     )

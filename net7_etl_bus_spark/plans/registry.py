@@ -78,8 +78,15 @@ def _load_all() -> None:
         return
     # Imports are deferred so `import net7_etl_bus_spark` stays cheap
     # and there is no circular-import knot with the operator modules.
-    from ..functions import scalar  # noqa: F401
-    from ..operators import dedup, relational, similarity, text, windows  # noqa: F401
+    from ..functions import scalar, udf_surface  # noqa: F401
+    from ..operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
     from ..plans import reference_ops, tpch  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
 

@@ -183,6 +183,40 @@ def gen_imports():
     return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
 
 
+def write_api_responses(zip_rows, path) -> None:
+    """Geocode-API-response-shaped JSONL (one response per zip key):
+    nested results[0].geometry.location.{lat,lng} + elevation +
+    timezone.timeZoneName, with the reference's error-in-band channel
+    (GoogleApiResponseBase.ErrorMessage — errors are data, not
+    exceptions) every 11th row. Feeds json_scan / extract_nested_json."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        for i, (fips, state, abbr, zipcode, county, city) in enumerate(zip_rows):
+            key = f"{zipcode}_{abbr}"
+            if i % 11 == 7:
+                obj = {
+                    "composite_key": key,
+                    "status": "ZERO_RESULTS",
+                    "error_message": "no geocode result for address",
+                    "results": [],
+                    "timezone": None,
+                }
+            else:
+                lat, lng, elev, tz = deterministic_enrichment(zipcode)
+                obj = {
+                    "composite_key": key,
+                    "status": "OK",
+                    "error_message": None,
+                    "results": [
+                        {"geometry": {"location": {"lat": lat, "lng": lng}},
+                         "elevation": elev}
+                    ],
+                    "timezone": {"timeZoneName": tz},
+                }
+            f.write(json.dumps(obj) + "\n")
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
     rows = gen_zip_rows()
@@ -190,6 +224,7 @@ def main() -> None:
     write_zip_csv(rows, os.path.join(FIXTURES, "zip_codes_with_dups.csv"), extra_exact_dups=8)
     pq.write_table(gen_details(rows), os.path.join(FIXTURES, "zip_code_details.parquet"))
     pq.write_table(gen_imports(), os.path.join(FIXTURES, "etl_bus_imports.parquet"))
+    write_api_responses(rows, os.path.join(FIXTURES, "api_responses.jsonl"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 
