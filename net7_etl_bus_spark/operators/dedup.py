@@ -280,15 +280,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline: LSH candidates -> exact
     Jaccard verification restricted to those pairs. This is the
     cascade that scales: candidate generation is bucket-join-bounded,
-    verification cost is |candidates|, not |corpus|^2."""
+    and the shingle-intersection work is driven FROM the candidate
+    pairs (cand ⋈ shingles(doc_a) ⋈ shingles(doc_b)), so verification
+    cost is Σ|shingles| over candidate pairs — never the |corpus|²
+    all-pairs self-join (which dedup_ngram_jaccard keeps as the
+    exactness baseline). The oracle's unrestricted `inter` CTE LEFT
+    JOINs down to the same rows, so results are identical."""
     cand = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingles(load_table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Intersection counts per *candidate* pair only: attach doc_a's
+    # shingles, then keep those doc_b also has (equi-join on (s, doc_b)).
+    sh_a = sh.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("a_s"))
+    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("b_s"))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i_doc_a"), F.col("b.doc_id").alias("i_doc_b"))
+        cand.join(sh_a, F.col("doc_a") == F.col("a_doc"))
+        .join(sh_b, (F.col("doc_b") == F.col("b_doc")) & (F.col("a_s") == F.col("b_s")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.alias("sa")
@@ -297,11 +305,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("c"), F.lit(0))
     )
     return (
-        cand.join(
-            inter,
-            (F.col("doc_a") == F.col("i_doc_a")) & (F.col("doc_b") == F.col("i_doc_b")),
-            "left",
-        )
+        cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
