@@ -236,3 +236,96 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.85)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------
+
+N_CENTROIDS = 16
+CENT_LO = 100  # centroid seed rows: vec_id in [CENT_LO, CENT_LO + N_CENTROIDS)
+N_PROBE = 4
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
+  WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
+),
+ac AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {_sql_cos("e.embedding", "c.cent_emb")} AS cos_c
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rkc
+  FROM ac
+),
+assign AS (
+  SELECT vec_id, label, embedding, cid FROM ranked WHERE rkc = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cid
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rkc <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+         {_sql_cos("p.q_emb", "a.embedding")} AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_search_ivf", oracle=_IVF_ORACLE)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to its nearest of {N_CENTROIDS} centroids (one narrow pass,
+    centroids broadcast); each query probes its {N_PROBE} nearest
+    centroid lists; exact cosine + top-k runs on the probed lists only.
+
+    Centroids here are {N_CENTROIDS} fixed seed rows (deterministic, so
+    the whole op — assignment, probing, rerank — is oracle-checkable);
+    production swaps in k-means centroids from a sampled training pass
+    without changing any plan shape. Scale shape: assignment is
+    |corpus| x K cosines in one broadcast-join map (no shuffle of the
+    corpus); the candidate join is an equi-join on cid; with K
+    proportional to sqrt(|corpus|) and nprobe/K fixed, probed work is
+    ~nprobe/K of brute force — the standard IVF trade.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+
+    ac = e.join(F.broadcast(cent)).withColumn(
+        "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    ranked = ac.withColumn("rkc", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rkc") == 1).select("vec_id", "label", "embedding", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rkc") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= TOP_K
+    )

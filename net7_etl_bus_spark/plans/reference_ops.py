@@ -480,3 +480,26 @@ def audit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         now.alias("CreationDateUtc"),
         now.alias("LastModifiedDateUtc"),
     )
+
+
+@register(
+    "file_checksum",
+    oracle=f"""
+    SELECT string_split(filename, '/')[-1] AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           sha256(content) AS checksum
+    FROM read_text('{ZIP_CSV_PATH}')
+    """,
+)
+def file_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: SHA-256 file identity (Utilities/FileSystem.cs:17-24),
+    distributed: the binaryFile source reads whole files as rows and
+    sha2 hashes executor-side — the shape for checksumming a landing
+    zone of thousands of files in parallel (the driver-side hashlib
+    path in pipeline.py is the single-file gate)."""
+    f = spark.read.format("binaryFile").load(ZIP_CSV_PATH)
+    return f.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("checksum"),
+    )

@@ -34,6 +34,24 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.1, f"recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF probing {N_PROBE}/{N_CENTROIDS} lists must recover a solid
+    share of the true top-10 — better than one LSH table, since probed
+    lists are chosen by actual cosine to the query."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_search_topk"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_search_ivf"](spark, SF_SMALL).collect()
+    }
+    assert approx, "IVF returned nothing"
+    assert all(q < 5 and q != n for q, n in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
 def test_approx_count_distinct_error_bound(spark):
     rows = QUERIES["agg_count_distinct_approx"](spark, SF_SMALL).collect()
     from net7_etl_bus_spark.data import load_table
