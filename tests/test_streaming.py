@@ -187,3 +187,70 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # The late event (event_id 3) was dropped: the 00:00 window still
     # counts only the on-time event.
     assert first_window == 1
+
+
+def test_stateful_capped_sessions_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: replay events, then two
+    far-future sentinel batches advance the watermark so every real
+    session flushes via event-time timeout; result must equal the
+    batch twin exactly."""
+    import json
+    import os
+
+    d = str(tmp_path / "sess_events")
+    os.makedirs(d)
+    _write_events_json(spark, SF_SMALL, d)
+
+    SENTINEL_USER = 10**9
+
+    def write_sentinel(fname, ts):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(json.dumps({
+                "event_id": -1, "ts": ts, "user_id": SENTINEL_USER,
+                "event_type": "sentinel", "value": 0.0, "props": "{}",
+            }) + "\n")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(d)
+    agg = sw.stream_sessionize_capped(stream)
+    ckpt = str(tmp_path / "ckpt_sess")
+    out = str(tmp_path / "out_sess")
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    write_sentinel("z1.json", "2030-01-01T00:00:00.000000+00:00")
+    run_once()
+    write_sentinel("z2.json", "2031-01-01T00:00:00.000000+00:00")
+    run_once()
+
+    streamed = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    batch = sw.batch_sessionize_capped(load_table(spark, SF_SMALL, "events"))
+    assert streamed.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_capped_sessions_respect_duration_cap(spark):
+    """No emitted session may exceed the 60-minute cap (end - gap -
+    start <= cap), and n_events sums to the event count."""
+    batch = sw.batch_sessionize_capped(load_table(spark, SF_SMALL, "events"))
+    gap_us = sw.SESSION_GAP_MIN * 60 * 1_000_000
+    too_long = batch.filter(
+        (F.unix_micros("session_end") - gap_us - F.unix_micros("session_start"))
+        > sw.SESSION_CAP_MIN * 60 * 1_000_000
+    )
+    assert too_long.count() == 0
+    total = batch.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, SF_SMALL, "events").count()
