@@ -493,3 +493,45 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity
     # differences, which is EXCEPT ALL semantics — not what SQL EXCEPT means)
     return c.subtract(s)
+
+
+N_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting for skewed shuffle joins, as a named op.
+
+    The probe (fact) side appends salt = pmod(hash(key), N) to its join
+    key; the build side replicates each row N times with every salt
+    value (explode of a literal range — N small rows per key, never a
+    shuffle blowup). The join key becomes (key, salt), so one hot key's
+    rows spread across N reducers instead of one. Result is identical
+    to the plain join — the oracle IS the plain join.
+
+    AQE's skew-join split (enabled in session.py) handles most skew
+    automatically by splitting oversized partitions; manual salting
+    remains the tool when a single KEY (not partition) is hot enough to
+    overflow one task — AQE cannot split within a key group for joins
+    feeding aggregations, and pre-salting composes with bucketing.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    salted_l = l.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(N_SALT)))
+    salted_o = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return salted_l.join(
+        salted_o,
+        (salted_l.l_orderkey == salted_o.o_orderkey)
+        & (salted_l.salt == salted_o.salt),
+    ).select("l_orderkey", "l_linenumber", "o_orderdate", "o_orderpriority")

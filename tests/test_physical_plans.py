@@ -12,6 +12,7 @@ fails here, at sf0.001, long before it melts a cluster.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from net7_etl_bus_spark.plans import registry
 
@@ -110,3 +111,66 @@ def test_udf_scalar_is_arrow_or_batch_python(spark):
     proving the test above would catch a leak."""
     plan = plan_of(spark, "udf_scalar", mode="simple")
     assert "EvalPython" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both fact tables on the join key (same bucket count)
+    makes the sort-merge join shuffle-free: the bucketed scans already
+    satisfy the join's partitioning requirement. This is the
+    co-located-join strategy for repeated big-big joins at 100 TB —
+    pay the shuffle once at write time, never at read time."""
+    from net7_etl_bus_spark.data import load_table
+
+    try:
+        (
+            load_table(spark, SF_SMALL, "orders")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", str(tmp_path / "b_orders"))
+            .saveAsTable("b_orders")
+        )
+        (
+            load_table(spark, SF_SMALL, "lineitem")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", str(tmp_path / "b_lineitem"))
+            .saveAsTable("b_lineitem")
+        )
+        j = (
+            spark.table("b_lineitem").hint("merge")
+            .join(spark.table("b_orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_linenumber", "o_orderdate")
+        )
+        j.collect()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout (the lakehouse default for time-series
+    facts): a year-filtered read must show PartitionFilters at the scan
+    and touch only matching directories — partition pruning is the
+    first 100x at 100 TB."""
+    from net7_etl_bus_spark.data import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year").parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_year" in pf[0], plan
+    # Only the 1995 directory is read.
+    import glob
+    years = {p.split("o_year=")[1] for p in glob.glob(f"{path}/o_year=*")}
+    assert "1995" in years and len(years) > 1  # layout actually partitioned
