@@ -535,3 +535,73 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (salted_l.l_orderkey == salted_o.o_orderkey)
         & (salted_l.salt == salted_o.salt),
     ).select("l_orderkey", "l_linenumber", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS qty_median,
+           quantile_disc(l_quantity, 0.9) AS qty_p90,
+           quantile_disc(l_extendedprice, 0.5) AS price_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (median/p90) per group. Discrete
+    (element-selecting) quantiles are deterministic across engines —
+    no interpolation arithmetic to disagree on. At 100 TB exact
+    percentiles need a full sort per group; production dashboards use
+    approx_percentile (t-digest) instead — exact is the correctness
+    anchor the sketch is judged against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("qty_median"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("qty_p90"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+            "price_median"
+        ),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_O,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
+           (CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(38,0)))
+                 FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 100.0) AS qty_O,
+           (CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(38,0)))
+                 FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 100.0) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): status categories become columns.
+    Pivot values are declared explicitly — with them, pivot is a single
+    hash aggregation with conditional aggregates (one pass, one
+    shuffle); without them Spark must first run a distinct query to
+    discover values (an extra job at scale). The oracle states the
+    desugared form: FILTERed aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("l_quantity") * 100.0).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("qty"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O_n").alias("n_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+    )

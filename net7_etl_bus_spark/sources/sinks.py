@@ -172,3 +172,31 @@ def control_finalize(
         )
     )
     _atomic_overwrite(spark, updated, path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~target_file_bytes files and atomically swap it in. Returns the
+    output file count.
+
+    The small-files problem is the quiet killer of streaming sinks at
+    scale — every micro-batch appends a few files, and a year later the
+    scan spends longer listing/opening files than reading bytes. A
+    lakehouse table runs OPTIMIZE/rewrite_data_files for this; on raw
+    parquet this is the equivalent: size-based repartition + swap.
+    Sizing uses the on-disk bytes (already encoded+compressed), so the
+    output file sizes land near the target without sampling."""
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    _atomic_overwrite(spark, df.repartition(n_files), path)
+    return n_files

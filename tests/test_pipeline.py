@@ -158,3 +158,24 @@ def test_duplicate_key_first_mode(spark, paths):
     target = spark.read.parquet(paths["target"])
     assert target.count() == 254  # dups collapsed to one row per key
     assert target.groupBy("CompositeKey").count().filter("count > 1").count() == 0
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """64 tiny files -> 1 file at a 128 MB target; data identical."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.sources.sinks import compact_parquet
+
+    from .conftest import SF_SMALL
+
+    path = str(tmp_path / "shattered")
+    orders = load_table(spark, SF_SMALL, "orders")
+    orders.repartition(64).write.parquet(path)
+    import glob
+    assert len(glob.glob(f"{path}/*.parquet")) >= 32
+    before = orders.count()
+    n = compact_parquet(spark, path)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert after.exceptAll(orders).count() == 0
