@@ -110,24 +110,59 @@ class DeterministicMockClient:
         return self._f(zipcode)[3]
 
 
-def enrich_record(client, zipcode: str) -> EnrichmentResult:
+def retrying(call, attempts: int = 3, base_delay: float = 0.1, sleeper=None):
+    """Retry a zero-arg call with exponential backoff + deterministic
+    jitter (hash of the attempt count — no RNG, so tests and reruns
+    behave identically). ``sleeper`` is injectable so tests never
+    sleep. The reference left rate-limiting/retry as a TODO
+    (GoogleApiService.cs:27); this is that slot, done explicitly."""
+    import time
+
+    sleep = sleeper if sleeper is not None else time.sleep
+    last = None
+    for i in range(attempts):
+        try:
+            return call()
+        except Exception as e:  # per-row tolerance: callers decide what to do
+            last = e
+            if i < attempts - 1:
+                jitter = ((i * 2654435761) % 1000) / 10000.0  # 0-0.1s, deterministic
+                sleep(base_delay * (2**i) + jitter)
+    raise last
+
+
+def enrich_record(client, zipcode: str, attempts: int = 1, sleeper=None):
     """The reference's per-row chain: geocode gates elevation+timezone;
     elevation and timezone failures are independent of each other
-    (DataflowProcessor.cs:188-214)."""
+    (DataflowProcessor.cs:188-214). Returns (result, error) — error is
+    None on full success, else 'stage: message' for the quarantine
+    channel. Transient failures are retried per stage."""
     out = EnrichmentResult()
+    error = None
     try:
-        out.latitude, out.longitude = client.geocode(zipcode)
-    except Exception:
-        return out  # geocode failed -> all enrichment columns stay null
+        out.latitude, out.longitude = retrying(
+            lambda: client.geocode(zipcode), attempts, sleeper=sleeper
+        )
+    except Exception as e:
+        # geocode failed -> all enrichment columns stay null
+        return out, f"geocode: {e}"
     try:
-        out.elevation = client.elevation(zipcode, out.latitude, out.longitude)
-    except Exception:
-        pass
+        out.elevation = retrying(
+            lambda: client.elevation(zipcode, out.latitude, out.longitude),
+            attempts,
+            sleeper=sleeper,
+        )
+    except Exception as e:
+        error = f"elevation: {e}"
     try:
-        out.timezone = client.timezone(zipcode, out.latitude, out.longitude)
-    except Exception:
-        pass
-    return out
+        out.timezone = retrying(
+            lambda: client.timezone(zipcode, out.latitude, out.longitude),
+            attempts,
+            sleeper=sleeper,
+        )
+    except Exception as e:
+        error = f"{error}; timezone: {e}" if error else f"timezone: {e}"
+    return out, error
 
 
 def enrich_dataframe(
@@ -135,6 +170,9 @@ def enrich_dataframe(
     client_factory: Callable[[], object] = DeterministicMockClient,
     zip_column: str = "ZipCode",
     max_concurrency: int = 5,
+    attempts: int = 1,
+    with_error_column: bool = False,
+    sleeper=None,
 ) -> DataFrame:
     """Append Latitude/Longitude/Elevation/Timezone via bounded-parallel
     per-row enrichment (mapInPandas + per-task thread pool).
@@ -143,6 +181,12 @@ def enrich_dataframe(
     (Constants.cs:21 default 5) — but per task: total external-call
     parallelism is numActiveTasks x max_concurrency, which is the knob
     a 1000-executor deployment budgets against the API quota.
+
+    ``attempts`` > 1 retries each call with backoff+jitter;
+    ``with_error_column=True`` appends EnrichmentError (null on
+    success) so callers can route failures to a quarantine sink
+    (see :func:`split_quarantine`) instead of silently shipping
+    null-enriched rows.
     """
     # copy the field list — StructType(...) keeps the list reference,
     # and .add() would otherwise mutate df.schema in place
@@ -153,17 +197,38 @@ def enrich_dataframe(
         .add("Elevation", "double")
         .add("Timezone", "string")
     )
+    if with_error_column:
+        out_schema = out_schema.add("EnrichmentError", "string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()  # one client per task (per connection pool)
         with concurrent.futures.ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
-                results = list(pool.map(lambda z: enrich_record(client, z), pdf[zip_column]))
+                results = list(
+                    pool.map(
+                        lambda z: enrich_record(client, z, attempts, sleeper),
+                        pdf[zip_column],
+                    )
+                )
                 pdf = pdf.copy()
-                pdf["Latitude"] = [r.latitude for r in results]
-                pdf["Longitude"] = [r.longitude for r in results]
-                pdf["Elevation"] = [r.elevation for r in results]
-                pdf["Timezone"] = [r.timezone for r in results]
+                pdf["Latitude"] = [r.latitude for r, _ in results]
+                pdf["Longitude"] = [r.longitude for r, _ in results]
+                pdf["Elevation"] = [r.elevation for r, _ in results]
+                pdf["Timezone"] = [r.timezone for r, _ in results]
+                if with_error_column:
+                    pdf["EnrichmentError"] = [err for _, err in results]
                 yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def split_quarantine(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an error-column-enriched frame into (clean, quarantined).
+    The quarantine side keeps the error reason for triage/replay; the
+    clean side drops the column so downstream schemas are unchanged.
+    Both sides are lazy views of one plan — no double enrichment."""
+    from pyspark.sql import functions as F
+
+    clean = enriched.filter(F.col("EnrichmentError").isNull()).drop("EnrichmentError")
+    quarantined = enriched.filter(F.col("EnrichmentError").isNotNull())
+    return clean, quarantined

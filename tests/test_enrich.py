@@ -32,12 +32,14 @@ def test_reference_live_test_zip(spark):
 
 def test_failure_independence():
     c = DeterministicMockClient(fail_elevation={"11111"})
-    r = enrich_record(c, "11111")
+    r, err = enrich_record(c, "11111")
     assert r.latitude is not None and r.timezone is not None
     assert r.elevation is None
+    assert err and err.startswith("elevation:")
     c2 = DeterministicMockClient(fail_timezone={"11111"})
-    r2 = enrich_record(c2, "11111")
+    r2, err2 = enrich_record(c2, "11111")
     assert r2.elevation is not None and r2.timezone is None
+    assert err2 and err2.startswith("timezone:")
 
 
 def test_geocode_failure_gates_dependent_calls():
@@ -55,8 +57,9 @@ def test_geocode_failure_gates_dependent_calls():
             calls.append("timezone")
             return "x"
 
-    r = enrich_record(Spy(), "99999")
+    r, err = enrich_record(Spy(), "99999")
     assert r.latitude is None and calls == []  # T2/T3 never attempted
+    assert err and err.startswith("geocode:")
 
 
 def test_per_row_errors_never_fail_job(spark):
@@ -105,3 +108,45 @@ def test_null_columns_added_with_right_types(spark):
     assert dt["Latitude"] == "double"
     assert dt["Elevation"] == "double"
     assert dt["Timezone"] == "string"
+
+
+def test_retries_recover_transient_failures():
+    """A client failing twice then succeeding must enrich fully with
+    attempts=3 and fail with attempts=1; no real sleeping (injected
+    sleeper records the backoff schedule)."""
+    from net7_etl_bus_spark.operators.enrich import retrying
+
+    class Flaky:
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self):
+            self.n += 1
+            if self.n < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+    delays = []
+    assert retrying(Flaky(), attempts=3, sleeper=delays.append) == "ok"
+    assert len(delays) == 2 and delays[1] > delays[0] >= 0.1  # backoff grows
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        retrying(Flaky(), attempts=1, sleeper=delays.append)
+
+
+def test_quarantine_split(spark):
+    """with_error_column + split_quarantine: failed rows carry the
+    stage-tagged reason; clean rows drop the column; counts add up."""
+    from net7_etl_bus_spark.operators.enrich import split_quarantine
+
+    failing = lambda: DeterministicMockClient(fail_geocode={"22222"})  # noqa: E731
+    enriched = enrich_dataframe(
+        _zip_df(spark, ["22222", "33333", "44444"]), failing, with_error_column=True
+    )
+    clean, quarantined = split_quarantine(enriched)
+    assert clean.count() == 2 and quarantined.count() == 1
+    assert "EnrichmentError" not in clean.columns
+    bad = quarantined.collect()[0]
+    assert bad["ZipCode"] == "22222" and bad["EnrichmentError"].startswith("geocode:")
