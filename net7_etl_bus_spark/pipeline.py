@@ -210,3 +210,104 @@ def run_etl(
         # keyed MERGE, a manual or forced re-run converges (idempotent).
         sinks.control_finalize(spark, control_path, run_id, False, now)
         raise
+
+
+# --- the whole run, oracle-checked ------------------------------------
+# The five-step pipeline registered as a driver-checkable query: run it
+# against copies of the committed fixtures with the fixed REFERENCE_NOW
+# clock, return the final target-table state, and let DuckDB recompute
+# that state relationally (gate -> anti-join -> deterministic mock
+# enrichment -> MERGE with CreationDateUtc preservation). This is the
+# golden end-to-end test the reference's authors could not write
+# (their sink was unmockable, DataflowProcessorTests.cs:110-117),
+# promoted to a whole-relation differential check.
+
+from .data import ETL_IMPORTS_PATH, ZIP_CSV_PATH as _ZIP_CSV, ZIP_DETAILS_PATH
+from .plans.registry import register
+
+_TZ_LIST = (
+    "list_value('Eastern Standard Time','Central Daylight Time',"
+    "'Mountain Standard Time','Pacific Standard Time')"
+)
+_H = "CAST(ZipCode AS INT)"
+
+_SNAPSHOT_ORACLE = f"""
+WITH incoming AS (
+  SELECT zipcode || '_' || state_abbr AS CompositeKey,
+         zipcode AS ZipCode, state AS State, state_abbr AS StateCode,
+         county AS County, city AS City
+  FROM read_csv('{{csv}}', header=true, all_varchar=true)
+),
+details AS (SELECT * FROM read_parquet('{{details}}')),
+valid AS (
+  SELECT CompositeKey FROM details
+  WHERE ZipCode IS NOT NULL AND ZipCode <> ''
+    AND Latitude IS NOT NULL AND Longitude IS NOT NULL
+    AND Elevation IS NOT NULL AND Timezone IS NOT NULL
+    AND LastModifiedDateUtc >= TIMESTAMP '2024-01-02 00:00:00'
+),
+todo AS (
+  SELECT i.* FROM incoming i LEFT JOIN valid v USING (CompositeKey)
+  WHERE v.CompositeKey IS NULL
+),
+enr AS (
+  SELECT CompositeKey, ZipCode, State, StateCode, County, City,
+         CASE WHEN ZipCode = '35004' THEN 31.2562
+              WHEN ZipCode = '75074' THEN 33.0118
+              ELSE ROUND(24.0 + ({_H} % 2500) / 100.0, 4) END AS Latitude,
+         CASE WHEN ZipCode = '35004' THEN -85.6229
+              WHEN ZipCode = '75074' THEN -96.6946
+              ELSE ROUND(-125.0 + ({_H} % 5800) / 100.0, 4) END AS Longitude,
+         CASE WHEN ZipCode = '35004' THEN 101.1
+              ELSE ROUND(({_H} % 4400) / 10.0, 1) END AS Elevation,
+         CASE WHEN ZipCode = '35004' THEN 'Central Daylight Time'
+              ELSE {_TZ_LIST}[({_H} % 4) + 1] END AS Timezone
+  FROM todo
+),
+merged AS (
+  SELECT e.CompositeKey, e.ZipCode, e.State, e.StateCode, e.County, e.City,
+         e.Latitude, e.Longitude, e.Elevation, e.Timezone,
+         COALESCE(d.CreationDateUtc, TIMESTAMP '2024-02-01 00:00:00') AS CreationDateUtc,
+         TIMESTAMP '2024-02-01 00:00:00' AS LastModifiedDateUtc,
+         CAST(5 AS INT) AS ImportId
+  FROM enr e LEFT JOIN details d USING (CompositeKey)
+),
+untouched AS (
+  SELECT d.CompositeKey, d.ZipCode, d.State, d.StateCode, d.County, d.City,
+         d.Latitude, d.Longitude, d.Elevation, d.Timezone,
+         d.CreationDateUtc, d.LastModifiedDateUtc, d.ImportId
+  FROM details d LEFT JOIN enr e USING (CompositeKey)
+  WHERE e.CompositeKey IS NULL
+)
+SELECT * FROM merged UNION ALL SELECT * FROM untouched
+""".format(csv=_ZIP_CSV, details=ZIP_DETAILS_PATH)
+
+
+@register("etl_run_snapshot", oracle=_SNAPSHOT_ORACLE)
+def etl_run_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL five-step pipeline (gate, scan/key, anti-join, mock
+    enrichment, MERGE upsert, control finalize) against temp copies of
+    the fixtures at the fixed REFERENCE_NOW instant, and return the
+    final target table. The oracle recomputes the expected end state in
+    pure SQL — including which rows the anti-join skips (their old
+    values survive verbatim) and CreationDateUtc preservation for
+    updated keys (run_id = 5: the fixture control table holds Ids 1-4).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="etl_snap_")
+    target = os.path.join(work, "details.parquet")
+    control = os.path.join(work, "control.parquet")
+    shutil.copy(ZIP_DETAILS_PATH, target)
+    shutil.copy(ETL_IMPORTS_PATH, control)
+    result = run_etl(
+        spark,
+        _ZIP_CSV,
+        target,
+        control,
+        now=datetime(2024, 2, 1, 0, 0, 0),
+    )
+    assert result.should_run and result.run_id == 5
+    return spark.read.parquet(target)

@@ -87,6 +87,7 @@ def _load_all() -> None:
         text,
         windows,
     )
+    from .. import pipeline  # noqa: F401
     from ..plans import reference_ops, tpch  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
 

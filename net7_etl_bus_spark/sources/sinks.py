@@ -65,8 +65,10 @@ def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     if os.path.exists(path):
         os.rename(path, old)
     shutil.move(tmp, path)
-    if os.path.exists(old):
+    if os.path.isdir(old):
         shutil.rmtree(old)
+    elif os.path.exists(old):
+        os.remove(old)  # target may be a single parquet file (fixture copy)
 
 
 def upsert_parquet(
