@@ -186,15 +186,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) are handled by AQE skew-join splitting.
     """
     sig = _minhash_signature(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        piece = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_hash"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # One posexplode over an array of band hashes — NOT a union of
+    # N_BANDS projections, which would replay the (expensive) signature
+    # aggregation once per band at plan level.
+    band_hash_array = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_hash_array).alias("band_id", "band_hash")
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
