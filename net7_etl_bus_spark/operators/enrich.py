@@ -232,3 +232,58 @@ def split_quarantine(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = enriched.filter(F.col("EnrichmentError").isNull()).drop("EnrichmentError")
     quarantined = enriched.filter(F.col("EnrichmentError").isNotNull())
     return clean, quarantined
+
+
+# --- registry entry ---------------------------------------------------
+# T1-T4 as an oracle-checked query: the mock client is a pure function
+# of the zip code (mirroring the reference's mocked-API test strategy),
+# so the whole bounded-parallel mapInPandas enrichment stage can be
+# recomputed relationally by DuckDB — including the geocode-gates-
+# elevation/timezone dependency and the golden rows from the
+# reference's own tests (DataflowProcessorTests.cs:53-98 -> 35004;
+# GoogleApiServiceTests.cs:11-12 -> 75074).
+
+from ..plans.registry import register  # noqa: E402
+
+_TZ_LIST_SQL = (
+    "list_value('Eastern Standard Time','Central Daylight Time',"
+    "'Mountain Standard Time','Pacific Standard Time')"
+)
+
+
+def _enrich_oracle() -> str:
+    from ..data import ZIP_CSV_PATH
+
+    h = "CAST(zipcode AS INT)"
+    return f"""
+    SELECT zipcode || '_' || state_abbr AS CompositeKey,
+           zipcode AS ZipCode,
+           CASE WHEN zipcode = '35004' THEN 31.2562
+                WHEN zipcode = '75074' THEN 33.0118
+                ELSE ROUND(24.0 + ({h} % 2500) / 100.0, 4) END AS Latitude,
+           CASE WHEN zipcode = '35004' THEN -85.6229
+                WHEN zipcode = '75074' THEN -96.6946
+                ELSE ROUND(-125.0 + ({h} % 5800) / 100.0, 4) END AS Longitude,
+           CASE WHEN zipcode = '35004' THEN 101.1
+                ELSE ROUND(({h} % 4400) / 10.0, 1) END AS Elevation,
+           CASE WHEN zipcode = '35004' THEN 'Central Daylight Time'
+                ELSE {_TZ_LIST_SQL}[({h} % 4) + 1] END AS Timezone
+    FROM read_csv('{ZIP_CSV_PATH}', header=true, all_varchar=true)
+    """
+
+
+@register("http_enrichment_mock", oracle=_enrich_oracle())
+def http_enrichment_mock(spark, sf_dir: str) -> DataFrame:
+    """T1-T4 (reference DataflowProcessor.cs:183-216): the 3-call
+    dependent enrichment chain inside one Arrow-batched mapInPandas
+    stage with a bounded per-task thread pool, run with the
+    deterministic mock client and checked value-for-value by DuckDB."""
+    from ..functions.scalar import composite_key
+    from ..plans.reference_ops import read_zip_csv
+
+    z = read_zip_csv(spark).withColumn(
+        "CompositeKey", composite_key("ZipCode", "StateCode")
+    )
+    return enrich_dataframe(z).select(
+        "CompositeKey", "ZipCode", "Latitude", "Longitude", "Elevation", "Timezone"
+    )

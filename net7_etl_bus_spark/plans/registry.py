@@ -81,6 +81,7 @@ def _load_all() -> None:
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import (  # noqa: F401
         dedup,
+        enrich,
         multimodal,
         relational,
         similarity,

@@ -90,6 +90,7 @@ _PYTHON_ALLOWED = {
     "mm_features",           # mapInPandas codec plumbing
     "mm_frame_sample",       # mapInPandas codec plumbing
     "dedup_minhash_mllib",   # MLlib pipeline (fit() driver-side)
+    "http_enrichment_mock",  # mapInPandas enrichment stage (T1-T4)
 }
 
 
