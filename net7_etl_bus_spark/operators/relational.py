@@ -605,3 +605,73 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").alias("qty_O"),
         F.col("F_qty").alias("qty_F"),
     )
+
+
+def _sql_over_views(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    """Run a SQL-surface query: register the needed testdata tables as
+    temp views and hand the text to spark.sql — the engine's second
+    front door (same Catalyst plan as the DataFrame API). Views are
+    session-scoped and idempotent to re-register."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_SUBQ_SCALAR = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.15 * (
+  SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+@register("subquery_scalar_correlated", oracle=_SUBQ_SCALAR)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced >15% above their
+    brand's average). Catalyst decorrelates this into one aggregate +
+    one join — no per-row re-execution, which is what makes correlated
+    subqueries survive at scale. Same SQL text runs on both engines.
+
+    AVG appears only inside a >( ) comparison, never in the output, so
+    cross-engine float-sum ordering cannot flip a row: the margin is
+    1.15x while summation nondeterminism is ~1 ulp."""
+    return _sql_over_views(spark, sf_dir, _SUBQ_SCALAR, ["part"])
+
+
+_SUBQ_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+)
+"""
+
+
+@register("subquery_exists", oracle=_SUBQ_EXISTS)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS pair — planned as a left-semi plus a
+    left-anti join (never a per-row probe)."""
+    return _sql_over_views(spark, sf_dir, _SUBQ_EXISTS, ["customer", "orders"])
+
+
+_SUBQ_IN = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+)
+"""
+
+
+@register("subquery_in_nested", oracle=_SUBQ_IN)
+def subquery_in_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries over the dimension hierarchy — two semi
+    joins after decorrelation, both broadcast at dimension size."""
+    return _sql_over_views(spark, sf_dir, _SUBQ_IN, ["supplier", "nation", "region"])

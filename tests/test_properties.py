@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the pure Python kernels.
+
+The reference has no randomized testing (SURVEY.md §5.1); these cover
+the engine's custom kernels — the code paths a DuckDB oracle can't
+reach because they're not relational. Pure functions only: no
+SparkSession, so the whole file runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from net7_etl_bus_spark.operators.enrich import DeterministicMockClient, retrying
+from net7_etl_bus_spark.streaming.windows import sessionize_pure
+
+GAP_US = 10 * 60 * 1_000_000
+CAP_US = 60 * 60 * 1_000_000
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * CAP_US),
+        st.sampled_from(["click", "view", "buy"]),
+    ),
+    max_size=200,
+)
+
+
+@given(events)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_partitions_all_events(evs):
+    evs = sorted(evs)
+    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
+    total = sum(s[2] for s in closed) + (open_s[2] if open_s else 0)
+    assert total == len(evs)
+
+
+@given(events)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_invariants(evs):
+    evs = sorted(evs)
+    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
+    all_sessions = closed + ([open_s] if open_s else [])
+    prev_end = None
+    for start, last, n, first_t, last_t in all_sessions:
+        assert start <= last
+        assert last - start <= CAP_US  # duration cap honored
+        assert n >= 1
+        if prev_end is not None:
+            assert start >= prev_end  # sessions ordered, non-overlapping
+        prev_end = last
+    # Consecutive closed sessions split for a reason: gap exceeded or
+    # cap would have been exceeded by the next session's first event.
+    for a, b in zip(all_sessions, all_sessions[1:]):
+        assert (b[0] - a[1] > GAP_US) or (b[0] - a[0] > CAP_US)
+
+
+@given(events)
+@settings(max_examples=100, deadline=None)
+def test_sessionize_incremental_equals_batch(evs):
+    """Feeding events in two chunks through the carried state must give
+    the same sessions as one pass — the property that makes the
+    streaming operator correct across micro-batches."""
+    evs = sorted(evs)
+    for cut in {0, len(evs) // 2, len(evs)}:
+        c1, open1 = sessionize_pure(evs[:cut], GAP_US, CAP_US)
+        c2, open2 = sessionize_pure(evs[cut:], GAP_US, CAP_US, state=open1)
+        one_c, one_open = sessionize_pure(evs, GAP_US, CAP_US)
+        assert c1 + c2 == one_c
+        assert open2 == one_open
+
+
+@given(st.integers(min_value=0, max_value=10), st.integers(min_value=1, max_value=12))
+@settings(max_examples=100, deadline=None)
+def test_retrying_succeeds_iff_enough_attempts(fail_n, attempts):
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= fail_n:
+            raise RuntimeError("transient")
+        return "ok"
+
+    delays = []
+    try:
+        out = retrying(flaky, attempts=attempts, sleeper=delays.append)
+        assert out == "ok" and attempts > fail_n
+        assert calls["n"] == fail_n + 1
+    except RuntimeError:
+        assert attempts <= fail_n
+        assert calls["n"] == attempts
+    assert len(delays) == min(fail_n, attempts - 1)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_mock_client_total_and_in_range(zipcode):
+    """The mock enrichment is total over arbitrary zip strings and
+    stays in plausible geo ranges — per-row tolerance upstream never
+    depends on input shape."""
+    lat, lng, elev, tz = DeterministicMockClient._f(zipcode)
+    assert 24.0 <= lat < 49.0
+    assert -125.0 <= lng < -67.0
+    assert 0.0 <= elev < 440.0
+    assert tz.endswith("Time")
