@@ -675,3 +675,52 @@ def subquery_in_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested IN subqueries over the dimension hierarchy — two semi
     joins after decorrelation, both broadcast at dimension size."""
     return _sql_over_views(spark, sf_dir, _SUBQ_IN, ["supplier", "nation", "region"])
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS null_orderkey,
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT) AS null_quantity,
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT)
+             AS bad_quantity_range,
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+             AS bad_discount_range,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) AS bad_price,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
+                                  OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00') AS BIGINT)
+             AS shipdate_out_of_range,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_returnflag_values
+    FROM lineitem
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit: null counts, range
+    violations, a date-domain invariant, and value-domain
+    cardinality — all as conditional aggregates in ONE scan + one
+    tiny aggregation (never N passes for N checks). At 100 TB this is
+    the pattern for pipeline gate checks: compute the audit row, fail
+    or quarantine the batch on threshold breach, publish the metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bad(cond):
+        return F.count(F.when(cond, 1)).cast("bigint")
+
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        bad(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        bad(F.col("l_quantity").isNull()).alias("null_quantity"),
+        bad((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).alias(
+            "bad_quantity_range"
+        ),
+        bad((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "bad_discount_range"
+        ),
+        bad(F.col("l_extendedprice") <= 0).alias("bad_price"),
+        bad(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("shipdate_out_of_range"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("n_returnflag_values"),
+    )
