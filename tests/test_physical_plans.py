@@ -175,3 +175,11 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     import glob
     years = {p.split("o_year=")[1] for p in glob.glob(f"{path}/o_year=*")}
     assert "1995" in years and len(years) > 1  # layout actually partitioned
+
+
+def test_topk_pushes_group_limit_below_shuffle(spark):
+    """topk_per_group must show WindowGroupLimit twice (partial
+    per-input-partition top-k BEFORE the shuffle, final after) — the
+    optimization that keeps per-group top-k from shuffling every row."""
+    plan = plan_of(spark, "topk_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, plan
