@@ -128,18 +128,21 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + 16 MinHash columns h0..h15.
+    """doc_id + 16 MinHash columns h0..h15 + n_shingles.
 
     Hash family: h_i(s) = md5(s || '#i'); the signature element is the
     MIN over the doc's shingle set. Computed as 16 min-aggregates in a
     single groupBy pass over the exploded shingles — the data is
-    exploded once, not 16 times.
+    exploded once, not 16 times. The per-doc distinct-shingle count
+    rides along in the same pass (same group key, same input) so the
+    verified cascade never re-scans the shingles for set sizes.
     """
     sh = _shingles(load_table(spark, sf_dir, "documents"))
     aggs = [
         F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
+    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -163,7 +166,9 @@ _SQL_BANDS = "bands AS (\n" + "\nUNION ALL\n".join(
     oracle=f"WITH {_SQL_SHINGLES}, {_SQL_SIG} SELECT * FROM sig",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_signature(spark, sf_dir)
+    return _minhash_signature(spark, sf_dir).select(
+        "doc_id", *[f"h{i}" for i in range(N_HASHES)]
+    )
 
 
 @register(
@@ -295,6 +300,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOINs down to the same rows, so results are identical."""
     cand = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingles(load_table(spark, sf_dir, "documents"))
+    # Count-only aggregate for set sizes: measured cheaper than riding
+    # on the signature pass (no ReusedExchange fires across the cand /
+    # sizes branches, so sharing the sig plan would recompute 16
+    # md5-min aggregates where a count suffices).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Intersection counts per *candidate* pair only: attach doc_a's
     # shingles, then keep those doc_b also has (equi-join on (s, doc_b)).
