@@ -49,9 +49,13 @@ def _tokens(df: DataFrame) -> DataFrame:
 def _shingles(df: DataFrame) -> DataFrame:
     """Distinct word-SHINGLE_N-gram shingles per doc.
 
-    Built with sequence+transform (JVM higher-order functions) then a
-    single explode — no Python in the path. Docs shorter than
-    SHINGLE_N words produce no shingles (dropped, same as the oracle).
+    Built with sequence+transform (JVM higher-order functions), deduped
+    per document with array_distinct BEFORE the explode, then exploded
+    — no Python in the path, and crucially NO shuffle: shingle
+    uniqueness is a per-document property, so a global .distinct()
+    (which shuffles every (doc_id, shingle) row) would be pure waste at
+    corpus scale. Docs shorter than SHINGLE_N words produce no shingles
+    (dropped, same as the oracle).
     """
     toks = _tokens(df)
     shingle_list = F.transform(
@@ -62,8 +66,7 @@ def _shingles(df: DataFrame) -> DataFrame:
     )
     return (
         toks.filter(F.size("w") >= SHINGLE_N)
-        .select("doc_id", F.explode(shingle_list).alias("s"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(shingle_list)).alias("s"))
     )
 
 
