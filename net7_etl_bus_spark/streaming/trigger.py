@@ -102,3 +102,61 @@ def process_triggers_available_now(
     )
     q.awaitTermination()
     return results
+
+
+# --- incremental aggregation into a keyed sink ------------------------
+
+
+def stream_counts_upsert(
+    spark: SparkSession,
+    events_dir: str,
+    target_path: str,
+    checkpoint: str,
+    schema=None,
+) -> None:
+    """Streaming incremental aggregation: per-micro-batch partial
+    counts MERGEd into a keyed table, replay-idempotent.
+
+    Pattern: each batch writes rows keyed by (event_type, batch_id) —
+    a REPLAYED batch (failure between sink write and checkpoint commit,
+    the at-least-once window) recomputes the identical partial and the
+    MERGE overwrites it with the same values instead of double
+    counting. Readers aggregate partials with :func:`read_counts`.
+    This is the scalable form of "foreachBatch maintains an aggregate
+    table": the state lives in the (partition-prunable) sink, not in
+    unbounded stream state, and each batch touches only its own keys.
+    """
+    from ..schemas import EVENTS_SCHEMA
+    from ..sources.sinks import upsert_parquet
+
+    stream = spark.readStream.schema(schema or EVENTS_SCHEMA).json(events_dir)
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn(
+                "merge_key", F.concat_ws("#", "event_type", F.lit(str(batch_id)))
+            )
+        )
+        upsert_parquet(
+            spark, partial, target_path, key="merge_key", preserve_on_update=()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_counts(spark: SparkSession, target_path: str) -> DataFrame:
+    """Aggregate the per-batch partials to current totals."""
+    return (
+        spark.read.parquet(target_path)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )

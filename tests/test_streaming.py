@@ -254,3 +254,46 @@ def test_capped_sessions_respect_duration_cap(spark):
     assert too_long.count() == 0
     total = batch.agg(F.sum("n_events")).collect()[0][0]
     assert total == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_stream_counts_upsert_incremental_and_idempotent(spark, tmp_path):
+    """foreachBatch incremental aggregation: two AvailableNow runs over
+    a growing directory yield totals equal to the batch aggregate; and
+    re-merging an identical partial (simulated replay) changes nothing."""
+    import json
+    import os
+
+    from net7_etl_bus_spark.streaming.trigger import read_counts, stream_counts_upsert
+
+    d = str(tmp_path / "inc_events")
+    os.makedirs(d)
+    _write_events_json(spark, SF_SMALL, d)
+    target = str(tmp_path / "counts.parquet")
+    ckpt = str(tmp_path / "ckpt_counts")
+
+    stream_counts_upsert(spark, d, target, ckpt)
+    # second wave of data -> incremental batch, only new files processed
+    with open(os.path.join(d, "extra.json"), "w") as f:
+        for i in range(7):
+            f.write(json.dumps({
+                "event_id": 10_000_000 + i, "ts": "2024-03-01T00:00:00.000000+00:00",
+                "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}",
+            }) + "\n")
+    stream_counts_upsert(spark, d, target, ckpt)
+
+    got = {r["event_type"]: r["n_events"] for r in read_counts(spark, target).collect()}
+    events = load_table(spark, SF_SMALL, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want["click"] = want.get("click", 0) + 7
+    assert got == want
+
+    # replay simulation: merging an identical partial is a no-op
+    from net7_etl_bus_spark.sources.sinks import upsert_parquet
+    before = sorted(spark.read.parquet(target).collect())
+    replay = spark.read.parquet(target).filter(F.col("batch_id") == 0)
+    upsert_parquet(spark, replay, target, key="merge_key", preserve_on_update=())
+    after = sorted(spark.read.parquet(target).collect())
+    assert before == after
