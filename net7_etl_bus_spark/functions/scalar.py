@@ -248,3 +248,45 @@ def checksum_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, t -> length(t) > 4)) AS INT) AS n_long_tokens,
+           array_to_string(list_transform(w[1:5], t -> upper(t)), ' ') AS first5_upper,
+           CAST(list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
+                            (acc, v) -> acc + v) AS BIGINT) AS total_chars,
+           CAST(length(list_filter(w, t -> t = 'the')) > 0 AS BOOLEAN) AS has_the
+    FROM toks
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions with lambdas — transform / filter /
+    aggregate / exists over token arrays, all JVM-side (no UDF). These
+    are the per-row kernels that keep array-heavy schemas (embeddings,
+    token lists, shingles) out of Python at 100 TB; the similarity
+    operators build their cosine folds from the same primitives."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    return toks.select(
+        "doc_id",
+        F.size(F.filter("w", lambda t: F.length(t) > 4)).cast("int").alias(
+            "n_long_tokens"
+        ),
+        F.concat_ws(
+            " ", F.transform(F.slice("w", 1, 5), lambda t: F.upper(t))
+        ).alias("first5_upper"),
+        F.aggregate(
+            F.transform("w", lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("total_chars"),
+        F.exists("w", lambda t: t == "the").alias("has_the"),
+    )
