@@ -31,7 +31,7 @@ def test_lsh_recall_vs_brute_force(spark):
     # self-matches are excluded by construction.
     assert all(q < 5 and q != n for q, n in approx)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.1, f"recall collapsed: {recall}"
+    assert recall >= 0.25, f"recall collapsed: {recall}"  # measured 0.38 on fixed data
 
 
 def test_ivf_recall_vs_brute_force(spark):
@@ -49,7 +49,7 @@ def test_ivf_recall_vs_brute_force(spark):
     assert approx, "IVF returned nothing"
     assert all(q < 5 and q != n for q, n in approx)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"  # measured 0.50 on fixed data
 
 
 def test_approx_count_distinct_error_bound(spark):
