@@ -187,3 +187,74 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
+
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: which customers returned
+    the most revenue in a year. Fact-fact join (lineitem x orders)
+    shuffles on the order key; customer/nation broadcast. The date
+    filter reaches the orders scan, shrinking the shuffle's build side
+    before it happens."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            revenue.alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_returned_items"),
+        )
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT
+  100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4)}
+        / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion effect: share of one month's revenue
+    from promo parts. One broadcast join + a single global aggregate of
+    two conditional sums — the whole query is one scan-side pipeline
+    with a scalar result."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (F.lit(100.0) * dsum(promo_rev, 4) / dsum(rev, 4)).alias("promo_revenue_pct")
+    )
