@@ -136,7 +136,68 @@ N_TABLES = 4
 BITS_PER_TABLE = 4
 
 
-@register("sim_search_lsh")  # no oracle: bucketing logic is the point, checked by pytest recall test
+def _lsh_oracle() -> str:
+    """DuckDB oracle for the multi-table sign-LSH: the fixed-seed
+    hyperplanes are embedded as list literals (repr() of a Python
+    float round-trips to the identical double), dot products use the
+    same left fold as the Spark side, so signs — and therefore buckets,
+    candidates, and the final top-k — match exactly."""
+    planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
+    values = ",\n    ".join(
+        f"({pid}, list_value({', '.join(repr(x) for x in p)}))"
+        for pid, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+    {values}
+      ) AS t(pid, p)
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.pid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])),
+               (acc, v) -> acc + v) AS d
+      FROM embeddings e CROSS JOIN planes pl
+    ),
+    sigs AS (
+      SELECT vec_id, pid // {BITS_PER_TABLE} AS table_id,
+             SUM((CASE WHEN d >= 0 THEN 1 ELSE 0 END)
+                 * (CASE pid % {BITS_PER_TABLE} WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+               AS bucket
+      FROM dots GROUP BY vec_id, pid // {BITS_PER_TABLE}
+    ),
+    q AS (
+      SELECT s.vec_id AS query_id, e.embedding AS q_emb, s.table_id, s.bucket
+      FROM sigs s JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT s.vec_id AS neighbor_id, e.label AS neighbor_label,
+             e.embedding AS c_emb, s.table_id, s.bucket
+      FROM sigs s JOIN embeddings e ON e.vec_id = s.vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, neighbor_label, q_emb, c_emb
+      FROM c JOIN q USING (table_id, bucket)
+      WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             {_sql_dot("q_emb", "c_emb")} / ({_sql_norm("q_emb")} * {_sql_norm("c_emb")}) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) t
+    WHERE rk <= {TOP_K}
+    """
+
+
+@register("sim_search_lsh", oracle=_lsh_oracle())
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN with multiple hash tables:
     4 tables x 4-bit signatures; candidates = corpus rows sharing the
