@@ -136,19 +136,44 @@ N_TABLES = 4
 BITS_PER_TABLE = 4
 
 
-def _lsh_oracle() -> str:
-    """DuckDB oracle for the multi-table sign-LSH: the fixed-seed
-    hyperplanes are embedded as list literals (repr() of a Python
-    float round-trips to the identical double), dot products use the
-    same left fold as the Spark side, so signs — and therefore buckets,
-    candidates, and the final top-k — match exactly."""
+def _lsh_signatures(emb):
+    """Array of N_TABLES bucket ids for one embedding — the shared
+    sign-LSH kernel (hyperplane dots -> sign bits -> per-table bucket
+    fold), a pure narrow map over the embedding column."""
+    planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(p, emb, lambda x, y: x * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bits = F.transform(dots, lambda d: F.when(d >= 0, 1).otherwise(0))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.slice(bits, t * BITS_PER_TABLE + 1, BITS_PER_TABLE),
+            F.lit(0),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+
+
+def _lsh_sigs_cte() -> str:
+    """Shared oracle CTE prefix: the fixed-seed hyperplanes embedded as
+    list literals (repr() of a Python float round-trips to the
+    identical double), dot products with the same left fold as the
+    Spark side, sign bits folded into per-table buckets — so signs,
+    buckets, and candidates match the engine exactly."""
     planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
     values = ",\n    ".join(
         f"({pid}, list_value({', '.join(repr(x) for x in p)}))"
         for pid, p in enumerate(planes)
     )
     return f"""
-    WITH planes AS (
+    planes AS (
       SELECT * FROM (VALUES
     {values}
       ) AS t(pid, p)
@@ -167,7 +192,12 @@ def _lsh_oracle() -> str:
                  * (CASE pid % {BITS_PER_TABLE} WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
                AS bucket
       FROM dots GROUP BY vec_id, pid // {BITS_PER_TABLE}
-    ),
+    )"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_sigs_cte()},
     q AS (
       SELECT s.vec_id AS query_id, e.embedding AS q_emb, s.table_id, s.bucket
       FROM sigs s JOIN embeddings e ON e.vec_id = s.vec_id
@@ -214,30 +244,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs sim_search_topk is pinned by tests/test_similarity.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
-
-    def signatures(emb):
-        """Array of N_TABLES bucket ids for one embedding."""
-        dots = F.transform(
-            planes_lit,
-            lambda p: F.aggregate(
-                F.zip_with(p, emb, lambda x, y: x * y.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        bits = F.transform(dots, lambda d: F.when(d >= 0, 1).otherwise(0))
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
-            lambda t: F.aggregate(
-                F.slice(bits, t * BITS_PER_TABLE + 1, BITS_PER_TABLE),
-                F.lit(0),
-                lambda acc, b: acc * 2 + b,
-            ),
-        )
-
-    signed = e.withColumn("sigs", signatures(F.col("embedding")))
+    signed = e.withColumn("sigs", _lsh_signatures(F.col("embedding")))
     buckets = signed.select(
         "vec_id",
         "label",
@@ -389,4 +396,60 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rk") <= TOP_K
+    )
+
+
+def _emb_dedup_lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_sigs_cte()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_sql_dot("ea.embedding", "eb.embedding")} /
+             ({_sql_norm("ea.embedding")} * {_sql_norm("eb.embedding")}) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_sql_dot("ea.embedding", "eb.embedding")} /
+            ({_sql_norm("ea.embedding")} * {_sql_norm("eb.embedding")}) >= 0.85
+    """
+
+
+@register("emb_dedup_cosine_lsh", oracle=_emb_dedup_lsh_oracle())
+def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production embedding-dedup cascade: sign-LSH buckets
+    generate candidate pairs (equi-join on (table, bucket) — only
+    bucket-mates pair up), exact cosine >= 0.85 verifies. Work scales
+    with bucket collision volume, not corpus²; emb_dedup_cosine is the
+    all-pairs correctness baseline this is measured against in
+    tests/test_similarity.py. Near-duplicate embeddings almost always
+    share all sign bits in at least one table, so recall at the 0.85
+    threshold is near-total."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(_lsh_signatures(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "table_id", "bucket",
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        "table_id", "bucket",
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cosine", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine") >= 0.85)
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -99,3 +99,21 @@ def test_minhash_verified_jaccard_high_for_exact_dups(spark):
     assert rows
     # verified jaccard is within [0, 1]
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_emb_dedup_lsh_recall_vs_all_pairs(spark):
+    """The LSH-bucketed near-dup cascade must recover nearly all
+    cosine>=0.85 pairs found by the all-pairs baseline, and every pair
+    it returns must be a true >=0.85 pair (no false positives — exact
+    verification guarantees precision 1.0)."""
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in QUERIES["emb_dedup_cosine"](spark, SF_SMALL).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["emb_dedup_cosine_lsh"](spark, SF_SMALL).collect()
+    }
+    assert bucketed <= exact  # precision 1.0 by construction
+    if exact:
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.5, f"bucketed near-dup recall collapsed: {recall}"
