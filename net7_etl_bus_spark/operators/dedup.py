@@ -130,7 +130,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signature_from(sh: DataFrame) -> DataFrame:
     """doc_id + 16 MinHash columns h0..h15 + n_shingles.
 
     Hash family: h_i(s) = md5(s || '#i'); the signature element is the
@@ -140,13 +140,52 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along in the same pass (same group key, same input) so the
     verified cascade never re-scans the shingles for set sizes.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
     aggs = [
         F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature_from(_shingles(load_table(spark, sf_dir, "documents")))
+
+
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from a signature df.
+
+    One posexplode over an array of band hashes — NOT a union of
+    N_BANDS projections, which would replay the (expensive) signature
+    aggregation once per band at plan level. The self-join is an
+    equi-join on (band_id, band_hash): only colliding buckets produce
+    work; AQE skew-join splits boilerplate-heavy buckets.
+    """
+    band_hash_array = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_hash_array).alias("band_id", "band_hash")
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 _SQL_SIG = f"""
@@ -192,36 +231,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work. With s-curve (16 hashes, 4x4 bands) pairs with Jaccard ~0.5+
     collide with high probability. Skewed buckets (e.g. boilerplate
     docs) are handled by AQE skew-join splitting.
+
+    The signature relation (one small row per doc) is persisted so the
+    bands self-join materializes it once instead of replaying the
+    shingle explode + 16-min aggregation on both sides. At 100 TB the
+    production equivalent is writing the signature table to the lake
+    once and joining from there; MEMORY_AND_DISK persist is the
+    in-session analogue.
     """
-    sig = _minhash_signature(spark, sf_dir)
-    # One posexplode over an array of band hashes — NOT a union of
-    # N_BANDS projections, which would replay the (expensive) signature
-    # aggregation once per band at plan level.
-    band_hash_array = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_hash_array).alias("band_id", "band_hash")
-    )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from pyspark.storagelevel import StorageLevel
+
+    sig = _minhash_signature(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _lsh_candidate_pairs(sig)
 
 
 _SQL_JACCARD_PAIRS = """
@@ -301,13 +322,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs self-join (which dedup_ngram_jaccard keeps as the
     exactness baseline). The oracle's unrestricted `inter` CTE LEFT
     JOINs down to the same rows, so results are identical."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
-    # Count-only aggregate for set sizes: measured cheaper than riding
-    # on the signature pass (no ReusedExchange fires across the cand /
-    # sizes branches, so sharing the sig plan would recompute 16
-    # md5-min aggregates where a count suffices).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.storagelevel import StorageLevel
+
+    # One persisted shingle relation feeds the signature pass AND both
+    # sides of the intersection join; one persisted signature relation
+    # feeds the bands self-join AND the set sizes (n_shingles rides on
+    # the signature groupBy). Net effect: documents is scanned/exploded
+    # exactly once per run instead of four times — ReusedExchange never
+    # fires across these branches on its own, so the reuse is explicit.
+    # At 100 TB the production analogue is a materialized shingle /
+    # signature table in the lake; MEMORY_AND_DISK is the in-session
+    # stand-in.
+    sh = _shingles(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _minhash_signature_from(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_candidate_pairs(sig)
+    sizes = sig.select("doc_id", F.col("n_shingles").alias("n"))
     # Intersection counts per *candidate* pair only: attach doc_a's
     # shingles, then keep those doc_b also has (equi-join on (s, doc_b)).
     sh_a = sh.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("a_s"))

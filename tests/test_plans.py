@@ -22,6 +22,10 @@ def plan_of(spark, name: str) -> str:
     import contextlib
     import io
 
+    # Plan assertions must see the raw plan: the dedup cascade persists
+    # its signature/shingle relations, and the CacheManager substitutes
+    # InMemoryRelation into any later plan sharing that logical subtree.
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF_SMALL)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
