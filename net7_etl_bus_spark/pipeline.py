@@ -82,7 +82,7 @@ def valid_processed_keys(
         return spark.createDataFrame([], "CompositeKey string")
     cutoff = now - timedelta(days=ttl_days)
     return (
-        spark.read.parquet(target_path)
+        sinks.read_merge_target(spark, target_path)
         .filter(
             F.col("ZipCode").isNotNull()
             & (F.col("ZipCode") != "")
@@ -194,11 +194,20 @@ def run_etl(
             ts.alias("LastModifiedDateUtc"),
             F.lit(run_id).cast("int").alias("ImportId"),
         )
-        rows_to_process = updates.count()
+        # Persist before counting: without it the count action and the
+        # MERGE's write would each execute the mapInPandas enrichment
+        # stage — with a real HTTP client that doubles every external
+        # call, and the counted rows could diverge from the written
+        # rows if responses vary between executions.
+        updates = updates.persist()
+        try:
+            rows_to_process = updates.count()
 
-        # Step 5 — keyed MERGE upsert (S5); CreationDateUtc preserved
-        # for existing keys (SURVEY.md §7.4.3).
-        sinks.upsert_parquet(spark, updates, target_path)
+            # Step 5 — keyed MERGE upsert (S5); CreationDateUtc preserved
+            # for existing keys (SURVEY.md §7.4.3).
+            sinks.upsert_parquet(spark, updates, target_path)
+        finally:
+            updates.unpersist()
         sinks.control_finalize(spark, control_path, run_id, True, now)
         return RunResult(
             True, "complete", run_id, rows_incoming, rows_to_process, rows_to_process
@@ -310,4 +319,4 @@ def etl_run_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         now=datetime(2024, 2, 1, 0, 0, 0),
     )
     assert result.should_run and result.run_id == 5
-    return spark.read.parquet(target)
+    return sinks.read_merge_target(spark, target)

@@ -179,3 +179,77 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert after.exceptAll(orders).count() == 0
+
+
+def test_gate_reruns_stale_completed_run_after_ttl(spark, paths):
+    """Deliberate deviation from the reference pinned down: the
+    reference's SetImportRecordCompleteAsync leaves IsActive true, so a
+    completed run's checksum would block the gate forever. This engine
+    clears IsActive on finalize, so once the TTL window lapses the same
+    file re-runs (and its now-stale rows reprocess)."""
+    run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    res = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        now=NOW + timedelta(days=31),  # past DEFAULT_TTL_DAYS=30
+    )
+    assert res.should_run and res.reason == "complete"
+    assert res.rows_to_process == 254  # all rows stale -> all reprocess
+
+
+def _bucket_file_digests(path):
+    import glob
+    import hashlib
+    import os
+
+    out = {}
+    for sub in glob.glob(f"{path}/__bucket=*"):
+        files = {}
+        for f in sorted(glob.glob(f"{sub}/*.parquet")):
+            with open(f, "rb") as fh:
+                files[os.path.basename(f)] = hashlib.sha256(fh.read()).hexdigest()
+        out[os.path.basename(sub)] = files
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE emulation is partition-pruned: an upsert batch must
+    leave every bucket its keys don't hash into byte-identical on disk
+    (same files, same bytes) — the parquet-dir analogue of a lakehouse
+    MERGE rewriting only matching files."""
+    from net7_etl_bus_spark.sources import sinks
+
+    path = str(tmp_path / "target.parquet")
+    base = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("CompositeKey"),
+        F.col("id").alias("v"),
+        F.lit(NOW).alias("CreationDateUtc"),
+    )
+    sinks.upsert_parquet(spark, base, path)
+    before = _bucket_file_digests(path)
+    assert len(before) > 1  # bucketed layout materialized
+
+    one = base.filter(F.col("CompositeKey") == "k7").withColumn(
+        "v", F.lit(10_000).cast("long")
+    )
+    sinks.upsert_parquet(spark, one, path)
+    after = _bucket_file_digests(path)
+
+    [touched] = [
+        r[0]
+        for r in spark.createDataFrame([("k7",)], "CompositeKey string")
+        .select(F.pmod(F.xxhash64("CompositeKey"), F.lit(sinks.N_UPSERT_BUCKETS)))
+        .collect()
+    ]
+    touched_dir = f"__bucket={touched}"
+    assert before[touched_dir] != after[touched_dir]
+    for sub, files in before.items():
+        if sub != touched_dir:
+            assert after[sub] == files  # untouched: byte-identical
+
+    got = sinks.read_merge_target(spark, path)
+    assert got.filter("CompositeKey = 'k7'").collect()[0]["v"] == 10_000
+    assert got.count() == 200
+    assert "__bucket" not in got.columns
