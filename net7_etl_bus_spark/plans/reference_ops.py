@@ -27,6 +27,7 @@ from ..data import (
     FIXTURES_DIR,
     ZIP_CSV_PATH,
     ZIP_DETAILS_PATH,
+    ZIP_XML_PATH,
 )
 from ..functions.scalar import composite_key
 from ..schemas import ZIP_CSV_SCHEMA, ZIP_RECORD_COLUMNS
@@ -62,6 +63,37 @@ def read_zip_csv(spark: SparkSession, path: str = ZIP_CSV_PATH) -> DataFrame:
 )
 def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_zip_csv(spark)
+
+
+_XML_FIELDS = ("state", "state_abbr", "zipcode", "county", "city")
+
+@register(
+    "xml_scan",
+    oracle=f"""
+    SELECT {', '.join(
+        f"regexp_extract(rec, '<{c}>(.*?)</{c}>', 1) AS {alias}"
+        for c, alias in zip(_XML_FIELDS, ("State", "StateCode", "ZipCode", "County", "City"))
+    )}
+    FROM (
+      SELECT unnest(regexp_extract_all(content, '<record>.*?</record>')) AS rec
+      FROM read_text('{{xml}}')
+    )
+    """.replace("{xml}", ZIP_XML_PATH),
+)
+def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2' xml_scan: the reference's IFileDataHandler names CSV, XML
+    and JSON handlers (Core/Interfaces/IFileDataHandler.cs:7-11) but
+    only ever ships the CSV one — this closes the XML slot. Spark 4
+    built-in XML source, explicit string schema (same leading-zero-zip
+    rationale as csv_scan), then the identical header-binding
+    projection. The oracle re-parses the committed XML fixture with
+    regexps (exact for the machine-generated, escape-free fixture)."""
+    from ..sources.batch import xml_scan as xml_read
+
+    raw = xml_read(spark, ZIP_XML_PATH, ZIP_CSV_SCHEMA, row_tag="record")
+    return raw.select(
+        *[F.col(src).alias(dst) for src, dst in ZIP_RECORD_COLUMNS.items()]
+    )
 
 
 @register(

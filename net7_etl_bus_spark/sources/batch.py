@@ -33,6 +33,27 @@ def json_scan(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def xml_scan(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "record",
+) -> DataFrame:
+    """XML scan with typed binding — the third IFileDataHandler slot
+    the reference anticipates but never implements
+    (Core/Interfaces/IFileDataHandler.cs:7-11 names CSV/XML/JSON;
+    only CsvDataHandler.cs exists). Spark 4's built-in XML source
+    (one task per file / per rowTag split) — the explicit schema is
+    mandatory here for the same reason as CSV: inference types
+    leading-zero zips as bigint and corrupts them."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )
+
+
 def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

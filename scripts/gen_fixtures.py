@@ -82,6 +82,28 @@ def write_zip_csv(rows, path, extra_exact_dups: int = 0) -> None:
             f.write(",".join((r[0], r[1], r[2], r[3], "DupCounty", "DupCity")) + "\n")
 
 
+def write_zip_xml(rows, path) -> None:
+    """XML twin of the zip CSV (reference IFileDataHandler anticipates
+    an XML handler, Core/Interfaces/IFileDataHandler.cs:7-11). One
+    <record> element per row; values are machine-generated [A-Za-z0-9. ]
+    strings so no escaping is needed and the DuckDB regexp oracle is
+    exact."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("<zipcodes>\n")
+        for fips, state, abbr, zipcode, county, city in rows:
+            f.write(
+                "  <record>"
+                f"<state_fips>{fips}</state_fips>"
+                f"<state>{state}</state>"
+                f"<state_abbr>{abbr}</state_abbr>"
+                f"<zipcode>{zipcode}</zipcode>"
+                f"<county>{county}</county>"
+                f"<city>{city}</city>"
+                "</record>\n"
+            )
+        f.write("</zipcodes>\n")
+
+
 def deterministic_enrichment(zipcode: str):
     """Pure function zip -> (lat, lng, elevation, timezone); mirrors the
     deterministic mock client in operators/enrich.py."""
@@ -225,6 +247,7 @@ def main() -> None:
     pq.write_table(gen_details(rows), os.path.join(FIXTURES, "zip_code_details.parquet"))
     pq.write_table(gen_imports(), os.path.join(FIXTURES, "etl_bus_imports.parquet"))
     write_api_responses(rows, os.path.join(FIXTURES, "api_responses.jsonl"))
+    write_zip_xml(rows, os.path.join(FIXTURES, "zip_codes.xml"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 
