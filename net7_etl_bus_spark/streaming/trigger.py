@@ -47,15 +47,67 @@ def send_trigger(queue_dir: str, force_run: bool = False) -> str:
     return path
 
 
-def read_trigger_stream(spark: SparkSession, queue_dir: str) -> DataFrame:
-    """The queue as an unbounded DataFrame of parsed trigger messages."""
+KAFKA_TRIGGER_TOPIC = "etl-bus-triggers"
+KAFKA_BOOTSTRAP_ENV = "ETL_BUS_KAFKA_BOOTSTRAP"
+
+
+def parse_trigger_frame(raw: DataFrame) -> DataFrame:
+    """``value`` payload column -> ``ForceRun`` boolean rows.
+
+    The one transform both transports share: Kafka delivers
+    ``value: binary``, the file queue delivers ``value: string`` —
+    everything from here down (foreachBatch, run_etl dispatch) is
+    transport-agnostic. Unparseable or null payloads coalesce to
+    ForceRun=false, the reference's default message body
+    (ServiceBusWorker.cs:87-94)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRIGGER_MESSAGE_SCHEMA).alias("m")
+    ).select(F.coalesce(F.col("m.ForceRun"), F.lit(False)).alias("ForceRun"))
+
+
+def kafka_trigger_options(bootstrap: str, topic: str = KAFKA_TRIGGER_TOPIC) -> dict:
+    """The broker-path reader options (unit-testable without a broker)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        # replays are safe: the run body is idempotent (gate + MERGE)
+        "failOnDataLoss": "false",
+    }
+
+
+def read_trigger_stream(
+    spark: SparkSession,
+    queue_dir: str | None = None,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str = KAFKA_TRIGGER_TOPIC,
+) -> DataFrame:
+    """The queue as an unbounded DataFrame of parsed trigger messages.
+
+    Transport is flag-selected: pass ``kafka_bootstrap`` (or set
+    $ETL_BUS_KAFKA_BOOTSTRAP) for the broker path —
+    ``readStream.format("kafka")`` with the options from
+    :func:`kafka_trigger_options`, requiring the spark-sql-kafka
+    connector on the cluster — else ``queue_dir`` for the file-drop
+    queue (the container/test default). Both feed the identical
+    :func:`parse_trigger_frame` wiring."""
+    kafka_bootstrap = kafka_bootstrap or os.environ.get(KAFKA_BOOTSTRAP_ENV)
+    if kafka_bootstrap:
+        raw = (
+            spark.readStream.format("kafka")
+            .options(**kafka_trigger_options(kafka_bootstrap, kafka_topic))
+            .load()
+        )
+        return parse_trigger_frame(raw)
+    if queue_dir is None:
+        raise ValueError("either queue_dir or kafka_bootstrap is required")
     os.makedirs(queue_dir, exist_ok=True)
-    return (
-        spark.readStream.schema(TRIGGER_MESSAGE_SCHEMA)
+    raw = (
+        spark.readStream
         .option("maxFilesPerTrigger", 16)  # backpressure: bounded runs per batch
-        .json(queue_dir)
-        .select(F.coalesce(F.col("ForceRun"), F.lit(False)).alias("ForceRun"))
+        .text(queue_dir)
     )
+    return parse_trigger_frame(raw)
 
 
 def process_triggers_available_now(

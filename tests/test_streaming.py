@@ -297,3 +297,49 @@ def test_stream_counts_upsert_incremental_and_idempotent(spark, tmp_path):
     upsert_parquet(spark, replay, target, key="merge_key", preserve_on_update=())
     after = sorted(spark.read.parquet(target).collect())
     assert before == after
+
+
+def test_kafka_trigger_path_constructed(spark):
+    """The broker transport exists behind the flag: the reader options
+    are exactly the documented kafka wiring, and selecting the broker
+    path really does go through format("kafka") — in this
+    connector-less container that surfaces as the kafka data-source
+    lookup error, which is the proof the format was wired."""
+    from net7_etl_bus_spark.streaming.trigger import (
+        KAFKA_TRIGGER_TOPIC,
+        kafka_trigger_options,
+        read_trigger_stream,
+    )
+
+    opts = kafka_trigger_options("broker:9092")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == KAFKA_TRIGGER_TOPIC
+    assert opts["failOnDataLoss"] == "false"
+
+    with pytest.raises(Exception) as ei:
+        read_trigger_stream(spark, kafka_bootstrap="broker:9092")
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_trigger_parse_wiring_is_transport_agnostic(spark):
+    """Both transports share parse_trigger_frame: a Kafka-shaped
+    binary `value` frame parses to the same ForceRun rows the file
+    queue produces, with null/garbage payloads defaulting to false
+    (the reference's default message body)."""
+    from net7_etl_bus_spark.streaming.trigger import parse_trigger_frame
+
+    rows = [
+        (bytearray(b'{"ForceRun": true}'),),
+        (bytearray(b'{"ForceRun": false}'),),
+        (None,),
+        (bytearray(b"not json"),),
+    ]
+    kafka_shaped = spark.createDataFrame(rows, "value binary")
+    got = [r["ForceRun"] for r in parse_trigger_frame(kafka_shaped).collect()]
+    assert got == [True, False, False, False]
+
+    file_shaped = spark.createDataFrame(
+        [('{"ForceRun": true}',), ("",)], "value string"
+    )
+    got2 = [r["ForceRun"] for r in parse_trigger_frame(file_shaped).collect()]
+    assert got2 == [True, False]
