@@ -232,17 +232,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide with high probability. Skewed buckets (e.g. boilerplate
     docs) are handled by AQE skew-join splitting.
 
-    The signature relation (one small row per doc) is persisted so the
-    bands self-join materializes it once instead of replaying the
-    shingle explode + 16-min aggregation on both sides. At 100 TB the
-    production equivalent is writing the signature table to the lake
-    once and joining from there; MEMORY_AND_DISK persist is the
-    in-session analogue.
+    Deliberately NOT persisted: the bands self-join reuses the
+    signature aggregation's shuffle (ReusedExchange), so an explicit
+    persist only adds materialization cost here (measured equal at
+    sf0.1). The verified cascade, whose branches do NOT share an
+    exchange, is where the explicit persists live.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    sig = _minhash_signature(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    return _lsh_candidate_pairs(sig)
+    return _lsh_candidate_pairs(_minhash_signature(spark, sf_dir))
 
 
 _SQL_JACCARD_PAIRS = """
@@ -321,24 +317,21 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is Σ|shingles| over candidate pairs — never the |corpus|²
     all-pairs self-join (which dedup_ngram_jaccard keeps as the
     exactness baseline). The oracle's unrestricted `inter` CTE LEFT
-    JOINs down to the same rows, so results are identical."""
-    from pyspark.storagelevel import StorageLevel
+    JOINs down to the same rows, so results are identical.
 
-    # One persisted shingle relation feeds the signature pass AND both
-    # sides of the intersection join; one persisted signature relation
-    # feeds the bands self-join AND the set sizes (n_shingles rides on
-    # the signature groupBy). Net effect: documents is scanned/exploded
-    # exactly once per run instead of four times — ReusedExchange never
-    # fires across these branches on its own, so the reuse is explicit.
-    # At 100 TB the production analogue is a materialized shingle /
-    # signature table in the lake; MEMORY_AND_DISK is the in-session
-    # stand-in.
-    sh = _shingles(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = _minhash_signature_from(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = _lsh_candidate_pairs(sig)
-    sizes = sig.select("doc_id", F.col("n_shingles").alias("n"))
+    Measured-and-rejected alternatives (sf0.1, single-shot cold):
+    persisting the signature and/or exploded-shingle relations makes
+    the one execution this query gets SLOWER (cache-write cost plus a
+    fusion/AQE barrier), and deriving set sizes from the signature's
+    n_shingles recomputes the 16-md5 agg on both size-lookup branches
+    where a count-only agg suffices — no ReusedExchange fires across
+    the cand/sizes branches. Recomputing the narrow scan+explode is
+    the cheapest plan single-shot. In a pipeline that runs the cascade
+    repeatedly, write the signature table to the lake once and join
+    from there instead."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Intersection counts per *candidate* pair only: attach doc_a's
     # shingles, then keep those doc_b also has (equi-join on (s, doc_b)).
     sh_a = sh.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("a_s"))
