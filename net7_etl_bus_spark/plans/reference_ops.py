@@ -97,6 +97,30 @@ def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_scan",
+    oracle=f"""
+    SELECT state AS State, state_abbr AS StateCode, zipcode AS ZipCode,
+           county AS County, city AS City
+    FROM {_SQL_CSV}
+    """,
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan over the committed ORC twin of the zip fixture (same
+    rows as the CSV, written by scripts/gen_fixtures.py via pyarrow).
+    DuckDB cannot read ORC, so the oracle reads the CSV twin — the
+    differential check therefore also proves the two fixtures agree.
+    Same header-binding projection as csv_scan (CsvDataHandler.cs:15-22
+    generalized to the columnar format a lake actually stores)."""
+    from ..data import FIXTURES_DIR as _FD
+    from ..sources.batch import orc_scan as orc_read
+
+    raw = orc_read(spark, f"{_FD}/zip_codes.orc")
+    return raw.select(
+        *[F.col(src).alias(dst) for src, dst in ZIP_RECORD_COLUMNS.items()]
+    )
+
+
+@register(
     "derive_composite_key",
     oracle=f"""
     SELECT zipcode || '_' || state_abbr AS CompositeKey,

@@ -67,7 +67,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # round-1 FAILs — must flip to green
     "fn_map", "fn_json", "fn_json_typed",
     # reference parity (§2.1) — zero driver verdicts in round 1
-    "csv_scan", "xml_scan", "derive_composite_key", "project_widen", "dedup_by_key",
+    "csv_scan", "xml_scan", "orc_scan", "derive_composite_key", "project_widen", "dedup_by_key",
     "completeness_filter", "ttl_freshness_filter", "semi_join_incoming",
     "anti_join_processed", "run_gate_predicate", "lookup_by_id",
     "count_agg", "exists_agg", "json_scan", "extract_nested_json",

@@ -54,6 +54,32 @@ def xml_scan(
     )
 
 
+def orc_scan(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (built-in columnar source: predicate pushdown, column
+    pruning and vectorized reads, same as parquet). Schema optional —
+    ORC carries types, unlike CSV/XML."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def avro_scan(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Avro scan. Spark's Avro support is the external spark-avro
+    module (not bundled in this container's pyspark jars) — on a
+    cluster, add ``org.apache.spark:spark-avro_2.13:<spark version>``
+    and this constructs the standard reader; here the data-source
+    lookup raises, which the surface test pins."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -104,6 +104,17 @@ def write_zip_xml(rows, path) -> None:
         f.write("</zipcodes>\n")
 
 
+def write_zip_orc(rows, path) -> None:
+    """ORC twin of the zip CSV (all-string columns, same rows) so the
+    ORC scan is oracle-checkable: DuckDB cannot read ORC, so the
+    oracle reads the CSV twin while Spark reads these bytes."""
+    import pyarrow.orc as po
+
+    cols = ["state_fips", "state", "state_abbr", "zipcode", "county", "city"]
+    arrays = [pa.array([r[i] for r in rows], pa.string()) for i in range(len(cols))]
+    po.write_table(pa.table(dict(zip(cols, arrays))), path)
+
+
 def deterministic_enrichment(zipcode: str):
     """Pure function zip -> (lat, lng, elevation, timezone); mirrors the
     deterministic mock client in operators/enrich.py."""
@@ -248,6 +259,7 @@ def main() -> None:
     pq.write_table(gen_imports(), os.path.join(FIXTURES, "etl_bus_imports.parquet"))
     write_api_responses(rows, os.path.join(FIXTURES, "api_responses.jsonl"))
     write_zip_xml(rows, os.path.join(FIXTURES, "zip_codes.xml"))
+    write_zip_orc(rows, os.path.join(FIXTURES, "zip_codes.orc"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 

@@ -54,3 +54,31 @@ def test_csv_typed_binding_keeps_leading_zeros(spark):
     z = read_zip_csv(spark)
     assert dict(z.dtypes)["ZipCode"] == "string"
     assert z.filter(F.col("ZipCode") == "00501").count() == 1
+
+
+def test_avro_scan_surface(spark, tmp_path):
+    """avro_scan constructs the standard spark-avro reader; this
+    container ships no spark-avro module jar, so the data-source
+    lookup itself must raise naming avro — proof the wiring exists
+    (on a cluster with the module, the same call reads)."""
+    import pytest as _pytest
+
+    from net7_etl_bus_spark.sources.batch import avro_scan
+
+    with _pytest.raises(Exception) as ei:
+        avro_scan(spark, str(tmp_path / "x.avro")).collect()
+    assert "avro" in str(ei.value).lower()
+
+
+def test_orc_fixture_matches_csv_twin(spark):
+    """The committed ORC fixture holds exactly the CSV fixture's rows
+    (the orc_scan oracle depends on this equivalence)."""
+    from net7_etl_bus_spark.data import FIXTURES_DIR, ZIP_CSV_PATH
+    from net7_etl_bus_spark.schemas import ZIP_CSV_SCHEMA
+    from net7_etl_bus_spark.sources.batch import orc_scan
+
+    csv = spark.read.option("header", True).schema(ZIP_CSV_SCHEMA).csv(ZIP_CSV_PATH)
+    orc = orc_scan(spark, f"{FIXTURES_DIR}/zip_codes.orc")
+    assert orc.count() == csv.count()
+    assert orc.exceptAll(csv).count() == 0
+    assert csv.exceptAll(orc).count() == 0
