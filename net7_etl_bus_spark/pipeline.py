@@ -144,9 +144,18 @@ def run_etl(
     on_duplicate: str = "error",
     ttl_days: int = DEFAULT_TTL_DAYS,
     max_concurrency: int = 5,
+    quarantine_path: str | None = None,
 ) -> RunResult:
     """One full reference run. Returns counters mirroring the
-    reference's logging (ServiceBusWorker.cs:117-128)."""
+    reference's logging (ServiceBusWorker.cs:117-128).
+
+    ``quarantine_path`` (opt-in) routes rows whose enrichment failed
+    to a separate append-only parquet table (with the error reason and
+    run id) instead of MERGEing them null-enriched into the target —
+    the C2 error channel per ROW rather than per run. Default keeps
+    the reference's behavior: failed rows land null-enriched and
+    retry on the next run via the completeness filter
+    (DataflowProcessor.cs:117-129 logs-and-continues per row)."""
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
 
     # Step 1 — gate (driver-side; two tiny control-table actions).
@@ -174,40 +183,52 @@ def run_etl(
         processed = valid_processed_keys(spark, target_path, now, ttl_days)
         todo = incoming.join(processed, "CompositeKey", "left_anti")
 
-        # Step 4 — enrichment (T1-T4) + audit columns (P4).
+        # Step 4 — enrichment (T1-T4) + audit columns (P4). Persisted:
+        # every downstream action (quarantine write, count, MERGE
+        # write) reads the one cached enrichment pass — without it
+        # each action re-executes the mapInPandas stage, multiplying
+        # every external HTTP call with a real client, and the counted
+        # rows could diverge from the written rows if responses vary
+        # between executions.
         enriched = enrich_dataframe(
-            todo, client_factory, max_concurrency=max_concurrency
-        )
-        ts = F.lit(now)
-        updates = enriched.select(
-            "CompositeKey",
-            "ZipCode",
-            "State",
-            "StateCode",
-            "County",
-            "City",
-            "Latitude",
-            "Longitude",
-            "Elevation",
-            "Timezone",
-            ts.alias("CreationDateUtc"),
-            ts.alias("LastModifiedDateUtc"),
-            F.lit(run_id).cast("int").alias("ImportId"),
-        )
-        # Persist before counting: without it the count action and the
-        # MERGE's write would each execute the mapInPandas enrichment
-        # stage — with a real HTTP client that doubles every external
-        # call, and the counted rows could diverge from the written
-        # rows if responses vary between executions.
-        updates = updates.persist()
+            todo,
+            client_factory,
+            max_concurrency=max_concurrency,
+            with_error_column=quarantine_path is not None,
+        ).persist()
         try:
+            if quarantine_path is not None:
+                from .operators.enrich import split_quarantine
+
+                clean, quarantined = split_quarantine(enriched)
+                quarantined.withColumn(
+                    "ImportId", F.lit(run_id).cast("int")
+                ).write.mode("append").parquet(quarantine_path)
+            else:
+                clean = enriched
+            ts = F.lit(now)
+            updates = clean.select(
+                "CompositeKey",
+                "ZipCode",
+                "State",
+                "StateCode",
+                "County",
+                "City",
+                "Latitude",
+                "Longitude",
+                "Elevation",
+                "Timezone",
+                ts.alias("CreationDateUtc"),
+                ts.alias("LastModifiedDateUtc"),
+                F.lit(run_id).cast("int").alias("ImportId"),
+            )
             rows_to_process = updates.count()
 
             # Step 5 — keyed MERGE upsert (S5); CreationDateUtc preserved
             # for existing keys (SURVEY.md §7.4.3).
             sinks.upsert_parquet(spark, updates, target_path)
         finally:
-            updates.unpersist()
+            enriched.unpersist()
         sinks.control_finalize(spark, control_path, run_id, True, now)
         return RunResult(
             True, "complete", run_id, rows_incoming, rows_to_process, rows_to_process

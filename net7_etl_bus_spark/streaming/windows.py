@@ -197,6 +197,74 @@ def stream_sessionize_capped(
     )
 
 
+def stream_sessionize_capped_tws(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN,
+    cap_minutes: int = SESSION_CAP_MIN,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The same capped sessionizer on ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState (explicit typed state
+    handles + first-class timers instead of one opaque state tuple +
+    GroupStateTimeout). Kept alongside the original so both custom
+    stateful surfaces stay exercised; the kernel
+    (:func:`sessionize_pure`) is shared, so the two streams and the
+    batch twin are all differentially testable against each other.
+
+    Environment note: executing this operator needs the RocksDB state
+    store provider (bundled with Spark) AND the Python ``protobuf``
+    package (the TWS state-server protocol; NOT in this container, so
+    the equality test skips execution here and pins the built plan
+    instead — on a real cluster ``pip install protobuf`` and the same
+    test runs end-to-end).
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap_us = cap_minutes * 60 * 1_000_000
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("open_session", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            evs = []
+            for pdf in rows:
+                for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                    evs.append((ts.value // 1000, et))
+            evs.sort()
+            prev = tuple(self._state.get()) if self._state.exists() else None
+            closed, open_s = sessionize_pure(evs, gap_us, cap_us, prev)
+            # Replace the inactivity timer: one live timer per key.
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            if open_s is not None:
+                self._state.update(tuple(open_s))
+                self._handle.registerTimer((open_s[1] + gap_us) // 1000)
+            if closed:
+                yield _session_rows(closed, user_id, gap_us)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (user_id,) = key
+            if self._state.exists():
+                s = tuple(self._state.get())
+                self._state.clear()
+                yield _session_rows([s], user_id, gap_us)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionProcessor(), _SESSION_OUT_SCHEMA, "Append", "EventTime"
+        )
+    )
+
+
 def batch_sessionize_capped(
     events: DataFrame,
     gap_minutes: int = SESSION_GAP_MIN,

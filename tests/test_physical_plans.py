@@ -183,3 +183,46 @@ def test_topk_pushes_group_limit_below_shuffle(spark):
     optimization that keeps per-group top-k from shuffling every row."""
     plan = plan_of(spark, "topk_per_group")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Bloom-filter join pruning: when a fact-fact shuffle join has a
+    selective filter on one side, Spark's InjectRuntimeFilter builds a
+    bloom_filter_agg over the filtered side's join keys and applies
+    might_contain on the probe side BEFORE its shuffle — at 100 TB this
+    drops most of the probe side's rows pre-exchange, which is the
+    difference between shuffling 100 TB and shuffling the ~1% that can
+    actually match. Local thresholds are tuned down only to make the
+    optimization fire at test scale (production defaults gate it to
+    10 GB probe-side scans)."""
+    saved = {}
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -253,3 +253,50 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert got.filter("CompositeKey = 'k7'").collect()[0]["v"] == 10_000
     assert got.count() == 200
     assert "__bucket" not in got.columns
+
+
+def test_quarantine_path_routes_failed_rows(spark, paths, tmp_path):
+    """Opt-in quarantine sink: enrichment-failed rows go to the
+    quarantine table (with error reason + run id) and are NOT merged
+    into the target; clean rows merge normally. Default (no
+    quarantine_path) keeps reference behavior — covered by
+    test_geocode_failure_nulls_all_enrichment."""
+    quarantine = str(tmp_path / "quarantine.parquet")
+    failing = lambda: DeterministicMockClient(fail_geocode={"35004"})  # noqa: E731
+    res = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        client_factory=failing,
+        now=NOW,
+        quarantine_path=quarantine,
+    )
+    assert res.should_run
+    assert res.rows_to_process == 253  # clean rows only
+
+    target = spark.read.parquet(paths["target"])
+    assert target.count() == 253
+    assert target.filter(F.col("CompositeKey") == "35004_AL").count() == 0
+
+    q = spark.read.parquet(quarantine)
+    qrow = q.collect()
+    assert len(qrow) == 1
+    assert qrow[0]["CompositeKey"] == "35004_AL"
+    assert "geocode" in qrow[0]["EnrichmentError"]
+    assert qrow[0]["ImportId"] == res.run_id
+
+    # The quarantined row was never MERGEd, so a later healthy run
+    # still sees it as unprocessed and heals it into the target.
+    res2 = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        force_run=True,
+        now=NOW + timedelta(hours=2),
+        quarantine_path=quarantine,
+    )
+    assert res2.rows_to_process == 1
+    assert spark.read.parquet(paths["target"]).count() == 254
+    assert spark.read.parquet(quarantine).count() == 1  # nothing new

@@ -343,3 +343,91 @@ def test_trigger_parse_wiring_is_transport_agnostic(spark):
     )
     got2 = [r["ForceRun"] for r in parse_trigger_frame(file_shaped).collect()]
     assert got2 == [True, False]
+
+
+def _container_has_tws_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_capped_sessions_stream_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas sessionizer (Spark 4 successor API).
+    The built streaming plan must contain the TransformWithState
+    operator (wiring proof); full replay-equality against the batch
+    twin runs when the environment has the TWS protobuf dependency
+    (not in this container -> skipped, documented in the operator)."""
+    import json
+    import os
+
+    d = str(tmp_path / "tws_events")
+    os.makedirs(d)
+    _write_events_json(spark, SF_SMALL, d)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(d)
+    agg = sw.stream_sessionize_capped_tws(stream)
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in plan
+    assert agg.schema.fieldNames() == [
+        "user_id", "session_start", "session_end",
+        "n_events", "first_event", "last_event",
+    ]
+
+    if not _container_has_tws_protobuf():
+        pytest.skip("python protobuf not installed (TWS state-server protocol)")
+
+    SENTINEL_USER = 10**9
+
+    def write_sentinel(fname, ts):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(json.dumps({
+                "event_id": -1, "ts": ts, "user_id": SENTINEL_USER,
+                "event_type": "sentinel", "value": 0.0, "props": "{}",
+            }) + "\n")
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ckpt = str(tmp_path / "ckpt_tws")
+        out = str(tmp_path / "out_tws")
+
+        def run_once():
+            q = (
+                agg.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        write_sentinel("z1.json", "2030-01-01T00:00:00.000000+00:00")
+        run_once()
+        write_sentinel("z2.json", "2031-01-01T00:00:00.000000+00:00")
+        run_once()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    streamed = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    batch = sw.batch_sessionize_capped(load_table(spark, SF_SMALL, "events"))
+    assert streamed.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
