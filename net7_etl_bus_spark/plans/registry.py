@@ -90,6 +90,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # subqueries + data quality
     "subquery_scalar_correlated", "subquery_exists", "subquery_in_nested",
     "dq_audit",
+    # round-2 additions (no driver verdict yet)
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q13_order_count_dist", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q21_waiting_suppliers", "q22_dormant_customers",
 )
 
 

@@ -258,3 +258,431 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (F.lit(100.0) * dsum(promo_rev, 4) / dsum(rev, 4)).alias("promo_revenue_pct")
     )
+
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style priority check: orders in one quarter that had at
+    least one problem lineitem (the reference schema has no
+    commit/receipt dates, so 'returned' stands in for 'late').
+
+    Scale shape: the EXISTS decorrelates to a LEFT SEMI join on
+    orderkey — lineitem is pre-filtered and projected to the single
+    join column before its shuffle, so the shuffle carries keys, not
+    rows. The aggregate output is 5 groups.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    problem_keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(problem_keys, o.o_orderkey == problem_keys.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style bilateral trade volume between two nations by
+    year.
+
+    Scale shape: both nation sides broadcast (25 rows); supplier and
+    customer broadcast; the only shuffle is orders><lineitem on
+    orderkey. The nation-pair disjunction is applied AFTER the
+    dimension joins attach both nation names, but Catalyst still
+    pushes the single-nation IN-list into each broadcast side.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       100.0 * {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", 4)}
+             / {sql_dsum('volume', 4)} AS mkt_share_pct
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: one supplier nation's slice of a
+    region's spend on one part type, per year.
+
+    Scale shape: the 8-way join keeps exactly one fact-fact shuffle
+    (lineitem><orders); part/supplier/customer/nation/region all
+    broadcast with their filters applied pre-broadcast. The share is a
+    conditional-sum / sum over 2 yearly groups — partial aggregation
+    makes the post-join reduce negligible.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.lit(100.0) * dsum(nation_volume, 4) / dsum(volume, 4)).alias(
+                "mkt_share_pct"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_dist", oracle=_Q13_ORACLE)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution (how many
+    customers placed k non-urgent orders, including k=0).
+
+    Scale shape: a double aggregation. The left outer join shuffles on
+    custkey; the first groupBy reuses that partitioning (no second
+    shuffle — same key), and the distribution groupBy reduces to at
+    most ~max-orders-per-customer rows, so the second exchange is
+    trivially small. The join-side filter is pushed into the orders
+    scan; LEFT OUTER preserves order-less customers as count 0.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {sql_dsum('l.l_quantity')} AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_ORACLE)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    quantity exceeds a threshold, with their customer.
+
+    Scale shape: the HAVING subquery is a map-side-combined groupBy on
+    orderkey producing only the qualifying keys; that tiny key set
+    LEFT SEMI-prunes lineitem BEFORE the re-aggregation, so the second
+    pass runs over ~1% of the fact. Top-100 by totalprice is
+    TakeOrderedAndProject. l_quantity is integral-valued, so the
+    HAVING comparison is float-exact in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 200)
+        .select("l_orderkey")
+    )
+    l_big = l.join(
+        big_orders.withColumnRenamed("l_orderkey", "_bok"),
+        l.l_orderkey == F.col("_bok"),
+        "left_semi",
+    )
+    return (
+        l_big.join(o, l_big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style discounted revenue under an OR-of-ANDs
+    predicate mixing columns from both join sides.
+
+    Scale shape: Catalyst factors the disjunction — the part side gets
+    `p_brand IN (...) AND p_size <= 35` and the lineitem side gets
+    `l_quantity BETWEEN 1 AND 40` pushed to their scans (the full
+    disjunction can't push, but the weaker conjunctive envelope can
+    and does, shrinking both inputs before the broadcast join).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_Q21_ORACLE = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style sole-fault supplier: in finished multi-supplier
+    orders, the one supplier whose items came back returned while every
+    other supplier's did not ('returned' stands in for 'late' — the
+    schema has no commit/receipt dates).
+
+    Scale shape: the EXISTS / NOT EXISTS pair over the same relation is
+    rewritten as ONE per-order aggregate (distinct suppliers, distinct
+    returned-suppliers) joined back on orderkey — two scans of
+    lineitem and a single orderkey shuffle, instead of the literal
+    plan's two extra correlated join passes. The pair of correlated
+    predicates becomes `n_supp >= 2 AND n_ret_supp = 1` (l1 itself is
+    returned, so 'no OTHER returned supplier' == exactly one).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    order_stats = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(order_stats, l1.l_orderkey == F.col("_ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+_Q22_ORACLE = f"""
+SELECT c.c_nationkey AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_dsum('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT {sql_davg('c2.c_acctbal')}
+    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY cntry
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_ORACLE)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style sales opportunity: above-average-balance
+    customers with no urgent orders, totaled per nation (nationkey
+    stands in for the phone country code the schema doesn't have).
+
+    Scale shape: the scalar AVG subquery is a 1-row aggregate
+    broadcast-cross-joined into the scan (no driver collect); the NOT
+    EXISTS is a LEFT ANTI join against urgent-order custkeys projected
+    to the single join column. The threshold uses the deterministic
+    decimal average (:func:`registry.davg`) so the float comparison
+    agrees bit-for-bit with the oracle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("_avg_bal"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("_uck"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, c.c_custkey == F.col("_uck"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

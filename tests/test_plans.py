@@ -141,3 +141,51 @@ def test_minhash_single_explode_pass(spark):
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "agg_hash", "win_tumbling"])
 def test_aqe_enabled_on_bench_paths(spark, name):
     assert "AdaptiveSparkPlan" in plan_of(spark, name)
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The EXISTS formulation must run as a LeftSemi join on orderkey —
+    never a correlated per-row probe or an inner join + distinct."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_conjunctive_envelope(spark):
+    """The OR-of-ANDs predicate can't push as-is, but its weaker
+    conjunctive envelope must: the lineitem scan gets the quantity
+    range and the part side gets the brand IN-list — at 100 TB that is
+    the difference between scanning every row-group and skipping most."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) >= 3  # both scans push something
+    assert "l_quantity" in pushed[1][:400] or "l_quantity" in pushed[2][:400]
+    assert "p_brand" in pushed[1][:400] or "p_brand" in pushed[2][:400]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_orderkey_aggregate_no_extra_self_joins(spark):
+    """The EXISTS/NOT-EXISTS pair is rewritten as one per-order
+    aggregate joined back — the plan must contain exactly the expected
+    joins (stats join + orders join + broadcast supplier), with no
+    correlated-subquery expansion into additional lineitem passes."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    # lineitem is scanned exactly twice: l1 (returned rows) + stats agg
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_having_prunes_before_rejoin(spark):
+    """The qualifying-order key set must SEMI-prune lineitem before the
+    re-aggregation, and the top-100 must be TakeOrderedAndProject."""
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_scalar_subquery_is_broadcast_not_collect(spark):
+    """The AVG threshold joins in via a broadcast nested loop of a
+    1-row aggregate — no driver-side collect in the query path."""
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
