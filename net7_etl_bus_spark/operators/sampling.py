@@ -1,0 +1,117 @@
+"""Deterministic sampling and dataset splitting.
+
+A 100 TB training-data pipeline needs samples and train/val/test splits
+that are (a) reproducible across runs and engines, (b) stable under
+re-partitioning and appends, and (c) computable without any global
+state. Seed-based `df.sample()` gives none of that — its output depends
+on partitioning and engine RNG. Instead we bucket every row by a prefix
+of ``md5(key)``: the bucket is a pure function of the row's key, so the
+same row lands in the same bucket in Spark, DuckDB, or any other
+engine, today and after the table doubles.
+
+Buckets are kept as the 2-hex-char *string* prefix (``'00'``..``'ff'``,
+256 buckets): fixed-width lowercase hex compares lexicographically in
+every engine, which sidesteps cross-engine hex-to-int conversion
+entirely. Selecting ``bucket < '10'`` is exactly 16/256 = 6.25% of keys
+in expectation, with zero coordination between executors — a narrow map
+over the scan, no shuffle, fully pushdown-friendly.
+
+This is the standard web-scale practice (hash-mod sharding of URLs /
+doc ids for held-out sets); the reference has no counterpart — its
+whole input fits one batch (`CsvDataHandler.cs:15-22` reads the file
+in full), so sampling is a capability the 100 TB target adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+
+def hash_bucket(key_col, n_hex_chars: int = 2) -> F.Column:
+    """Deterministic bucket id for a key: the first ``n_hex_chars`` of
+    ``md5(CAST(key AS STRING))``, as a lowercase hex string.
+
+    16**n_hex_chars buckets; the string is engine-portable (DuckDB:
+    ``substring(md5(CAST(key AS VARCHAR)), 1, n)``)."""
+    return F.substring(F.md5(key_col.cast("string").cast("binary")), 1, n_hex_chars)
+
+
+def with_split(
+    df: DataFrame,
+    key: str,
+    val_frac_buckets: int = 16,
+    test_frac_buckets: int = 16,
+) -> DataFrame:
+    """Assign train/val/test split labels from the key's hash bucket.
+
+    The top ``test_frac_buckets`` of the 256 buckets are test, the next
+    ``val_frac_buckets`` are val, the rest train (defaults: 6.25% each
+    for val and test). Membership is a pure function of the key —
+    appending data, re-partitioning, or recomputing on another engine
+    never moves a row across splits, which is the property that keeps
+    held-out sets uncontaminated over the life of a dataset."""
+    b = hash_bucket(F.col(key))
+    test_lo = _hex2(256 - test_frac_buckets)
+    val_lo = _hex2(256 - test_frac_buckets - val_frac_buckets)
+    return df.withColumn(
+        "split",
+        F.when(b >= test_lo, F.lit("test"))
+        .when(b >= val_lo, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def _hex2(n: int) -> str:
+    return format(n, "02x")
+
+
+_SAMPLE_ORACLE = """
+SELECT d.doc_id, d.source, d.n_chars,
+       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents d
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '10'
+ORDER BY d.doc_id
+"""
+
+
+@register("sample_hash_pct", oracle=_SAMPLE_ORACLE)
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~6.25% sample of documents (md5 bucket < '10').
+
+    Scale shape: narrow map + filter over the scan — no shuffle, no
+    RNG, no driver coordination; the same doc ids are selected at any
+    partitioning and on any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return (
+        d.withColumn("bucket", b)
+        .filter(F.col("bucket") < "10")
+        .select("doc_id", "source", "n_chars", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN b >= 'f0' THEN 'test'
+            WHEN b >= 'e0' THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+) x
+ORDER BY doc_id
+"""
+
+
+@register("split_train_test", oracle=_SPLIT_ORACLE)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test assignment for every document
+    (87.5/6.25/6.25). Checked row-by-row against the oracle so the
+    split function itself — not just the split sizes — is pinned."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_split(d, "doc_id").select("doc_id", "split").orderBy("doc_id")

@@ -224,3 +224,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length(txt) >= _FP_WINDOW)
         .select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_W} AS words FROM documents
+      WHERE len({_SQL_W}) >= 2
+    ), e AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM base
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt,
+             MIN(n_words) AS n_words, MIN(n_distinct_words) AS n_distinct_words
+      FROM e GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           MIN(n_words) AS n_words,
+           CAST(MIN(n_distinct_words) AS DOUBLE) / MIN(n_words) AS distinct_word_frac,
+           CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac
+    FROM bc GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style filters): distinct-word
+    fraction and most-frequent-bigram fraction per document. Highly
+    repetitive machine-generated text scores low on the first and high
+    on the second; curation pipelines drop docs past thresholds.
+
+    Scale shape: the per-doc word counts ride along the exploded-bigram
+    pipeline as grouped MINs, so the whole operator is one explode and
+    two hash aggregations (partial-combined (doc, bigram) counts, then
+    per-doc max/sum) — no self-join back to the corpus and no second
+    scan. All outputs are integer arithmetic plus single IEEE
+    divisions, so the oracle hash-matches exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_words"),
+        F.transform(
+            # guarded by the >=2 filter below: sequence() would run
+            # DESCENDING for 1-word docs, fabricating a bogus bigram
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ).alias("bigrams"),
+    ).filter(F.col("n_words") >= 2)
+    bc = (
+        base.select(
+            "doc_id", "n_words", "n_distinct_words", F.explode("bigrams").alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_words").alias("n_words"),
+            F.min("n_distinct_words").alias("n_distinct_words"),
+        )
+    )
+    return bc.groupBy("doc_id").agg(
+        F.min("n_words").alias("n_words"),
+        (F.min("n_distinct_words").cast("double") / F.min("n_words")).alias(
+            "distinct_word_frac"
+        ),
+        F.max("cnt").cast("bigint").alias("top_bigram_count"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+    )

@@ -94,6 +94,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q13_order_count_dist", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q21_waiting_suppliers", "q22_dormant_customers",
+    "sample_hash_pct", "split_train_test", "text_repetition",
+    "stream_join_attrib",
 )
 
 
@@ -133,7 +135,7 @@ def _load_all() -> None:
     from .. import pipeline  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
-    from ..operators import similarity, text  # noqa: F401
+    from ..operators import sampling, similarity, text  # noqa: F401
     from ..operators import relational  # noqa: F401  (subqueries + dq_audit unverified)
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401

@@ -160,3 +160,33 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+@register(
+    "stream_join_attrib",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (:func:`net7_etl_bus_spark.streaming.joins.stream_click_attribution`):
+    purchases joined to same-user clicks in the preceding 30 minutes.
+    Runs the IDENTICAL dataflow function on the batch events table —
+    the streaming run (watermarked, state-store-backed; see
+    tests/test_streaming.py) must converge to exactly this result."""
+    from .joins import stream_click_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return stream_click_attribution(e)

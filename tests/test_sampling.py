@@ -1,0 +1,62 @@
+"""Deterministic sampling / split invariants.
+
+The property that matters at 100 TB is not the sample's size but its
+STABILITY: membership must be a pure function of the key, unaffected
+by partitioning, engine, or dataset growth — that's what keeps a
+held-out set uncontaminated across years of appends. These tests pin
+exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.data import load_table
+from net7_etl_bus_spark.operators.sampling import hash_bucket, with_split
+
+from .conftest import SF_SMALL
+
+
+def test_split_is_partitioning_invariant(spark):
+    d = load_table(spark, SF_SMALL, "documents")
+    a = with_split(d, "doc_id").select("doc_id", "split")
+    b = with_split(d.repartition(17, "source"), "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_split_is_append_stable(spark):
+    """Computing splits over a subset assigns every row the same split
+    it gets in the full dataset — growth never moves a row."""
+    d = load_table(spark, SF_SMALL, "documents")
+    full = with_split(d, "doc_id").select("doc_id", "split")
+    sub = with_split(d.filter(F.col("doc_id") < 100), "doc_id").select(
+        "doc_id", "split"
+    )
+    joined = sub.alias("s").join(full.alias("f"), "doc_id")
+    assert joined.filter(F.col("s.split") != F.col("f.split")).count() == 0
+
+
+def test_split_fractions_are_plausible(spark):
+    counts = dict(
+        with_split(load_table(spark, SF_SMALL, "documents"), "doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    n = sum(counts.values())
+    assert n == 500
+    # 6.25% expectation each for val/test; allow generous binomial slack
+    assert 10 <= counts.get("val", 0) <= 60
+    assert 10 <= counts.get("test", 0) <= 60
+    assert counts["train"] >= 380
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == n
+
+
+def test_hash_bucket_is_narrow_no_shuffle(spark):
+    """The bucket/filter pipeline must stay a scan-side map — no
+    exchange anywhere in the sampled-scan plan."""
+    d = load_table(spark, SF_SMALL, "documents")
+    sampled = d.withColumn("b", hash_bucket(F.col("doc_id"))).filter(F.col("b") < "10")
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -431,3 +431,30 @@ def test_tws_capped_sessions_stream_equals_batch(spark, tmp_path):
     assert streamed.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join (purchase->click attribution within 30
+    minutes): the watermarked streaming run over a file-replayed events
+    stream must produce exactly the batch twin's rows. Both sides of
+    the join come from the same readStream source (self-join of a
+    stream), which Spark state-buffers per user_id with
+    watermark+interval-bounded eviction."""
+    import os
+
+    from net7_etl_bus_spark.streaming.joins import stream_click_attribution
+
+    d = str(tmp_path / "ssj_events")
+    os.makedirs(d)
+    _write_events_json(spark, SF_SMALL, d)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(d)
+    joined = stream_click_attribution(stream)
+    got = _run_stream_to_memory(
+        spark, joined, "ssj_out", str(tmp_path / "ckpt_ssj"), output_mode="append"
+    )
+
+    batch = stream_click_attribution(load_table(spark, SF_SMALL, "events"))
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
