@@ -424,3 +424,113 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(id, label)`` where label is the smallest node id reachable in
+    the undirected graph given by ``pairs``.
+
+    This is the step that turns near-dup PAIRS into duplicate
+    CLUSTERS — pairwise similarity is not transitive, but dedup
+    survivor selection needs one keeper per transitive group, so the
+    industry-standard cascade is LSH pairs -> connected components ->
+    keep min id per component.
+
+    Scale shape: a driver-coordinated fixpoint loop (the canonical
+    Spark pattern for iterative graph algorithms — same structure as
+    GraphX/Pregel). Each round is one join + min-aggregation, both
+    shuffling on node id, and `localCheckpoint()` materializes the
+    new labels so lineage stays O(1) instead of O(iterations).
+    Rounds needed = graph diameter; duplicate clusters are
+    near-cliques (diameter ~1-3), so the loop converges in a handful
+    of rounds even at 100 TB. Convergence is detected from the SUM of
+    labels (strictly decreasing until fixpoint) — one cheap scalar
+    aggregate per round, no labels-vs-labels self-join.
+    """
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+_CC_THRESHOLD = 0.5
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+{_SQL_JACCARD_PAIRS},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.c, 0))
+        >= {_CC_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM verified
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM verified
+),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+
+@register("dedup_cc_clusters", oracle=_CC_ORACLE)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the full production cascade — MinHash LSH
+    candidates -> exact-Jaccard verify (>= 0.5) -> connected
+    components -> (doc_id, cluster_id = min doc id of the transitive
+    group). Downstream dedup keeps `doc_id == cluster_id` rows.
+
+    The iterative Spark fixpoint is checked against a DuckDB
+    RECURSIVE-CTE transitive closure over the identical verified
+    pairs — an iterative algorithm with a full value-level oracle.
+    """
+    pairs = dedup_minhash_verified(spark, sf_dir).filter(
+        F.col("jaccard") >= _CC_THRESHOLD
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -724,3 +724,44 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shipdate_out_of_range"),
         F.countDistinct("l_returnflag").cast("bigint").alias("n_returnflag_values"),
     )
+
+
+@register(
+    "agg_rollup_time",
+    oracle=f"""
+    SELECT date_trunc('year', ts) AS y,
+           date_trunc('month', ts) AS m,
+           date_trunc('day', ts) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('year', ts), date_trunc('month', ts),
+                     date_trunc('day', ts))
+    """,
+)
+def agg_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: event aggregates at
+    day, month, year, and grand-total grains in ONE pass
+    (GROUP BY ROLLUP over the truncated-timestamp hierarchy) —
+    the batch form of a timeseries store's continuous aggregate
+    ladder.
+
+    Scale shape: Spark expands the rollup into grouping sets inside a
+    single Expand + hash aggregate — partial aggregation collapses
+    each partition to (grains x types x days) rows before one
+    shuffle; no per-grain re-scan of the fact. At 100 TB with
+    date-partitioned layout the day grain prunes, and the coarser
+    grains are derived in the same aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("y", F.date_trunc("year", "ts"))
+        .withColumn("m", F.date_trunc("month", "ts"))
+        .withColumn("d", F.date_trunc("day", "ts"))
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select("y", "m", "d", "n_events", "sum_value")
+    )

@@ -1,0 +1,76 @@
+"""Connected-components correctness on crafted graphs.
+
+The oracle-parity suite checks the full LSH->verify->CC cascade on
+real documents; these tests isolate the fixpoint loop itself on graphs
+chosen to need MULTIPLE propagation rounds (a long chain) and to keep
+disjoint components apart — properties a one-round implementation or a
+leaky join would silently violate.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edge_list):
+    pairs = spark.createDataFrame(edge_list, "doc_a bigint, doc_b bigint")
+    rows = connected_components(pairs).collect()
+    return {r["id"]: r["label"] for r in rows}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # 9 -> 8 -> ... -> 0: min label must travel the whole chain.
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cycle_and_cross_edges(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (3, 7)])
+    assert got == {3: 3, 5: 3, 6: 3, 7: 3}
+
+
+def _pure_cc(edges):
+    """Reference union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to component minimum
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_matches_union_find(spark, edges):
+    want = _pure_cc(edges)
+    # canonicalize union-find roots to true component minima
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    want = {n: min(ns) for r, ns in comp.items() for n in ns}
+    got = _cc(spark, [(a, b) for a, b in edges])
+    assert got == want

@@ -117,3 +117,34 @@ def test_emb_dedup_lsh_recall_vs_all_pairs(spark):
     if exact:
         recall = len(bucketed) / len(exact)
         assert recall >= 0.5, f"bucketed near-dup recall collapsed: {recall}"
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile (the scale path for quantiles over 100 TB —
+    mergeable sketch, no global sort) must land within the documented
+    accuracy of the exact percentile_disc the registry oracle-checks."""
+    from net7_etl_bus_spark.data import load_table
+
+    l = load_table(spark, SF_SMALL, "lineitem")
+    acc = 1000  # relative rank error <= 1/acc
+    row = l.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), {acc})"
+        ).alias("ap"),
+        F.expr(
+            "percentile_disc(array(0.25, 0.5, 0.9)) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("ex"),
+    ).collect()[0]
+    n = l.count()
+    prices = None
+    for approx, exact, q in zip(row["ap"], row["ex"], (0.25, 0.5, 0.9)):
+        if approx == exact:
+            continue
+        # translate value error back to rank error against the sorted col
+        if prices is None:
+            prices = [r[0] for r in l.select("l_extendedprice").orderBy("l_extendedprice").collect()]
+        import bisect
+
+        rank_target = q * n
+        rank_got = bisect.bisect_left(prices, approx)
+        assert abs(rank_got - rank_target) <= n / acc + 1, (q, approx, exact)
