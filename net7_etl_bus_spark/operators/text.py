@@ -10,10 +10,10 @@ oracle-hashable without rounding tricks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import FIXTURES_DIR, load_table
 from ..plans.registry import register
 from .dedup import normalized_text
 
@@ -301,3 +301,66 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_bigrams"),
         (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
     )
+
+
+# PII redaction patterns — written to the common subset of Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition and
+# \b word boundaries only, so both engines match the exact same spans.
+# SSN-shaped (3-2-4) and phone-shaped (3-3-4) groups are disjoint by
+# their middle-group widths; IPv4 runs after both so digit runs inside
+# already-redacted tokens can't re-match.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(col: Column | str = "text") -> Column:
+    """Redact PII spans in-place, preserving surrounding text."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+_PII_SQL_COUNTS = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in _PII_PATTERNS
+)
+_PII_SQL_SCRUB = "text"
+for _name, _pat, _token in _PII_PATTERNS:
+    _PII_SQL_SCRUB = f"regexp_replace({_PII_SQL_SCRUB}, '{_pat}', '{_token}', 'g')"
+
+
+@register(
+    "text_scrub_pii",
+    oracle=f"""
+    SELECT doc_id, {_PII_SQL_SCRUB} AS scrubbed, {_PII_SQL_COUNTS}
+    FROM read_parquet('{FIXTURES_DIR}/pii_docs.parquet')
+    ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: replace email / SSN-shaped /
+    phone-shaped / IPv4 spans with typed tokens and count each kind
+    per document (the counts feed filter thresholds — documents past a
+    PII density are dropped rather than scrubbed).
+
+    Runs over the committed pii_docs fixture (the synthetic documents
+    table is clean word soup, so redaction needs salted inputs; all
+    fixture PII is seed-generated and matches no real person). Narrow
+    map over the scan — regexp work is JVM-side codegen, no shuffle,
+    scales with bytes like every other text operator.
+    """
+    d = spark.read.parquet(f"{FIXTURES_DIR}/pii_docs.parquet")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    return d.select(
+        "doc_id", scrub_pii("text").alias("scrubbed"), *counts
+    ).orderBy("doc_id")

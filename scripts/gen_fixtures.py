@@ -260,8 +260,46 @@ def main() -> None:
     write_api_responses(rows, os.path.join(FIXTURES, "api_responses.jsonl"))
     write_zip_xml(rows, os.path.join(FIXTURES, "zip_codes.xml"))
     write_zip_orc(rows, os.path.join(FIXTURES, "zip_codes.orc"))
+    write_pii_docs(os.path.join(FIXTURES, "pii_docs.parquet"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 
 if __name__ == "__main__":
     main()
+
+
+def write_pii_docs(path) -> None:
+    """Documents salted with synthetic PII (emails, phone numbers,
+    SSN-shaped ids, IPv4s) for the scrubbing operator — the testdata
+    documents table is clean word soup, so redaction needs its own
+    fixture. All PII here is generated from a fixed seed and matches
+    no real person by construction."""
+    rng = random.Random(77)
+    words = ["the", "data", "spark", "batch", "merge", "join", "row",
+             "table", "stream", "window", "filter", "key", "value"]
+    names = ["alice", "bob", "carol", "dan", "erin", "frank"]
+    domains = ["example.com", "test.org", "mail.invalid"]
+    rows = []
+    for doc_id in range(200):
+        toks = [rng.choice(words) for _ in range(rng.randint(8, 25))]
+        # deterministic sprinkling: each kind appears in ~1/3 of docs
+        if doc_id % 3 == 0:
+            toks.insert(rng.randrange(len(toks)),
+                        f"{rng.choice(names)}{rng.randint(1, 99)}@{rng.choice(domains)}")
+        if doc_id % 3 == 1:
+            toks.insert(rng.randrange(len(toks)),
+                        f"{rng.randint(200, 989)}-{rng.randint(200, 989)}-{rng.randint(1000, 9999)}")
+        if doc_id % 5 == 2:
+            toks.insert(rng.randrange(len(toks)),
+                        f"{rng.randint(100, 899)}-{rng.randint(10, 89)}-{rng.randint(1000, 9999)}")
+        if doc_id % 7 == 3:
+            toks.insert(rng.randrange(len(toks)),
+                        f"{rng.randint(1, 254)}.{rng.randint(0, 254)}.{rng.randint(0, 254)}.{rng.randint(1, 254)}")
+        rows.append((doc_id, " ".join(toks)))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string())}
+        ),
+        path,
+    )

@@ -60,3 +60,24 @@ def test_hash_bucket_is_narrow_no_shuffle(spark):
     sampled = d.withColumn("b", hash_bucket(F.col("doc_id"))).filter(F.col("b") < "10")
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    """Every PII kind present in the fixture is fully redacted: after
+    scrubbing, no email/ssn/phone/ipv4 pattern matches anywhere, and
+    the typed tokens appear exactly as often as the original spans."""
+    from net7_etl_bus_spark.operators.text import _PII_PATTERNS
+    from net7_etl_bus_spark.plans import registry
+
+    df = registry.queries()["text_scrub_pii"](spark, SF_SMALL)
+    total = {name: 0 for name, _, _ in _PII_PATTERNS}
+    for r in df.collect():
+        for name, pat, token in _PII_PATTERNS:
+            assert not __import__("re").search(pat, r["scrubbed"].replace(token, "")), (
+                r["doc_id"], name)
+            total[name] += r[f"n_{name}"]
+    # the generator salts each kind into a fixed fraction of 200 docs
+    assert total["email"] >= 60
+    assert total["phone"] >= 60
+    assert total["ssn"] >= 35
+    assert total["ipv4"] >= 25
