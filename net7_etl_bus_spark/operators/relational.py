@@ -765,3 +765,133 @@ def agg_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("y", "m", "d", "n_events", "sum_value")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click >= t_view THEN 1 END) AS BIGINT) AS n_view_then_click,
+           CAST(COUNT(CASE WHEN t_click >= t_view AND t_purchase >= t_click THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM u
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view -> click -> purchase ordered by first
+    occurrence per user): the standard product-analytics sequence
+    query, formulated as ONE conditional-min aggregation per user plus
+    a global roll-up — no self-joins, no window sort over the fact.
+
+    Scale shape: a single user_id shuffle with map-side partial mins;
+    the stage comparison happens on the 3-column per-user result. The
+    per-event-type sequential-scan formulation (N self-joins) that a
+    naive port would produce is exactly what this avoids.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") >= F.col("t_view")
+    return u.agg(
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count(F.when(clicked, 1)).cast("bigint").alias("n_view_then_click"),
+        F.count(F.when(clicked & (F.col("t_purchase") >= F.col("t_click")), 1))
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT f.cohort,
+           CAST((epoch_us(a.wk) - epoch_us(f.cohort)) / 604800000000.0 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    ORDER BY f.cohort, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent active week (the classic retention
+    triangle). Week offsets are computed as exact epoch-microsecond
+    differences of week-truncated timestamps — a whole number in both
+    engines, so the cast is lossless.
+
+    Scale shape: two aggregations over events sharing the user_id
+    shuffle key, then a join of two user-sized relations (each ~one
+    row per user/week, orders of magnitude below the fact) and a
+    final small-group aggregate. Nothing rescans the fact after the
+    first pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    week_offset = (
+        (F.unix_micros("wk") - F.unix_micros("cohort")) / F.lit(604800000000.0)
+    ).cast("int")
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort", week_offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    ) m
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of agg_pivot): wide measure columns
+    to long (key, metric, value) rows via the native unpivot operator
+    — ONE scan expanding each row in place (Spark Expand node), where
+    the SQL-92 oracle needs a UNION ALL scan per measure. Narrow,
+    shuffle-free, output = rows x measures.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )

@@ -96,7 +96,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue", "q21_waiting_suppliers", "q22_dormant_customers",
     "sample_hash_pct", "split_train_test", "text_repetition",
     "stream_join_attrib", "dedup_cc_clusters", "agg_rollup_time",
-    "text_scrub_pii",
+    "text_scrub_pii", "funnel_conversion", "cohort_retention", "agg_unpivot",
 )
 
 

@@ -226,3 +226,50 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a hot key that would pin one reducer gets its
+    partition split at runtime (SortMergeJoin(skew=true) in the final
+    adaptive plan). This is the no-code-change complement to the
+    explicit salting in join_skew_salted — at 100 TB either one keeps
+    a power-law key from serializing the stage. Thresholds are tuned
+    down only so the optimization fires at test scale."""
+    saved = {}
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        # 200k rows on ONE key vs 2k spread over 2k keys: partition
+        # holding key 0 is >>2x the median.
+        left = spark.range(200_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(2_000).select(
+                (F.col("id") + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(2_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        # execute THIS DataFrame's query (count() would build a new
+        # QueryExecution and leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == 202_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
