@@ -1,0 +1,145 @@
+"""Change-data-capture shapes: SCD type-2 history build and snapshot
+diffing (SURVEY.md §2.3 additions).
+
+The reference bus is an ingest service that upserts the latest state of
+each record (`DataflowProcessor.cs` keyed MERGE semantics); these
+operators cover the two standard warehouse follow-ons a user of such a
+bus needs next: turning the change log into a type-2 dimension with
+validity intervals, and diffing two point-in-time snapshots of the
+keyed state. Both are pure DataFrame formulations — one shuffle on the
+entity key each, no self-joins against the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state)
+    SELECT user_id, state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: collapse consecutive identical states per entity, then derive
+    [valid_from, valid_to) intervals, a version counter, and the
+    current-row flag.
+
+    This is the warehouse-side completion of the reference's
+    latest-state upsert (`Services/DataflowProcessor.cs:214-249` keeps
+    only the newest record per key; SCD2 is what you build when you
+    must also answer "what was the state at time T").
+
+    Scale shape: every window shares PARTITION BY user_id ORDER BY
+    (ts, event_id), so the whole query is ONE shuffle + ONE sort per
+    partition, reused across the change-collapse and interval steps.
+    Per-entity history fits a window partition by construction; no
+    global sort, no self-join of the log against itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+_T1 = "2024-01-01 01:00:00"
+_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type AS state, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_new,
+             CASE WHEN ts < TIMESTAMP '{_T1}' THEN
+               ROW_NUMBER() OVER (PARTITION BY user_id, (ts < TIMESTAMP '{_T1}')
+                                  ORDER BY ts DESC, event_id DESC)
+             END AS rn_old
+      FROM events WHERE ts < TIMESTAMP '{_T2}'),
+    new_snap AS (SELECT user_id, state, value FROM ranked WHERE rn_new = 1),
+    old_snap AS (SELECT user_id, state, value FROM ranked WHERE rn_old = 1)
+    SELECT n.user_id,
+           o.state AS old_state, n.state AS new_state,
+           o.value AS old_value, n.value AS new_value,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN o.state <> n.state OR o.value <> n.value THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM new_snap n LEFT JOIN old_snap o ON n.user_id = o.user_id
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two point-in-time snapshots of the keyed latest-state table
+    (the relation the reference's upsert sink maintains,
+    `Services/DataflowProcessor.cs:214-249`): classify every key as
+    added / changed / unchanged between T1 and T2.
+
+    Scale shape: BOTH snapshots come out of ONE scan and ONE user_id
+    shuffle — a single groupBy computes max_by(state, (ts, event_id))
+    twice, once gated on ts < T1 (max_by ignores rows whose ordering
+    key is NULL, so the gate is a conditional aggregate, not a second
+    pass). The naive two-snapshots-then-full-outer-join plan would
+    scan and shuffle the log twice and join two entity-sized
+    relations; this does the diff in the aggregate's output row.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_T2).cast("timestamp")
+    )
+    ord_key = F.struct("ts", "event_id")
+    pick = F.struct(F.col("event_type").alias("state"), "value")
+    old_gate = F.when(F.col("ts") < F.lit(_T1).cast("timestamp"), ord_key)
+    snap = e.groupBy("user_id").agg(
+        F.max_by(pick, ord_key).alias("new"),
+        F.max_by(pick, old_gate).alias("old"),
+    )
+    changed = (F.col("old.state") != F.col("new.state")) | (
+        F.col("old.value") != F.col("new.value")
+    )
+    return snap.select(
+        "user_id",
+        F.col("old.state").alias("old_state"),
+        F.col("new.state").alias("new_state"),
+        F.col("old.value").alias("old_value"),
+        F.col("new.value").alias("new_value"),
+        F.when(F.col("old").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )

@@ -146,6 +146,43 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over the full partition frame —
+    each order row annotated with its customer's first, last, and
+    second order. The frame is pinned to UNBOUNDED..UNBOUNDED in both
+    engines (the default RANGE..CURRENT ROW frame would make
+    last_value degenerate to the current row).
+
+    One per-customer window shared by all three functions: one shuffle
+    on o_custkey, one sort, partitions bounded by per-customer order
+    counts."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
 # --- as-of join ---------------------------------------------------------
 
 _ASOF_ORACLE = """

@@ -97,6 +97,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "sample_hash_pct", "split_train_test", "text_repetition",
     "stream_join_attrib", "dedup_cc_clusters", "agg_rollup_time",
     "text_scrub_pii", "funnel_conversion", "cohort_retention", "agg_unpivot",
+    "scd2_dimension", "cdc_snapshot_diff", "win_first_last",
 )
 
 
@@ -136,7 +137,7 @@ def _load_all() -> None:
     from .. import pipeline  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
-    from ..operators import sampling, similarity, text  # noqa: F401
+    from ..operators import cdc, sampling, similarity, text  # noqa: F401
     from ..operators import relational  # noqa: F401  (subqueries + dq_audit unverified)
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401
