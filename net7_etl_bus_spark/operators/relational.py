@@ -895,3 +895,59 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+_BANDS = (("b0_low", 0.0, 20.0), ("b1_mid", 20.0, 75.0), ("b2_high", 75.0, 150.0),
+          ("b3_peak", 150.0, 300.0), ("b4_tail", 300.0, 500.0))
+_BIN_W = 50.0
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands AS (
+      SELECT * FROM (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+      t(band, lo, hi))
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-dimension lookup join (value -> band) rewritten from a
+    non-equi theta join into a binned EQUI join: each band row is
+    exploded into the fixed-width bins it overlaps, the fact is binned
+    with floor(value / W), and the join runs hash-on-bin with the
+    original range predicate kept as a residual filter.
+
+    Scale shape: the theta formulation (the oracle) is a nested-loop
+    join — O(facts x bands) comparisons, catastrophic when the range
+    dimension is large (an IP-geolocation table has millions of
+    ranges). The binned form is a plain hash join: O(facts + bands x
+    bins_per_band) with each fact row probing exactly one bucket. The
+    physical plan is a BroadcastHashJoin on the bin key, not a
+    BroadcastNestedLoopJoin (asserted in test_physical_plans.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(list(_BANDS), "band string, lo double, hi double")
+    binned_bands = bands.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W).cast("int"),
+                F.floor(F.col("hi") / _BIN_W).cast("int"),
+            )
+        ),
+    )
+    fact = e.withColumn("bin", F.floor(F.col("value") / _BIN_W).cast("int"))
+    joined = fact.join(
+        F.broadcast(binned_bands),
+        (fact["bin"] == binned_bands["bin"])
+        & (fact["value"] >= binned_bands["lo"])
+        & (fact["value"] < binned_bands["hi"]),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

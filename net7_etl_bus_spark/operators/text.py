@@ -364,3 +364,53 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", scrub_pii("text").alias("scrubbed"), *counts
     ).orderBy("doc_id")
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_SQL_W} AS words FROM documents WHERE len({_SQL_W}) >= 2
+    ), e AS (
+      SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM base
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM e GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 100
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency table (top-100 bigrams): the
+    counting pass behind tokenizer/BPE vocabulary induction and
+    contamination checks. Same tokenization as every text operator
+    (lower/trim/space-split), so frequencies line up across ops.
+
+    Scale shape: one explode feeding a two-phase hash aggregate
+    (map-side partial counts collapse the heavy-hitter bigrams before
+    the shuffle — Zipfian n-grams are exactly the distribution where
+    partial aggregation pays), then TakeOrderedAndProject for the
+    top-k: no global sort of the full frequency table. Ties break on
+    the bigram string so the top-100 cut is deterministic in both
+    engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    base = d.select(words.alias("words")).filter(F.size("words") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("words", i), F.element_at("words", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(100)
+    )

@@ -98,6 +98,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "stream_join_attrib", "dedup_cc_clusters", "agg_rollup_time",
     "text_scrub_pii", "funnel_conversion", "cohort_retention", "agg_unpivot",
     "scd2_dimension", "cdc_snapshot_diff", "win_first_last",
+    "text_ngram_freq", "join_range_binned",
 )
 
 

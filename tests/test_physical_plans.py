@@ -273,3 +273,16 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """join_range_binned's whole point: the bin-key rewrite turns the
+    range lookup into a hash join. The equi-join on bin must appear as
+    BroadcastHashJoin; a BroadcastNestedLoopJoin would mean the
+    rewrite regressed to O(facts x bands) comparisons."""
+    from net7_etl_bus_spark.operators.relational import join_range_binned
+
+    df = join_range_binned(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
