@@ -99,6 +99,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_scrub_pii", "funnel_conversion", "cohort_retention", "agg_unpivot",
     "scd2_dimension", "cdc_snapshot_diff", "win_first_last",
     "text_ngram_freq", "join_range_binned",
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+    "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_cnt",
+    "q17_small_quantity_revenue", "q20_excess_suppliers",
 )
 
 

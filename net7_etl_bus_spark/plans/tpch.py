@@ -686,3 +686,396 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+# --- q2-style: minimum-cost supplier -----------------------------------
+# The reduced schema has no partsupp; the supply catalog is derived as
+# the distinct (part, supplier) pairs observed in lineitem with
+# unit_cost = min(extendedprice / quantity). Same shape as TPC-H Q2:
+# region-filtered suppliers, per-part minimum cost, correlated-min
+# semantics expressed as a window (one shuffle on partkey) instead of a
+# rescan-the-catalog correlated subquery.
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT ps.l_partkey, ps.unit_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+m AS (SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost FROM eu)
+SELECT m.s_acctbal, m.s_name, m.n_name, p.p_partkey, p.p_name
+FROM m JOIN part p ON p.p_partkey = m.l_partkey
+WHERE m.unit_cost = m.min_cost
+  AND p.p_size BETWEEN 20 AND 30 AND p.p_type = 'STANDARD'
+ORDER BY m.s_acctbal DESC, m.n_name, m.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier (adapted: the supply
+    catalog is derived from lineitem, see module comment).
+
+    Scale shape: the catalog agg shuffles lineitem once on
+    (partkey, suppkey); supplier->nation->region broadcasts into it;
+    the per-part min is a WINDOW over the partkey shuffle — NOT the
+    textbook correlated subquery, which would rescan the catalog per
+    part. Filtered part broadcasts into the final probe. Top-100 is
+    TakeOrderedAndProject.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(20, 30) & (F.col("p_type") == "STANDARD")
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    m = eu.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        m.join(F.broadcast(p), m.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_type_profit", oracle=_Q9_ORACLE)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style profit by nation and year (adapted: revenue
+    stands in for profit — the reduced schema has no supplycost).
+
+    Scale shape: part (name-filtered, so heavily pruned) and
+    supplier->nation broadcast into one pass over lineitem; the
+    name LIKE 'red%' predicate pushes to the part scan as a
+    StringStartsWith. One fact scan, one small-group hash agg.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- q11-style: important parts by traded value ------------------------
+
+_Q11_NATION = "NATION_3"
+_Q11_FRAC = 0.001
+
+_Q11_ORACLE = f"""
+WITH base AS (
+  SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{_Q11_NATION}')
+SELECT l_partkey, {sql_dsum('v', 2)} AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING {sql_dsum('v', 2)} > (SELECT {sql_dsum('v', 2)} FROM base) * {_Q11_FRAC}
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important-parts query (adapted: traded value
+    from lineitem replaces partsupp stock value): parts whose value
+    from one nation's suppliers exceeds a fraction of that nation's
+    total.
+
+    Scale shape: nation-filtered supplier broadcasts into ONE pass
+    over lineitem; the global total is a second aggregate of the same
+    (cheap, already-filtered) base that Spark plans as a 1-row
+    broadcast into the HAVING filter — never a rescan of raw
+    lineitem. Both the per-part and total sums use the same exact
+    decimal accumulation, so the threshold compare is deterministic.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = F.col("l_extendedprice") * F.col("l_quantity")
+    base = l.join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", v.alias("v")
+    )
+    per_part = base.groupBy("l_partkey").agg(dsum("v").alias("part_value"))
+    total = base.agg((dsum("v") * F.lit(_Q11_FRAC)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@register("q12_priority_shipping", oracle=_Q12_ORACLE)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style priority-class counts (adapted: grouped by
+    l_linestatus — the reduced schema has no shipmode — with the same
+    high/low conditional-count core).
+
+    Scale shape: date filter pushed to the lineitem scan, orderkey
+    shuffle join against orders (both fact-sized: co-partitioned
+    shuffle or bucketing, never broadcast), then a 2-group conditional
+    aggregate that collapses map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: the supplier(s) whose quarterly
+    revenue equals the maximum over all suppliers.
+
+    Scale shape: one date-pruned pass over lineitem aggregated by
+    suppkey; the scalar max is a 1-row broadcast back onto the
+    (supplier-sized, small) revenue relation — the revenue view is
+    computed once, not once per comparison. Exact-decimal revenue
+    makes the equality join well-defined cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT c.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) c
+JOIN part p ON p.p_partkey = c.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND c.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_part_cnt", oracle=_Q16_ORACLE)
+def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier counts per part attribute (adapted:
+    the part-supplier catalog is the distinct pairs from lineitem;
+    negative-balance suppliers stand in for the complaints NOT IN).
+
+    Scale shape: the distinct-pairs dedup shuffles lineitem once on
+    (partkey, suppkey); the excluded-supplier set is a broadcast ANTI
+    join (never a NOT IN rescan); filtered part broadcasts; the count
+    distinct rides the same keys. All joins hash, no nested loop.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    cat = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        cat.join(F.broadcast(bad), cat.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q17_ORACLE = f"""
+WITH a AS (
+  SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {sql_dsum('l.l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity average yearly revenue: lineitems
+    of one brand whose quantity is below 20% of the part's average.
+
+    Scale shape: the correlated AVG subquery is decorrelated into one
+    per-part aggregate joined back on partkey — the per-part relation
+    is parts-sized (small next to the fact) and the join shares the
+    partkey shuffle with the probe side. Exact-decimal avg makes the
+    0.2*avg threshold deterministic cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    a = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(a, l.l_partkey == a.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q20_ORACLE = f"""
+WITH excess AS (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING {sql_dsum('l.l_quantity', 2)} > 30.0)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s.s_name
+"""
+
+
+@register("q20_excess_suppliers", oracle=_Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style promotion-part suppliers: suppliers in one
+    nation who moved more than a threshold quantity of a name-filtered
+    part family in a year.
+
+    Scale shape: the nested IN becomes a SEMI join from supplier to
+    the (already tiny after HAVING) excess relation; part (name
+    filter pushed as StringStartsWith) broadcasts into the single
+    date-pruned lineitem pass. Supplier never joins the raw fact.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    excess = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
