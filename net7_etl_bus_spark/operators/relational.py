@@ -951,3 +951,99 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sx,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT) * CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sxx,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS syy,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT) * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty,
+           sqrt(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_price,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev, Pearson correlation)
+    computed deterministically across engines: inputs are quantized to
+    0.01, the five raw moments accumulate as EXACT 38-digit integers
+    (order-independent, so partial aggregation is free), and floats
+    only appear in the final sqrt/divide — IEEE-correctly-rounded ops
+    on identical operands in both engines. Built-in stddev/corr would
+    be summation-order-dependent and never hash-match cross-engine.
+
+    Scale shape: one scan, map-side partial integer sums, 3-row final
+    agg — the same linear shape as any one-pass moment sketch.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    xd = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    yd = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = (n * F.col("sxx") - sx * sx).cast("double")
+    vary = (n * F.col("syy") - sy * sy).cast("double")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    nn1 = (n * (n - 1)).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.sqrt(varx / nn1) / 100.0).alias("stddev_qty"),
+        (F.sqrt(vary / nn1) / 100.0).alias("stddev_price"),
+        (cov / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list / collect_set) with
+    deterministic element order: lists sort numerically before
+    stringification (stringified because the driver's hash compare
+    can't sort array cells; the concat_ws form is the portable
+    serialization).
+
+    Scale shape: single groupBy shuffle; per-group arrays must be
+    bounded (per-customer order lists are) — unbounded-group
+    collect_list at 100 TB is an OOM by design, which is why the op
+    pairs with the top-k and sketch aggregates rather than replacing
+    them.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+    )

@@ -115,3 +115,42 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     split function itself — not just the split sizes — is pinned."""
     d = load_table(spark, sf_dir, "documents")
     return with_split(d, "doc_id").select("doc_id", "split").orderBy("doc_id")
+
+
+_STRATA_CUTOFF = (("en", "28"), ("de", "55"))  # hex bucket cutoffs: ~15.6%, ~33%
+_DEFAULT_CUTOFF = "80"  # 50% for every other language
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '28' WHEN 'de' THEN '55' ELSE '80' END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each stratum (language) gets
+    its own hash-bucket cutoff — the class-rebalancing primitive for
+    training mixes (downsample the dominant language, keep the tail).
+    Same md5-bucket mechanics as sample_hash_pct, so membership stays
+    a pure function of the key: appends, repartitioning, or another
+    engine never move a row in or out of the sample.
+
+    Scale shape: narrow map + filter over the scan, zero shuffle; the
+    per-stratum rate table is a literal CASE (broadcast-join a config
+    table instead when strata number in the thousands).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    cutoff = F.lit(_DEFAULT_CUTOFF)
+    for lang, cut in reversed(_STRATA_CUTOFF):
+        cutoff = F.when(F.col("lang") == lang, F.lit(cut)).otherwise(cutoff)
+    return (
+        d.select("doc_id", "lang", b.alias("bucket"))
+        .filter(F.col("bucket") < cutoff)
+        .orderBy("doc_id")
+    )

@@ -102,6 +102,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_cnt",
     "q17_small_quantity_revenue", "q20_excess_suppliers",
+    "agg_stats_moments", "agg_collect_list", "sample_stratified",
 )
 
 
