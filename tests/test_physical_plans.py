@@ -286,3 +286,20 @@ def test_range_binned_join_is_hash_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_q9_name_prefix_pushed_to_part_scan(spark):
+    """q9's p_name LIKE 'red%' must reach the part scan as a
+    StringStartsWith pushed filter — at 100 TB the name filter is what
+    shrinks part enough to broadcast."""
+    plan = plan_of(spark, "q9_product_type_profit")
+    assert "StringStartsWith(p_name,red)" in plan.replace(" ", ""), plan
+
+
+def test_q2_min_via_window_no_nested_loop(spark):
+    """q2's correlated-min is formulated as a window over the partkey
+    shuffle: the plan must contain a Window node and no nested-loop or
+    cartesian join (the correlated-subquery plan shape)."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
