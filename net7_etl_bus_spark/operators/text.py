@@ -414,3 +414,67 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(100)
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(
+            generate_series(1, len(w) - 2),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+          )) AS t(s)
+      WHERE len(w) >= 3
+    ),
+    ev AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 10),
+    c AS (SELECT doc_id, s FROM shingles WHERE doc_id >= 10)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(ev.s) AS BIGINT) AS n_matched,
+           CAST(COUNT(ev.s) AS DOUBLE) / COUNT(*) AS contamination_frac
+    FROM c LEFT JOIN ev ON ev.s = c.s
+    GROUP BY c.doc_id
+    HAVING COUNT(ev.s) > 0
+    ORDER BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    3-gram shingles with an eval set (here: doc_id < 10 stands in for
+    the benchmark suite), reporting match counts and the contaminated
+    fraction. Same tokenization/shingling as the dedup cascade, so a
+    corpus can be deduped and decontaminated off one shingle pass.
+
+    Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    eval shingle set BROADCASTS; the corpus side is one explode and
+    one left-join-then-aggregate pass — total and matched counts come
+    from the same aggregate (COUNT(*) vs COUNT(match)), never a
+    second scan. Work is linear in corpus shingles.
+    """
+    from .dedup import _shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    ev = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.col("s").alias("es"))
+        .distinct()
+    )
+    c = sh.filter(F.col("doc_id") >= 10)
+    return (
+        c.join(F.broadcast(ev), c.s == ev.es, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("es").cast("bigint").alias("n_matched"),
+            (F.count("es").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_frac"
+            ),
+        )
+        .filter(F.col("n_matched") > 0)
+        .orderBy("doc_id")
+    )

@@ -103,7 +103,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_cnt",
     "q17_small_quantity_revenue", "q20_excess_suppliers",
     "agg_stats_moments", "agg_collect_list", "sample_stratified",
-    "ts_gapfill_locf", "ts_interpolate_linear",
+    "ts_gapfill_locf", "ts_interpolate_linear", "text_decontaminate",
 )
 
 
