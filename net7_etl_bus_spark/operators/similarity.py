@@ -453,3 +453,53 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.85)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           array_to_string(list_transform(embedding,
+             y -> CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)), ',') AS q8,
+           list_max(list_transform(embedding,
+             y -> abs(CAST(y AS DOUBLE)
+                      - CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)
+                        * scale / 127.0))) AS max_abs_err
+    FROM s ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization of the embedding column —
+    the standard 4x storage/bandwidth reduction before ANN indexing at
+    corpus scale — plus the reconstruction-error bound it ships with
+    (max |x - dequant(x)| per vector).
+
+    Scale shape: a narrow map of JVM higher-order functions
+    (transform/array_max), zero shuffle, linear in vectors. Floats
+    promote to double exactly and every step (divide, scale, floor) is
+    an identical IEEE expression in both engines, so even the error
+    column hash-matches the oracle. Quantized payload is stringified
+    only because the driver's compare can't sort array cells.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda y: y.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda y: F.abs(xd(y))))
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    q = lambda y: F.floor(xd(y) / F.col("scale") * 127.0).cast("int")  # noqa: E731
+    return s.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("embedding", lambda y: q(y).cast("string")), ","
+        ).alias("q8"),
+        F.array_max(
+            F.transform(
+                "embedding",
+                lambda y: F.abs(xd(y) - q(y).cast("double") * F.col("scale") / 127.0),
+            )
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -478,3 +478,51 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matched") > 0)
         .orderBy("doc_id")
     )
+
+
+_HASH_DIM = 16  # one hex char of md5 -> 16 feature buckets
+
+
+@register(
+    "text_feature_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents)
+    SELECT doc_id,
+           {', '.join(
+               "CAST(COUNT(*) FILTER (WHERE substring(md5(tok), 1, 1) = '"
+               + format(b, 'x')
+               + f"') AS BIGINT) AS f{b}"
+               for b in range(_HASH_DIM)
+           )}
+    FROM t GROUP BY doc_id
+    """,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: fixed-width bag-of-words vectors with
+    bucket = md5-prefix of the token — the collision-accepting
+    vectorization used when a vocabulary is too large (or too
+    unstable) to materialize. md5 prefixes make bucket assignment
+    engine-portable, the same property the samplers rely on.
+
+    Scale shape: one explode + ONE hash aggregate computing all
+    feature columns as conditional counts (never one pass per
+    feature); width is a compile-time constant so the output schema
+    is fixed. Linear in corpus tokens, shuffles only (doc_id,
+    16 counters) rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    bucket = F.substring(F.md5(F.col("tok").cast("binary")), 1, 1)
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(bucket == format(b, "x"), 1))
+            .cast("bigint")
+            .alias(f"f{b}")
+            for b in range(_HASH_DIM)
+        ]
+    )

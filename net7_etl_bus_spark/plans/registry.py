@@ -104,7 +104,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue", "q20_excess_suppliers",
     "agg_stats_moments", "agg_collect_list", "sample_stratified",
     "ts_gapfill_locf", "ts_interpolate_linear", "text_decontaminate",
-    "geo_distance_join",
+    "geo_distance_join", "text_feature_hash", "emb_quantize_int8",
 )
 
 
