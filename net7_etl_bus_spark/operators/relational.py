@@ -1047,3 +1047,57 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priorities"
         ),
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM rfm
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order), frequency
+    (order count), monetary (exact-decimal total) per customer, each
+    quintile-scored.
+
+    Scale shape: ONE aggregation pass over the fact computes all three
+    dimensions (shared o_custkey shuffle), then the ntile windows run
+    over the customer-sized aggregate — global windows, but on a
+    relation orders of magnitude below the fact (the win_ntile_percent
+    caveat applies and is satisfied by construction). Unique-key
+    tiebreaks make every quintile cut deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    from pyspark.sql import Window
+
+    def score(col: str):
+        return (
+            F.ntile(5)
+            .over(Window.orderBy(F.col(col).desc(), "o_custkey"))
+            .cast("bigint")
+        )
+
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        score("last_order").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
