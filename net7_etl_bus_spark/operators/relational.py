@@ -1101,3 +1101,25 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency").alias("f_score"),
         score("monetary").alias("m_score"),
     )
+
+
+_SUBQ_LATERAL = """
+SELECT c.c_custkey, c.c_name, t.n_orders, t.max_price
+FROM customer c,
+LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MAX(o.o_totalprice) AS max_price
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+) t
+"""
+
+
+@register("subquery_lateral", oracle=_SUBQ_LATERAL)
+def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer aggregate joined in
+    the FROM clause) — the identical SQL text runs on both engines.
+    Catalyst decorrelates it into an aggregate-then-join on o_custkey,
+    never a per-row re-execution of the inner query; the aggregate
+    LATERAL always yields one row, so customers without orders surface
+    with (0, NULL) rather than dropping out."""
+    return _sql_over_views(spark, sf_dir, _SUBQ_LATERAL, ["customer", "orders"])
