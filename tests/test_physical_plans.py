@@ -303,3 +303,39 @@ def test_q2_min_via_window_no_nested_loop(spark):
     plan = plan_of(spark, "q2_min_cost_supplier")
     assert "Window" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_cdc_snapshot_diff_single_shuffle(spark):
+    """Both snapshots must come from ONE scan and ONE user_id exchange
+    (conditional max_by), not a scan+shuffle per snapshot plus a join."""
+    from net7_etl_bus_spark.operators.cdc import cdc_snapshot_diff
+
+    df = cdc_snapshot_diff(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Scan parquet" not in plan or plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_geo_distance_join_is_hash_not_nested_loop(spark):
+    """The 2D grid-binned proximity join must run as a hash join on
+    the cell id — a nested-loop plan means the rewrite regressed to
+    all-pairs distance comparisons."""
+    from net7_etl_bus_spark.operators.geo import geo_distance_join
+
+    df = geo_distance_join(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_gapfill_window_reuses_spine_partitioning(spark):
+    """ts_gapfill_locf: the hourly aggregate broadcasts into the spine
+    and the LOCF window reuses the spine's user_id partitioning — so
+    the whole query needs exactly two hash exchanges (distinct users,
+    hourly agg), none between the join and the window."""
+    from net7_etl_bus_spark.operators.timeseries import ts_gapfill_locf
+
+    df = ts_gapfill_locf(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
