@@ -290,3 +290,42 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.exists("w", lambda t: t == "the").alias("has_the"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+                         ELSE event_type END AS BIGINT) AS mixed_cast,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(10 AS DOUBLE) / (event_id % 3) END AS safe_div,
+           string_split(event_type, 'i')[2] AS second_chunk,
+           string_split(event_type, 'i')[99] AS oob_element
+    FROM events
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant function surface (the malformed-input posture an
+    ingestion bus needs): try_cast yields NULL instead of failing the
+    batch (exercised on a half-numeric/half-word column so both paths
+    appear), try_divide turns division-by-zero into NULL, and
+    out-of-bounds element access is NULL — one malformed cell
+    quarantines itself rather than aborting 10^9 good rows. Pure
+    narrow map; in ANSI mode these are the only non-throwing variants,
+    which is why the surface matters.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.col("event_id").cast("string")
+    ).otherwise(F.col("event_type"))
+    chunks = F.split("event_type", "i")
+    return e.select(
+        "event_id",
+        mixed.try_cast("bigint").alias("mixed_cast"),
+        F.try_divide(F.lit(10).cast("double"), (F.col("event_id") % 3)).alias(
+            "safe_div"
+        ),
+        F.try_element_at(chunks, F.lit(2)).alias("second_chunk"),
+        F.try_element_at(chunks, F.lit(99)).alias("oob_element"),
+    )
