@@ -722,12 +722,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2-style minimum-cost supplier (adapted: the supply
     catalog is derived from lineitem, see module comment).
 
-    Scale shape: the catalog agg shuffles lineitem once on
-    (partkey, suppkey); supplier->nation->region broadcasts into it;
-    the per-part min is a WINDOW over the partkey shuffle — NOT the
-    textbook correlated subquery, which would rescan the catalog per
-    part. Filtered part broadcasts into the final probe. Top-100 is
-    TakeOrderedAndProject.
+    Scale shape: supplier->nation->region broadcasts into lineitem
+    BEFORE the catalog aggregate (the region filter prunes the agg's
+    input, not just its output), so the one (partkey, suppkey) shuffle
+    sees only the surviving region's rows; the per-part min is a
+    WINDOW over the partkey shuffle — NOT the textbook correlated
+    subquery, which would rescan the catalog per part. Filtered part
+    broadcasts into the final probe. Top-100 is TakeOrderedAndProject.
     """
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -736,15 +737,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").between(20, 30) & (F.col("p_type") == "STANDARD")
     )
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     sn = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu = ps.join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
+    # Region-filter BEFORE the catalog aggregate: the broadcast join
+    # prunes ~4/5 of lineitem ahead of the (partkey, suppkey) shuffle —
+    # the aggregate's input, not just its output, shrinks. Per-pair
+    # minima are unchanged by dropping whole suppliers.
+    eu = (
+        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_partkey")
