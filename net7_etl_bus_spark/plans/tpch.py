@@ -974,10 +974,14 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part-supplier catalog is the distinct pairs from lineitem;
     negative-balance suppliers stand in for the complaints NOT IN).
 
-    Scale shape: the distinct-pairs dedup shuffles lineitem once on
-    (partkey, suppkey); the excluded-supplier set is a broadcast ANTI
-    join (never a NOT IN rescan); filtered part broadcasts; the count
-    distinct rides the same keys. All joins hash, no nested loop.
+    Scale shape: filtered part broadcasts into lineitem and the
+    excluded-supplier set is a broadcast ANTI join (never a NOT IN
+    rescan) — both BEFORE any shuffle, so the only exchange is the
+    final attribute-group aggregate. No (partkey, suppkey) distinct
+    pass is needed at all: COUNT(DISTINCT l_suppkey) absorbs duplicate
+    pairs, so materializing the deduped catalog (as the oracle's CTE
+    does) would be a pure extra shuffle. All joins hash, no nested
+    loop.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -990,7 +994,7 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    cat = l.select("l_partkey", "l_suppkey").distinct()
+    cat = l.select("l_partkey", "l_suppkey")
     return (
         cat.join(F.broadcast(bad), cat.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
