@@ -836,24 +836,24 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences of week-truncated timestamps — a whole number in both
     engines, so the cast is lossless.
 
-    Scale shape: two aggregations over events sharing the user_id
-    shuffle key, then a join of two user-sized relations (each ~one
-    row per user/week, orders of magnitude below the fact) and a
-    final small-group aggregate. Nothing rescans the fact after the
-    first pass.
+    Scale shape: ONE user_id shuffle computes both the cohort (min ts)
+    and the distinct active weeks (collect_set of week-truncated ts —
+    bounded by an entity's lifetime in weeks, so the set is small by
+    construction), the weeks explode in place, and the retention
+    triangle is a final cohort-sized aggregate. The two-aggregates-
+    plus-user-join formulation (what the oracle runs) shuffles the
+    fact twice and joins two user-sized relations; this does neither.
     """
     e = load_table(spark, sf_dir, "events")
-    first_seen = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+    u = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"),
+        F.collect_set(F.date_trunc("week", "ts")).alias("wks"),
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("wk")
-    ).distinct()
     week_offset = (
         (F.unix_micros("wk") - F.unix_micros("cohort")) / F.lit(604800000000.0)
     ).cast("int")
     return (
-        activity.join(first_seen, "user_id")
+        u.select("cohort", F.explode("wks").alias("wk"))
         .groupBy("cohort", week_offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
         .orderBy("cohort", "week_offset")
