@@ -1021,20 +1021,33 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-style small-quantity average yearly revenue: lineitems
     of one brand whose quantity is below 20% of the part's average.
 
-    Scale shape: the correlated AVG subquery is decorrelated into one
-    per-part aggregate joined back on partkey — the per-part relation
-    is parts-sized (small next to the fact) and the join shares the
-    partkey shuffle with the probe side. Exact-decimal avg makes the
-    0.2*avg threshold deterministic cross-engine.
+    Scale shape: the correlated AVG is decorrelated into a WINDOW over
+    the partkey shuffle of the brand-pruned fact — the brand filter
+    (broadcast part join, no shuffle) prunes BEFORE the partkey
+    exchange, and the window makes that exchange the query's only
+    fact shuffle (the aggregate-then-join formulation the oracle runs
+    shuffles the full fact twice: once for the per-part avg, once for
+    the join). Brand selects whole parts, so per-part averages over
+    the pruned fact equal the oracle's full-fact averages.
+    Exact-decimal avg makes the 0.2*avg threshold deterministic
+    cross-engine.
     """
+    from pyspark.sql import Window
+
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    a = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        davg("l_quantity").alias("avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
+    # davg("l_quantity") as a window: identical op order, so the
+    # threshold bit-matches the oracle's sql_davg.
+    avg_qty = (
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        / F.lit(100.0)
+    ) / F.count(F.lit(1)).over(w)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(a, l.l_partkey == a.a_partkey)
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
