@@ -91,7 +91,8 @@ def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("bucket", b)
         .filter(F.col("bucket") < "10")
         .select("doc_id", "source", "n_chars", "bucket")
-        .orderBy("doc_id")
+        # no orderBy: sampled output is corpus-sized at scale; the
+        # driver compare is order-insensitive and a global sort is waste
     )
 
 
@@ -114,7 +115,7 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (87.5/6.25/6.25). Checked row-by-row against the oracle so the
     split function itself — not just the split sizes — is pinned."""
     d = load_table(spark, sf_dir, "documents")
-    return with_split(d, "doc_id").select("doc_id", "split").orderBy("doc_id")
+    return with_split(d, "doc_id").select("doc_id", "split")  # order-insensitive compare; no global sort
 
 
 _STRATA_CUTOFF = (("en", "28"), ("de", "55"))  # hex bucket cutoffs: ~15.6%, ~33%
@@ -152,5 +153,5 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", b.alias("bucket"))
         .filter(F.col("bucket") < cutoff)
-        .orderBy("doc_id")
+        # no orderBy: corpus-sized at scale, compare is order-insensitive
     )

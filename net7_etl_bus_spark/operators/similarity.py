@@ -502,4 +502,4 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda y: F.abs(xd(y) - q(y).cast("double") * F.col("scale") / 127.0),
             )
         ).alias("max_abs_err"),
-    ).orderBy("vec_id")
+    )  # no orderBy: corpus-sized output, global sort would be waste

@@ -476,7 +476,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("n_matched") > 0)
-        .orderBy("doc_id")
+        # no orderBy: contaminated set can be corpus-sized; compare is
+        # order-insensitive
     )
 
 
