@@ -103,3 +103,26 @@ def test_mock_client_total_and_in_range(zipcode):
     assert -125.0 <= lng < -67.0
     assert 0.0 <= elev < 440.0
     assert tz.endswith("Time")
+
+
+def test_no_direct_sfdir_parquet_reads():
+    """Every testdata read must go through data.load_table: events.ts is
+    TIMESTAMP(NANOS) and load_table is where the legacy conf + ns->us
+    conversion live. A direct spark.read.parquet(sf_dir...) in an
+    operator works in OUR session (conf set at build time) but crashes
+    in any vanilla external session — the exact round-1 driver failure
+    mode. Static guard so the trap can't come back."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "net7_etl_bus_spark"
+    bad = []
+    for py in root.rglob("*.py"):
+        if py.name == "data.py":
+            continue
+        src = py.read_text()
+        for m in re.finditer(r"read\.parquet\(([^)]*)\)", src):
+            arg = m.group(1)
+            if "sf_dir" in arg or "table_path" in arg:
+                bad.append(f"{py}:{arg}")
+    assert not bad, f"direct sf_dir parquet reads (use data.load_table): {bad}"
