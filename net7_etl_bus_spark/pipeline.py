@@ -341,3 +341,65 @@ def etl_run_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert result.should_run and result.run_id == 5
     return sinks.read_merge_target(spark, target)
+
+
+def run_etl_from_config(
+    spark: SparkSession,
+    config: dict,
+    client_factory=DeterministicMockClient,
+    now: datetime | None = None,
+) -> RunResult:
+    """Config-driven run — the reference is configuration-first (DI
+    binds `ProcessingSettings` from appSettings.json, Program.cs:26-33,
+    and throws if the section is missing). Same posture here: a dict
+    (or parsed JSON file, see ``load_config``) fully describes a run,
+    so pipelines ship as config, not code.
+
+    Recognized keys mirror the reference's setting names
+    (appSettings.json `ProcessingSettings`):
+
+    * ``ValidRecordDaysTtl``     -> TTL for the freshness gate/filter
+    * ``ActionMaxDegreesOfParallelism`` -> enrichment concurrency cap
+    * plus engine-side ``Paths`` {InputCsv, Target, Control,
+      Quarantine?} and ``OnDuplicate`` / ``ForceRun`` policies.
+
+    The reference's Transform/Action split and BatchRecordSaveCount
+    have no Spark counterpart (Catalyst stages and writer batching
+    subsume them) — unknown keys are rejected rather than silently
+    ignored, so a config typo can't quietly change behavior.
+    """
+    known = {
+        "Paths",
+        "ValidRecordDaysTtl",
+        "ActionMaxDegreesOfParallelism",
+        "OnDuplicate",
+        "ForceRun",
+    }
+    unknown = set(config) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    paths = config.get("Paths")
+    if not paths or not {"InputCsv", "Target", "Control"} <= set(paths):
+        # mirrors the reference's fail-fast on a missing settings section
+        raise ValueError("config must provide Paths.{InputCsv,Target,Control}")
+    return run_etl(
+        spark,
+        csv_path=paths["InputCsv"],
+        target_path=paths["Target"],
+        control_path=paths["Control"],
+        quarantine_path=paths.get("Quarantine"),
+        ttl_days=int(config.get("ValidRecordDaysTtl", DEFAULT_TTL_DAYS)),
+        max_concurrency=int(config.get("ActionMaxDegreesOfParallelism", 5)),
+        on_duplicate=config.get("OnDuplicate", "error"),
+        force_run=bool(config.get("ForceRun", False)),
+        client_factory=client_factory,
+        now=now,
+    )
+
+
+def load_config(path: str) -> dict:
+    """Parse a JSON config file for :func:`run_etl_from_config`."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)

@@ -300,3 +300,41 @@ def test_quarantine_path_routes_failed_rows(spark, paths, tmp_path):
     assert res2.rows_to_process == 1
     assert spark.read.parquet(paths["target"]).count() == 254
     assert spark.read.parquet(quarantine).count() == 1  # nothing new
+
+
+def test_config_driven_run_matches_direct_call(spark, paths, tmp_path):
+    """run_etl_from_config (the appsettings-style entry, reference
+    Program.cs:26-33) must produce the same target table as the direct
+    API call, reject unknown keys loudly, and fail fast on a missing
+    Paths section — a config typo must never silently change a run."""
+    import json
+
+    import pytest as _pytest
+
+    from net7_etl_bus_spark.pipeline import load_config, run_etl, run_etl_from_config
+
+    cfg = {
+        "Paths": {
+            "InputCsv": ZIP_CSV_PATH,
+            "Target": paths["target"],
+            "Control": paths["control"],
+        },
+        "ValidRecordDaysTtl": 30,
+        "ActionMaxDegreesOfParallelism": 5,
+    }
+    cfg_path = tmp_path / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+    res = run_etl_from_config(spark, load_config(str(cfg_path)), now=NOW)
+    assert res.should_run and res.rows_upserted > 0
+
+    direct_target = str(tmp_path / "direct_target")
+    direct_control = str(tmp_path / "direct_control")
+    res2 = run_etl(spark, ZIP_CSV_PATH, direct_target, direct_control, now=NOW)
+    a = spark.read.parquet(paths["target"]).drop("ImportId").sort("CompositeKey").collect()
+    b = spark.read.parquet(direct_target).drop("ImportId").sort("CompositeKey").collect()
+    assert a == b and res.rows_upserted == res2.rows_upserted
+
+    with _pytest.raises(ValueError, match="unknown config keys"):
+        run_etl_from_config(spark, {**cfg, "BatchRecordSaveCount": 50}, now=NOW)
+    with _pytest.raises(ValueError, match="Paths"):
+        run_etl_from_config(spark, {"ValidRecordDaysTtl": 30}, now=NOW)
