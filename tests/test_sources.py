@@ -82,3 +82,46 @@ def test_orc_fixture_matches_csv_twin(spark):
     assert orc.count() == csv.count()
     assert orc.exceptAll(csv).count() == 0
     assert csv.exceptAll(orc).count() == 0
+
+
+def test_parquet_schema_evolution_merges_batches(spark, tmp_path):
+    """Lakehouse reality: batches written months apart gain columns.
+    mergeSchema reads must unify old and new batches — old rows
+    surface the added column as NULL, values intact. Without this a
+    100 TB table could never add a field."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(
+        f"{path}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(f"{path}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_csv_permissive_mode_quarantines_corrupt_rows(spark, tmp_path):
+    """Ingestion-bus posture for malformed input: PERMISSIVE parsing
+    loads good rows, routes broken ones to _corrupt_record instead of
+    failing the batch (the reference logs-and-continues per row,
+    DataflowProcessor.cs:117-129) — and the corrupt subset is a
+    filter, so it can flow to the same quarantine sink as enrichment
+    failures."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = "id bigint, qty bigint, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # SPARK-21610: corrupt-record column needs the full row
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.select("_corrupt_record").first()[0] == "2,not_a_number"
+    df.unpersist()
