@@ -1,0 +1,116 @@
+"""Iterative graph analytics: PageRank over the purchase graph.
+
+Complements the min-label-propagation connected components in
+`dedup.py` (dedup_cc_clusters) with a NUMERIC iterative algorithm —
+the shape that stresses determinism hardest, because every iteration
+sums floating-point contributions whose order Spark does not fix.
+Contributions are therefore quantized to 1e-9 and accumulated as exact
+integers (the `dsum` trick per iteration), so three full iterations
+still hash-match the DuckDB oracle bit-for-bit.
+
+Graph: the undirected customer<->supplier purchase graph (an edge per
+distinct (customer, supplier) trading pair from orders x lineitem),
+which has no dangling nodes, keeping the update rule to the textbook
+  rank' = (1-d)/N + d * sum_in(rank/outdeg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+
+_D = 0.85
+_ITERS = 3
+_Q = 1000000000.0  # contribution quantum: 1e-9
+
+
+def _sql_iteration(i: int) -> str:
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank / d.outdeg * {_Q}) AS HUGEINT)) AS contrib
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT n.node,
+             {1 - _D} / (SELECT n FROM nn)
+             + {_D} * (CAST(COALESCE(c.contrib, 0) AS DOUBLE) / {_Q}) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)
+    """
+
+
+_PR_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{", ".join(_sql_iteration(i) for i in range(1, _ITERS + 1))}
+SELECT node, rank FROM r{_ITERS}
+"""
+
+
+@register("graph_pagerank", oracle=_PR_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank iterations on the customer<->supplier purchase
+    graph, deterministic cross-engine (see module docstring for the
+    quantized-accumulation scheme).
+
+    Scale shape: each iteration is one edges->ranks hash join plus one
+    dst-keyed aggregate — the standard message-passing round. Edges
+    and degrees are computed once and reused; ranks stay
+    node-relation-sized. For iteration counts beyond a handful,
+    localCheckpoint each round (as dedup_cc_clusters does) to keep
+    lineage flat; three rounds stay a single Catalyst plan here so
+    the whole run is one job.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    n_nodes = nodes.count()  # O(1) driver scalar, same as the oracle's (SELECT n)
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, ranks["node"] == edges["src"])
+            .join(deg, deg["src"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("rank") / F.col("outdeg") * F.lit(_Q)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("contrib")
+            )
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - _D) / float(n_nodes))
+                + F.lit(_D)
+                * (F.coalesce(F.col("contrib"), F.lit(0)).cast("double") / F.lit(_Q))
+            ).alias("rank"),
+        )
+    return ranks

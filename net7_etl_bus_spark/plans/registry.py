@@ -105,7 +105,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_stats_moments", "agg_collect_list", "sample_stratified",
     "ts_gapfill_locf", "ts_interpolate_linear", "text_decontaminate",
     "geo_distance_join", "text_feature_hash", "emb_quantize_int8",
-    "rfm_segmentation", "subquery_lateral", "fn_try_safe",
+    "rfm_segmentation", "subquery_lateral", "fn_try_safe", "graph_pagerank",
 )
 
 
@@ -145,7 +145,7 @@ def _load_all() -> None:
     from .. import pipeline  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
-    from ..operators import cdc, geo, sampling, similarity, text, timeseries  # noqa: F401
+    from ..operators import cdc, geo, graph, sampling, similarity, text, timeseries  # noqa: F401
     from ..operators import relational  # noqa: F401  (subqueries + dq_audit unverified)
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401
