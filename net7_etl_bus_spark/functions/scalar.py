@@ -329,3 +329,31 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(chunks, F.lit(2)).alias("second_chunk"),
         F.try_element_at(chunks, F.lit(99)).alias("oob_element"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_extract_string(props, '$.missing') AS absent
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json once into
+    an open-schema variant value, then typed variant_get extraction —
+    the engine-native path for JSON columns whose schema drifts, vs
+    the fixed-schema from_json in extract_nested_json. Missing paths
+    yield NULL, not errors. Narrow map; the variant parse happens one
+    time per row regardless of how many paths are extracted.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(F.parse_json("props"), "$.missing", "string").alias("absent"),
+    )
