@@ -25,6 +25,7 @@ ZIP_DETAILS_PATH = os.path.join(FIXTURES_DIR, "zip_code_details.parquet")
 ETL_IMPORTS_PATH = os.path.join(FIXTURES_DIR, "etl_bus_imports.parquet")
 API_RESPONSES_PATH = os.path.join(FIXTURES_DIR, "api_responses.jsonl")
 ZIP_XML_PATH = os.path.join(FIXTURES_DIR, "zip_codes.xml")
+ZIP_FIXED_PATH = os.path.join(FIXTURES_DIR, "zip_codes_fixed.txt")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

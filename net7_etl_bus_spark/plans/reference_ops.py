@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from ..data import (
+    ZIP_FIXED_PATH,
     API_RESPONSES_PATH,
     ETL_IMPORTS_PATH,
     FIXTURES_DIR,
@@ -558,4 +559,46 @@ def file_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.lower(F.sha2("content", 256)).alias("checksum"),
+    )
+
+
+_FIXED_PATH = ZIP_FIXED_PATH
+
+
+@register(
+    "fixedwidth_scan",
+    oracle=f"""
+    WITH lines AS (
+      SELECT unnest(string_split(content, chr(10))) AS line
+      FROM read_text('{_FIXED_PATH}')
+    )
+    SELECT substring(line, 1, 2) AS state_fips,
+           rtrim(substring(line, 3, 12), ' ') AS state,
+           substring(line, 15, 2) AS state_abbr,
+           substring(line, 17, 5) AS zipcode,
+           rtrim(substring(line, 22, 12), ' ') AS county,
+           rtrim(substring(line, 34, 12), ' ') AS city
+    FROM lines WHERE line <> ''
+    """,
+)
+def fixedwidth_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom format PLUGIN scan: fixed-width (copybook-style) files
+    via a Spark 4 Python DataSource — the engine-native counterpart of
+    the reference's pluggable IFileDataHandler
+    (Core/Interfaces/IFileDataHandler.cs:7-11). Once registered, the
+    format composes with everything: this is an ordinary
+    spark.read.format(...) whose output feeds any operator in the
+    registry. See sources/plugin.py for the scale notes.
+    """
+    from ..sources.plugin import ZIP_FIXED_LAYOUT, register_fixedwidth
+
+    register_fixedwidth(spark)
+    schema = ", ".join(f"{c} string" for c, _ in ZIP_FIXED_LAYOUT)
+    widths = ",".join(str(w) for _, w in ZIP_FIXED_LAYOUT)
+    return (
+        spark.read.format("fixedwidth")
+        .schema(schema)
+        .option("path", ZIP_FIXED_PATH)
+        .option("widths", widths)
+        .load()
     )

@@ -104,6 +104,23 @@ def write_zip_xml(rows, path) -> None:
         f.write("</zipcodes>\n")
 
 
+FIXED_WIDTHS = (("state_fips", 2), ("state", 12), ("state_abbr", 2),
+                ("zipcode", 5), ("county", 12), ("city", 12))
+
+
+def write_zip_fixed(rows, path) -> None:
+    """Fixed-width twin of the zip CSV (mainframe-style layout) for the
+    custom Python DataSource plugin (sources/plugin.py) — the Spark-4
+    counterpart of the reference's pluggable IFileDataHandler slot
+    (Core/Interfaces/IFileDataHandler.cs:7-11). Fields are left
+    justified, space padded, widths per FIXED_WIDTHS."""
+    widths = [w for _, w in FIXED_WIDTHS]
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            assert all(len(v) <= w for v, w in zip(r, widths)), r
+            f.write("".join(v.ljust(w) for v, w in zip(r, widths)) + "\n")
+
+
 def write_zip_orc(rows, path) -> None:
     """ORC twin of the zip CSV (all-string columns, same rows) so the
     ORC scan is oracle-checkable: DuckDB cannot read ORC, so the
@@ -260,12 +277,11 @@ def main() -> None:
     write_api_responses(rows, os.path.join(FIXTURES, "api_responses.jsonl"))
     write_zip_xml(rows, os.path.join(FIXTURES, "zip_codes.xml"))
     write_zip_orc(rows, os.path.join(FIXTURES, "zip_codes.orc"))
+    write_zip_fixed(rows, os.path.join(FIXTURES, "zip_codes_fixed.txt"))
     write_pii_docs(os.path.join(FIXTURES, "pii_docs.parquet"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def write_pii_docs(path) -> None:
@@ -303,3 +319,7 @@ def write_pii_docs(path) -> None:
         ),
         path,
     )
+
+
+if __name__ == "__main__":
+    main()

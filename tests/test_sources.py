@@ -125,3 +125,21 @@ def test_csv_permissive_mode_quarantines_corrupt_rows(spark, tmp_path):
     assert good.count() == 2 and bad.count() == 1
     assert bad.select("_corrupt_record").first()[0] == "2,not_a_number"
     df.unpersist()
+
+
+def test_fixedwidth_plugin_matches_csv_twin(spark):
+    """The custom Python DataSource (sources/plugin.py) must parse the
+    fixed-width fixture to exactly the rows of its CSV twin — the
+    IFileDataHandler-slot guarantee: a new format handler plugs in
+    without changing downstream semantics."""
+    from net7_etl_bus_spark.plans.reference_ops import fixedwidth_scan
+
+    fw = {tuple(r) for r in fixedwidth_scan(spark, SF_SMALL).collect()}
+    csv = {
+        tuple(r)
+        for r in spark.read.option("header", "true")
+        .csv(ZIP_CSV_PATH)
+        .select("state_fips", "state", "state_abbr", "zipcode", "county", "city")
+        .collect()
+    }
+    assert fw == csv and len(fw) == 254
