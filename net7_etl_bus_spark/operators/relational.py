@@ -1123,3 +1123,49 @@ def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL always yields one row, so customers without orders surface
     with (0, NULL) rather than dropping out."""
     return _sql_over_views(spark, sf_dir, _SUBQ_LATERAL, ["customer", "orders"])
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY cnt DESC, c_nationkey) AS rn
+      FROM counts)
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count
+    FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a pinned tiebreak —
+    built-in mode() exists in both engines but leaves ties undefined,
+    which is exactly the nondeterminism this registry bans, so the op
+    is the count + WindowGroupLimit formulation with (count DESC, key)
+    total order.
+
+    Scale shape: two-phase hash count (map-side partials), then the
+    rank-1 filter plans as WindowGroupLimit — per-group top-1 without
+    materializing full sorted groups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "c_nationkey"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )

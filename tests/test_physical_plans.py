@@ -339,3 +339,24 @@ def test_gapfill_window_reuses_spine_partitioning(spark):
     df = ts_gapfill_locf(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The three join-strategy hints must actually steer the planner:
+    broadcast -> BroadcastHashJoin, merge -> SortMergeJoin,
+    shuffle_hash -> ShuffledHashJoin. Hints are the manual override
+    when stats mislead the optimizer at scale."""
+    from net7_etl_bus_spark.data import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    for hint, node in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ):
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert node in plan, f"{hint} hint ignored:\n{plan}"
