@@ -79,3 +79,73 @@ class FixedWidthReader(DataSourceReader):
 def register_fixedwidth(spark) -> None:
     """Idempotent per-session registration of the plugin format."""
     spark.dataSource.register(FixedWidthDataSource)
+
+
+# --- streaming plugin: replayable file-queue stream source -------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class QueueFileStreamSource(DataSource):
+    """`spark.readStream.format("queuefile").option("path", dir)` — a
+    pure-Python STREAMING source over a drop directory, the third
+    transport for the reference's S1 queue trigger (file-queue batch
+    wiring and the flagged Kafka path are in streaming/trigger.py).
+
+    Offsets are the count of fully-consumed files in lexical order, so
+    progress is checkpointable and `readBetweenOffsets` replays any
+    committed range byte-identically — the property exactly-once
+    sinks need after a crash. New files must sort after consumed ones
+    (drop with monotonic names, e.g. epoch-prefixed), the same
+    contract a real queue's append order gives.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "queuefile"
+
+    def schema(self) -> str:
+        return "value string, src_file string"
+
+    def simpleStreamReader(self, schema) -> "QueueFileStreamReader":
+        return QueueFileStreamReader(self.options)
+
+
+class QueueFileStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.dir = options["path"]
+
+    def _files(self):
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".txt")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def _rows(self, files):
+        import os
+
+        # materialized (not a generator): the simple-reader API pickles
+        # prefetched rows into the offset cache for replay
+        out = []
+        for name in files:
+            with open(os.path.join(self.dir, name), encoding="utf-8") as f:
+                out.extend((line.rstrip("\n"), name) for line in f)
+        return out
+
+    def read(self, start: dict):
+        files = self._files()
+        new = files[start["n_files"] :]
+        return self._rows(new), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()[start["n_files"] : end["n_files"]]
+        return self._rows(files)
+
+
+def register_queuefile(spark) -> None:
+    """Idempotent per-session registration of the streaming plugin."""
+    spark.dataSource.register(QueueFileStreamSource)

@@ -458,3 +458,43 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_queuefile_stream_plugin_exactly_once_across_restart(spark, tmp_path):
+    """The Python streaming DataSource (sources/plugin.py) must make
+    checkpointed progress: run 1 consumes the first two queue files;
+    a third lands; run 2 from the same checkpoint emits ONLY the new
+    file's rows — offsets persisted, replay byte-identical, no
+    duplicates at the sink (parquet sink: the memory sink cannot
+    recover a checkpoint)."""
+    from net7_etl_bus_spark.sources.plugin import register_queuefile
+
+    register_queuefile(spark)
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "0001.txt").write_text("a\nb\n")
+    (qdir / "0002.txt").write_text("c\n")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("queuefile")
+            .option("path", str(qdir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert first == {("a", "0001.txt"), ("b", "0001.txt"), ("c", "0002.txt")}
+
+    (qdir / "0003.txt").write_text("d\n")
+    run_once()
+    second = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert second == first | {("d", "0003.txt")}, second
