@@ -357,3 +357,61 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(F.parse_json("props"), "$.missing", "string").alias("absent"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS and_mask,
+           CAST(l_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS xored,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(l_orderkey >> 3 AS BIGINT) AS shr3
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise integer surface (and/or/xor/shifts) — the primitives
+    under bitmap indexes, bloom hashing, and bit-packed feature flags.
+    Exact integer ops, so cross-engine equality is trivial; narrow
+    map, codegen'd."""
+    l = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("and_mask"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("or_mask"),
+        k.bitwiseXOR(F.col("l_linenumber")).cast("bigint").alias("xored"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 3).cast("bigint").alias("shr3"),
+    )
+
+
+@register(
+    "fn_encoding",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substring(text, 1, 24) AS BLOB)) AS head_b64,
+           hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex,
+           (CAST(from_base64(to_base64(CAST(substring(text, 1, 24) AS BLOB))) AS VARCHAR)
+            = substring(text, 1, 24)) AS b64_roundtrip
+    FROM documents
+    """,
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding surface (base64/hex + round-trip proof) — the
+    transport encodings for opaque payloads (the multimodal binary
+    columns ship this way through JSON APIs). ASCII fixture text means
+    byte semantics are identical cross-engine; narrow map."""
+    d = load_table(spark, sf_dir, "documents")
+    head24 = F.substring("text", 1, 24)
+    return d.select(
+        "doc_id",
+        F.base64(head24.cast("binary")).alias("head_b64"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("head_hex"),
+        (
+            F.unbase64(F.base64(head24.cast("binary"))).cast("string") == head24
+        ).alias("b64_roundtrip"),
+    )

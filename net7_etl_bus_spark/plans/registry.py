@@ -105,7 +105,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_stats_moments", "agg_collect_list", "sample_stratified",
     "ts_gapfill_locf", "ts_interpolate_linear", "text_decontaminate",
     "geo_distance_join", "text_feature_hash", "emb_quantize_int8",
-    "rfm_segmentation", "subquery_lateral", "fn_try_safe", "graph_pagerank", "fn_variant", "fixedwidth_scan", "agg_mode",
+    "rfm_segmentation", "subquery_lateral", "fn_try_safe", "graph_pagerank", "fn_variant", "fixedwidth_scan", "agg_mode", "fn_bitwise", "fn_encoding",
 )
 
 
