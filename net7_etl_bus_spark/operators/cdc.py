@@ -143,3 +143,74 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
     )
+
+
+def scd2_apply_increment(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Incrementally maintain the SCD2 dimension of
+    :func:`scd2_dimension` from one micro-batch of new events (the
+    foreachBatch body for a streaming type-2 dimension).
+
+    Only each entity's OPEN row participates: it is replayed as a
+    pseudo-event in front of the batch, the same change-collapse +
+    interval windows run over that small union, and version numbers
+    continue from the open row's. Closed history is untouched — the
+    work per batch is O(batch + touched entities), never a rebuild.
+    Batches must arrive in event-time order per entity (the queue
+    contract; late data needs the batch twin rebuild).
+
+    Equivalence with the one-shot batch build over the full log is
+    pinned by test (3 sequential batches == scd2_dimension).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    if dim is None:
+        open_rows = None
+        closed = None
+        seed = batch.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lit(1).cast("bigint").alias("base_version"),
+        )
+    else:
+        open_rows = dim.filter(F.col("is_current"))
+        closed = dim.filter(~F.col("is_current"))
+        pseudo = open_rows.select(
+            "user_id",
+            "state",
+            F.col("valid_from").alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),  # sorts before real ids at same ts
+            F.col("version").alias("base_version"),
+        )
+        seed = pseudo.unionByName(
+            batch.select(
+                "user_id",
+                F.col("event_type").alias("state"),
+                "ts",
+                "event_id",
+                F.lit(None).cast("bigint").alias("base_version"),
+            )
+        )
+    # change-collapse over (open row ++ batch) per entity — tiny union,
+    # same logic as the batch build
+    changes = (
+        seed.withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    base = F.first("base_version", ignorenulls=True).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    valid_to = F.lead("ts").over(w)
+    rebuilt = changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        (
+            F.row_number().over(w) + F.coalesce(base, F.lit(1)).cast("bigint") - 1
+        ).alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+    return rebuilt if closed is None else closed.unionByName(rebuilt)
