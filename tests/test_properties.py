@@ -126,3 +126,27 @@ def test_no_direct_sfdir_parquet_reads():
             if "sf_dir" in arg or "table_path" in arg:
                 bad.append(f"{py}:{arg}")
     assert not bad, f"direct sf_dir parquet reads (use data.load_table): {bad}"
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """The registry's determinism scheme (exact decimal sums, total
+    orders, quantized accumulations) must make results IDENTICAL when
+    the physical partitioning changes — 7 vs 32 shuffle partitions
+    reorder every partial aggregation, which is exactly the
+    nondeterminism a 1000-executor cluster injects. Checked on the
+    float-heaviest queries."""
+    from net7_etl_bus_spark.plans import registry
+
+    from .conftest import SF_SMALL
+
+    qs = registry.queries()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ("q1_pricing_summary", "agg_stats_moments", "graph_pagerank"):
+            results = []
+            for n in ("7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(sorted(map(tuple, qs[name](spark, SF_SMALL).collect())))
+            assert results[0] == results[1], f"{name} varies with partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
