@@ -1,0 +1,316 @@
+"""Dataset-analysis aggregates: histograms, exact-moment regression,
+one-pass column profiling, and event-sequence transition analysis.
+
+These extend the §2.3 aggregation surface with the shapes an analyst
+(or a training-data curator scanning 100 TB of logs) reaches for next:
+"what does this column look like" (histogram / profile), "how do these
+two measures relate" (regression), and "what do users do next"
+(transition matrix). All four are single-scan, map-side-combinable
+aggregations — the only shuffle in each is the final groupBy on a
+low-cardinality key, so the plans scale linearly with input size.
+
+Cross-engine determinism follows the repo-wide rules
+(plans/registry.py docstring): counts and bucket ids are exact
+integers; float math happens only in final expressions evaluated on
+identical operands in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import ddouble, register, sql_ddouble
+
+# --- agg_histogram ----------------------------------------------------
+
+_H_LO = 0.0
+_H_W = 25_000.0  # bin width over l_extendedprice's [900, 105e3] range
+_H_NB = 5
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT bucket,
+           {_H_LO} + bucket * {_H_W} AS bin_lo,
+           {_H_LO} + (bucket + 1) * {_H_W} AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) / 100
+             AS sum_price
+    FROM (
+      SELECT l_extendedprice,
+             LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_H_LO}) / {_H_W}) AS BIGINT),
+                            0), {_H_NB - 1}) AS bucket
+      FROM lineitem)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of a measure — the `width_bucket` shape,
+    spelled with clamp+floor arithmetic so the bucket id is the exact
+    same integer in both engines (width_bucket's edge-inclusion rules
+    differ subtly across engines; floor on one IEEE division does
+    not).
+
+    Scale shape: the bucket id is a narrow map-side expression, the
+    groupBy key has `_H_NB` values — partial aggregation collapses
+    each task to <= `_H_NB` rows before the (tiny) shuffle. This is
+    the plan a 100 TB histogram needs: all the work is in the scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - _H_LO) / _H_W).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(_H_NB - 1),
+    )
+    return (
+        l.select(F.col("l_extendedprice"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+                .cast("double")
+                / 100
+            ).alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_H_LO) + F.col("bucket") * _H_W).alias("bin_lo"),
+            (F.lit(_H_LO) + (F.col("bucket") + 1) * _H_W).alias("bin_hi"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- agg_regr ---------------------------------------------------------
+
+
+@register(
+    "agg_regr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sx,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
+                 * CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sxx,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS syy,
+             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
+                 * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           {cov} / {varx} AS slope,
+           ({sy} / {n100}) - ({cov} / {varx}) * ({sx} / {n100}) AS intercept,
+           ({cov} * {cov}) / ({varx} * {vary}) AS r2
+    FROM m ORDER BY l_returnflag
+    """.format(
+        cov=sql_ddouble("n * sxy - sx * sy"),
+        varx=sql_ddouble("n * sxx - sx * sx"),
+        vary=sql_ddouble("n * syy - sy * sy"),
+        sx=sql_ddouble("sx"),
+        sy=sql_ddouble("sy"),
+        n100=sql_ddouble("n * 100"),
+    ),
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression (slope / intercept / R²) of price on
+    quantity per return flag — the `regr_slope` family, computed from
+    EXACT integer moments (the agg_stats_moments pattern: inputs
+    quantized to 0.01, five raw moments summed as 38-digit integers,
+    floats only in the final divisions). Built-in regr_* aggregates
+    are summation-order-dependent and can't hash-match cross-engine.
+
+    The x/y quantization scales cancel in the slope (both are 100x),
+    so no rescaling is needed; the intercept divides each mean by its
+    own 100x. Scale shape: identical to any one-pass moment sketch —
+    map-side integer partial sums, 3-row final aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    xd = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    yd = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = ddouble(n * F.col("sxy") - sx * sy)
+    varx = ddouble(n * F.col("sxx") - sx * sx)
+    vary = ddouble(n * F.col("syy") - sy * sy)
+    slope = cov / varx
+    mean_x = ddouble(sx) / ddouble(n * 100)
+    mean_y = ddouble(sy) / ddouble(n * 100)
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (mean_y - slope * mean_x).alias("intercept"),
+        ((cov * cov) / (varx * vary)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# --- profile_columns --------------------------------------------------
+
+# (name, kind) for every orders column; kind picks which min/max slot
+# the value lands in so the unpivoted rows share one schema.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _oracle_profile_one(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(MIN({col}) AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)"
+        mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        mns = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mxs = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        mns, mxs = f"MIN({col})", f"MAX({col})"
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {mns} AS min_str, {mxs} AS max_str
+    FROM orders"""
+
+
+@register(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        _oracle_profile_one(c, k) for c, k in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (rows / nulls / distinct / min / max)
+    — the ANALYZE-TABLE shape a curator runs before trusting a new
+    100 TB drop.
+
+    Scale shape: ONE scan computes every column's statistics in a
+    single aggregate (the oracle's UNION-ALL-per-column form would
+    re-scan the table N_cols times); the wide 1-row result is then
+    unpivoted driver-free with `stack`. count_distinct over multiple
+    columns in one agg expands via Spark's Expand operator — still one
+    pass over the input. Numeric min/max pass through as untouched
+    doubles, timestamps are formatted with an explicit pattern, so
+    every cell is bit-comparable across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).cast("bigint").alias(f"{col}__dist"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(col).cast("double").alias(f"{col}__minn"),
+                F.max(col).cast("double").alias(f"{col}__maxn"),
+                F.lit(None).cast("string").alias(f"{col}__mins"),
+                F.lit(None).cast("string").alias(f"{col}__maxs"),
+            ]
+        elif kind == "ts":
+            aggs += [
+                F.lit(None).cast("double").alias(f"{col}__minn"),
+                F.lit(None).cast("double").alias(f"{col}__maxn"),
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(f"{col}__mins"),
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(f"{col}__maxs"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{col}__minn"),
+                F.lit(None).cast("double").alias(f"{col}__maxn"),
+                F.min(col).alias(f"{col}__mins"),
+                F.max(col).alias(f"{col}__maxs"),
+            ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__rows, {col}__nulls, {col}__dist, "
+        f"{col}__minn, {col}__maxn, {col}__mins, {col}__maxs"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, "
+            "min_num, max_num, min_str, max_str)"
+        )
+    ).orderBy("column_name")
+
+
+# --- event_transitions ------------------------------------------------
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS share
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences ("after a click, what happens next?") — the
+    path-analysis primitive product analytics builds on.
+
+    Scale shape: one shuffle on user_id orders each user's history for
+    the LEAD; the pair-count groupBy then aggregates to
+    |event_types|² rows, and the per-source share is a window over
+    that tiny result. Deterministic: the sequence order has a unique
+    (ts, event_id) tiebreak, counts are exact integers, and the share
+    is one integer-over-integer IEEE division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn(
+            "share",
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+        )
+        .orderBy("event_type", "next_type")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..plans.registry import dsum, register, sql_dsum
+from ..plans.registry import ddouble, dsum, register, sql_ddouble, sql_dsum
 
 # --- scans -------------------------------------------------------------
 
@@ -966,12 +966,16 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT) * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty,
-           sqrt(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_price,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+           sqrt({varx} / {nn1}) / 100.0 AS stddev_qty,
+           sqrt({vary} / {nn1}) / 100.0 AS stddev_price,
+           {cov} / (sqrt({varx}) * sqrt({vary})) AS corr_qty_price
     FROM m ORDER BY l_returnflag
-    """,
+    """.format(
+        varx=sql_ddouble("n * sxx - sx * sx"),
+        vary=sql_ddouble("n * syy - sy * sy"),
+        cov=sql_ddouble("n * sxy - sx * sy"),
+        nn1=sql_ddouble("n * (n - 1)"),
+    ),
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (sample stddev, Pearson correlation)
@@ -997,10 +1001,12 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * yd).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    varx = (n * F.col("sxx") - sx * sx).cast("double")
-    vary = (n * F.col("syy") - sy * sy).cast("double")
-    cov = (n * F.col("sxy") - sx * sy).cast("double")
-    nn1 = (n * (n - 1)).cast("double")
+    # string-round-trip casts: see registry.ddouble — direct huge-int
+    # ->double casts are 1 ulp off in DuckDB above 2^53
+    varx = ddouble(n * F.col("sxx") - sx * sx)
+    vary = ddouble(n * F.col("syy") - sy * sy)
+    cov = ddouble(n * F.col("sxy") - sx * sy)
+    nn1 = ddouble(n * (n - 1))
     return m.select(
         "l_returnflag",
         "n",
