@@ -503,3 +503,117 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )  # no orderBy: corpus-sized output, global sort would be waste
+
+
+# --- broadcast-index ANN (the Arrow/numpy scale path) -----------------
+
+_Q_SCALE = 1 << 20  # power of two: double * 2^20 only shifts the exponent
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    """Exact int64 dot product of two quantized float vectors.
+
+    ``CAST(f AS DOUBLE) * 2^20`` is exact (power-of-two scaling), FLOOR
+    is exact, and the int64 sum is order-independent — so the score is
+    the identical integer in Spark, numpy, and DuckDB, with no float
+    summation anywhere.
+    """
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * {_Q_SCALE}.0) AS BIGINT)"
+        f" * CAST(FLOOR(CAST({b}[i] AS DOUBLE) * {_Q_SCALE}.0) AS BIGINT))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "sim_search_bcast_index",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_int_dot('q.embedding', 'c.embedding')} AS dot_q
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, dot_q, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= {TOP_K}
+    """,
+)
+def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k maximum-inner-product search with a BROADCAST numpy index
+    — the Arrow-batched scale path for vector search: the (small)
+    query matrix ships to every executor as a broadcast variable, each
+    Arrow batch of the corpus scores against it with ONE int64 matrix
+    multiply, and only per-batch top-k survivors (<= k rows per query
+    per batch) reach the final window. The corpus is scanned once,
+    embarrassingly parallel; nothing corpus-sized ever shuffles.
+
+    Scores are exact integers (embeddings quantized by a power-of-two
+    scale, so quantization itself is float-exact), which is what lets
+    an oracle hash-check a numpy matmul: integer accumulation is
+    order-independent, float dot products are not.
+
+    The driver-side ``collect()`` is O(|queries|) by contract — the
+    broadcast-index pattern only applies when the query set is small
+    enough to ship; for query sets at corpus scale use sim_search_lsh.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.floor(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * _Q_SCALE
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score_batches(batches):
+        ids, qm = bc.value
+        k = TOP_K
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _Q_SCALE
+            ).astype(np.int64)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            scores = cmat @ qm.T  # (batch, n_queries) exact int64
+            out = []
+            for j, qid in enumerate(ids):
+                col = scores[:, j]
+                mask = nids != qid
+                cand_ids, cand_s = nids[mask], col[mask]
+                if len(cand_ids) > k:
+                    # top-k by (score desc, neighbor_id asc)
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                else:
+                    order = np.lexsort((cand_ids, -cand_s))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "dot_q": cand_s[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, dot_q bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= TOP_K
+    )

@@ -527,3 +527,51 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_HASH_DIM)
         ]
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM (
+      SELECT doc_id, unnest(list_distinct({_SQL_W})) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term HAVING COUNT(*) >= 2
+    ORDER BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + sorted
+    posting list — the retrieval-side primitive for corpus search,
+    contamination lookup, and keyword-based filtering.
+
+    Scale shape: one explode of per-document DISTINCT terms (dedup
+    happens document-local, before the shuffle), one groupBy term.
+    Postings serialize as comma-joined sorted doc_ids — bounded here
+    by corpus vocabulary; at 100 TB the posting lists for stopword-like
+    terms are the skew risk, so production would cap df (the HAVING
+    is where that policy lands) and delta-encode postings per bucket.
+    The df >= 2 floor drops the hapax tail, which at web scale is the
+    bulk of the vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    term = F.explode(F.array_distinct(F.split(normalized_text("text"), " ")))
+    return (
+        d.select("doc_id", term.alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+        .orderBy("term")
+    )

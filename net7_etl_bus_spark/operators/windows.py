@@ -270,3 +270,58 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupBy("user_id"))
         .applyInPandas(lambda l, r: merge(l, r), schema)
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+    ),
+    other AS (
+      SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'signup'
+    )
+    SELECT o.event_id, o.user_id, o.ts, o.event_type,
+           (SELECT MIN(s.signup_ts) FROM signups s
+            WHERE s.user_id = o.user_id AND s.signup_ts >= o.ts) AS next_signup_ts
+    FROM other o
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the EARLIEST signup
+    at-or-after it (pandas ``merge_asof(direction='forward')``) — the
+    mirror of :func:`join_asof`, needed for "time to next conversion"
+    style attribution.
+
+    Same single-shuffle union+window formulation: both sides tagged
+    and unioned, one (user_id) window carries the nearest future
+    right-side timestamp backward via ``first(ignorenulls)`` over the
+    CURRENT..UNBOUNDED FOLLOWING frame. At equal ts the left row
+    sorts BEFORE the signup (sort_key 0 < 1) so the frame includes a
+    same-instant signup — the >= semantics, exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(0).alias("sort_key"),
+    )
+    right = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("ts").alias("r_ts"),
+        F.lit(1).alias("sort_key"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "sort_key")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("next_signup_ts", F.first("r_ts", ignorenulls=True).over(w))
+        .filter(F.col("sort_key") == 0)
+        .select("event_id", "user_id", "ts", "event_type", "next_signup_ts")
+    )
