@@ -91,6 +91,7 @@ _PYTHON_ALLOWED = {
     "mm_frame_sample",       # mapInPandas codec plumbing
     "dedup_minhash_mllib",   # MLlib pipeline (fit() driver-side)
     "http_enrichment_mock",  # mapInPandas enrichment stage (T1-T4)
+    "sim_search_bcast_index",  # mapInPandas broadcast-index scoring
 }
 
 
@@ -360,3 +361,44 @@ def test_join_strategy_hints_are_respected(spark):
             j._jdf.queryExecution(), "simple"
         )
         assert node in plan, f"{hint} hint ignored:\n{plan}"
+
+
+def test_bcast_index_scan_feeds_pandas_directly(spark):
+    """sim_search_bcast_index: the corpus scan must feed the
+    MapInPandas scoring stage with NO shuffle below it — only the
+    <= k-rows-per-query-per-batch survivors may hit the top-k
+    exchange. A shuffle under the scorer would move the corpus."""
+    plan = plan_of(spark, "sim_search_bcast_index", mode="simple")
+    assert "MapInPandas" in plan, plan
+    below_scorer = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in below_scorer, (
+        f"corpus-side shuffle below the scorer:\n{plan}"
+    )
+
+
+def test_zorder_needs_no_window_or_join(spark):
+    """zorder_cluster: the file assignment is a per-row bit expression
+    (z-range partitioning) — the plan must be scan -> project ->
+    aggregate with no Window, no Join, and no more than the aggregate
+    exchange + the presentation sort."""
+    plan = plan_of(spark, "zorder_cluster", mode="simple")
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # agg shuffle + final sort
+
+
+def test_profile_columns_single_scan(spark):
+    """profile_columns: every column's stats come from ONE pass — the
+    plan may contain exactly one parquet scan of orders (the oracle's
+    UNION-ALL form would scan it six times)."""
+    plan = plan_of(spark, "profile_columns", mode="simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan  # multi-count_distinct expansion
+
+
+def test_histogram_partial_aggregation(spark):
+    """agg_histogram: partial (map-side) aggregation must collapse
+    each task to <= n_bins rows before the shuffle — two HashAggregate
+    levels around one Exchange."""
+    plan = plan_of(spark, "agg_histogram", mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
