@@ -314,3 +314,121 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+# --- anomaly_zscore ---------------------------------------------------
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(value * 100) AS HUGEINT) AS v
+      FROM events),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(v) AS s1, SUM(v * v) AS s2
+      FROM q GROUP BY event_type),
+    z AS (
+      SELECT q.event_id, q.event_type, q.value,
+             CAST(CAST(m.n * q.v - m.s1 AS VARCHAR) AS DOUBLE)
+               / sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS VARCHAR) AS DOUBLE))
+               AS z
+      FROM q JOIN m USING (event_type))
+    SELECT event_id, event_type, value, z
+    FROM z WHERE abs(z) > 2.5
+    ORDER BY event_id
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose `value` is
+    more than 2.5 population standard deviations from their
+    event_type's mean — the first-pass anomaly filter a monitoring or
+    data-quality sweep runs over raw logs.
+
+    Numerics: values are quantized to 0.01 integers, the per-group
+    moments (n, Σv, Σv²) are exact 38-digit sums, and the z-score is
+    the algebraic identity z = (n·x − Σv) / sqrt(n·Σv² − (Σv)²) — the
+    n's cancel, so the whole score is two exact integers pushed
+    through one string-exact double conversion each, a sqrt and a
+    divide: bit-identical across engines, so even the `> 2.5` cut
+    selects the same rows.
+
+    Scale shape: one scan computes the moments (map-side combinable,
+    |event_types| rows out); the stats rejoin the stream via a
+    broadcast, so the detector adds ZERO extra shuffles of the fact —
+    the plan any 100 TB scoring pass needs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("v"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = ddouble(n * F.col("v") - s1) / F.sqrt(ddouble(n * s2 - s1 * s1))
+    return (
+        q.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .orderBy("event_id")
+    )
+
+
+# --- skew_key_profile -------------------------------------------------
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.n DESC, c.l_partkey) AS BIGINT)
+             AS rnk,
+           c.l_partkey, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM c, t
+    ORDER BY c.n DESC, c.l_partkey
+    LIMIT 20
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join/grouping key: the top-20 keys by
+    row count with each key's share of the table — the diagnostic you
+    run BEFORE a 100 TB join to decide whether it needs salting or an
+    AQE skew split (operators/relational.py join_skew_salted is the
+    cure; this is the thermometer).
+
+    Scale shape: one groupBy collapses the fact to |keys| rows; the
+    top-20 is TakeOrderedAndProject over that (no global sort of the
+    counts), and the total rides along from the same aggregated
+    relation, rejoined by broadcast — the count exchange is reused,
+    not recomputed. Counts are exact ints; the share is one
+    int-over-int IEEE division.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), "l_partkey").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "l_partkey")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "l_partkey",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("rnk")
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import FIXTURES_DIR, load_table
 from ..plans.registry import register
 
 # MinHash configuration: 16 hash functions, banded 4x4.
@@ -534,3 +534,95 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# --- paragraph-level dedup (boilerplate removal) ----------------------
+
+_BOILER_MIN_DOCS = 3  # a paragraph in >= 3 distinct docs is boilerplate
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH paras AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(text, E'\\n\\n')))) - 1
+               AS pos,
+             unnest(string_split(text, E'\\n\\n')) AS para
+      FROM read_parquet('{{FIX}}/web_docs.parquet')),
+    boiler AS (
+      SELECT md5(para) AS ph
+      FROM paras GROUP BY md5(para)
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+    marked AS (
+      SELECT p.doc_id, p.pos, p.para,
+             CASE WHEN b.ph IS NULL THEN 0 ELSE 1 END AS is_boiler
+      FROM paras p LEFT JOIN boiler b ON md5(p.para) = b.ph)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+           COALESCE(string_agg(CASE WHEN is_boiler = 0 THEN para END,
+                               E'\\n\\n' ORDER BY pos), '') AS cleaned
+    FROM marked GROUP BY doc_id
+    ORDER BY doc_id
+    """.replace("{FIX}", FIXTURES_DIR),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup — C4/RefinedWeb-style boilerplate
+    removal: any paragraph appearing in >= 3 distinct documents
+    (site headers, footers, nav text) is stripped from EVERY document,
+    preserving the order of what remains.
+
+    The corpus-wide step shuffles only (md5(paragraph), doc_id) — 16
+    bytes + a key per paragraph, never the text. The resulting
+    boilerplate set is tiny by construction (only cross-doc repeated
+    paragraphs) so it rejoins the exploded paragraphs by BROADCAST;
+    reassembly groups by doc_id with an order-pinned collect. Runs on
+    the committed web_docs fixture (the testdata documents are
+    single-paragraph).
+
+    Scale note: at 100 TB the reassembly groupBy carries the document
+    bytes through one shuffle — unavoidable for reconstruction (the
+    alternative, a per-doc filter with a broadcast boilerplate set,
+    is what the plan actually does: the only *wide* exchange over
+    text is the final per-doc collect, partitioned by doc_id).
+    """
+    d = spark.read.parquet(f"{FIXTURES_DIR}/web_docs.parquet")
+    paras = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n\n")).alias("pos", "para"),
+    )
+    boiler = (
+        paras.groupBy(F.md5(F.col("para").cast("binary")).alias("ph"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("ph")
+    )
+    marked = paras.join(
+        F.broadcast(boiler),
+        F.md5(F.col("para").cast("binary")) == F.col("ph"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        "para",
+        F.when(F.col("ph").isNull(), 0).otherwise(1).alias("is_boiler"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_boiler") == 0, F.struct(F.col("pos"), F.col("para"))
+            )
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+            F.array_join(
+                F.transform(kept, lambda s: s.getField("para")), "\n\n"
+            ).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,76 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < cutoff)
         # no orderBy: corpus-sized at scale, compare is order-insensitive
     )
+
+
+# --- sample_weighted --------------------------------------------------
+
+_HEX = "0123456789abcdef"
+# u24 = the first 6 hex digits of md5(key) folded to an integer in
+# [0, 16^6). Each digit comes from instr() (1-based in both engines);
+# all arithmetic is small-integer-exact in double.
+_SQL_U24 = (
+    "("
+    + " + ".join(
+        f"(instr('{_HEX}', substring(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ")"
+)
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, u24
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST({_SQL_U24} AS BIGINT) AS u24
+      FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               md5(CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR)) AS h
+        FROM lineitem) a) b
+    WHERE CAST(u24 AS DOUBLE) < (l_quantity / 50.0) * 16777216.0
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with a per-row keep probability
+    (here ∝ l_quantity) and ZERO randomness: the row's uniform draw is
+    the first 24 bits of md5(row key) — importance sampling for
+    training mixes (keep long/high-quality documents with higher
+    probability) that is reproducible across runs, partitionings and
+    engines, because membership is a pure function of (key, weight).
+
+    The hex→int fold uses instr() against a constant digit string —
+    1-based and identical in Spark and DuckDB — so no engine-specific
+    hex-parsing builtin is in the path; the keep test compares two
+    exactly-computed doubles (a 24-bit integer vs weight·2^24).
+
+    Scale shape: narrow map + filter over the scan, no shuffle; the
+    filter is a deterministic expression so AQE/codegen fuse it into
+    the scan stage. Expected sample rate here = avg(quantity)/50 ≈ 51%.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    keyed = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    u24 = F.expr(_SQL_U24).cast("bigint")
+    return (
+        keyed.withColumn("u24", u24)
+        .filter(
+            F.col("u24").cast("double")
+            < (F.col("l_quantity") / F.lit(50.0)) * F.lit(16777216.0)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "u24")
+        # no orderBy: sampled output is corpus-sized at scale
+    )

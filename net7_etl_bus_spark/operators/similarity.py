@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..plans.registry import register
+from ..plans.registry import ddouble, register, sql_ddouble
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -616,4 +616,147 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rk") <= TOP_K
+    )
+
+
+# --- knn_classify -----------------------------------------------------
+
+_KNN_NQ = 10  # vec_id < 10 are the classification queries
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_SQL_COS} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < {_KNN_NQ} AND c.vec_id >= {_KNN_NQ}),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored) t
+  WHERE rk <= {_KNN_K}),
+votes AS (
+  SELECT query_id, true_label, neighbor_label,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label)
+SELECT query_id, true_label, neighbor_label AS pred_label, votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, neighbor_label) AS vr
+  FROM votes) v
+WHERE vr = 1
+ORDER BY query_id
+"""
+
+
+@register("knn_classify", oracle=_KNN_ORACLE)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: each query vector gets the majority label
+    of its 5 nearest corpus neighbors by cosine — the classic
+    label-propagation / weak-labeling primitive for curating training
+    data (label the unlabeled 100 TB pool from a small labeled seed).
+
+    Tiebreaks are total everywhere (neighbor_id inside the top-k,
+    label inside the vote), and the cosines themselves are
+    bit-identical cross-engine (sequential fold, see module
+    docstring), so the predicted labels are fully deterministic.
+
+    Scale shape: same as sim_search_topk — the labeled query batch
+    broadcasts, the corpus streams through one scan with
+    WindowGroupLimit pruning to k per query before the shuffle; the
+    vote is a groupBy over |queries|·k rows, i.e. nothing.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- emb_centroid -----------------------------------------------------
+
+
+@register(
+    "emb_centroid",
+    oracle=f"""
+    WITH x AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_ddouble("SUM(CAST(FLOOR(v * 1000000) AS HUGEINT))")}
+             / 1000000.0 / COUNT(*) AS mean_val
+    FROM x GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long form (label,
+    dim, mean) — the aggregation behind class prototypes, IVF coarse
+    centroids, and drift monitoring over an embedded corpus.
+
+    Element values are quantized to 1e-6 and summed as exact 38-digit
+    integers per (label, dim), so the means are order-independent and
+    hash-identical cross-engine (a plain per-dimension float SUM would
+    depend on partial-agg order). Long form deliberately: array
+    reassembly would force a float->string render, whose formatting is
+    engine-specific.
+
+    Scale shape: posexplode is a narrow 1→64 fan-out fused into the
+    scan; the single shuffle carries (label, dim) partial sums —
+    map-side combine collapses each task to ≤ |labels|·dim rows, so
+    the exchange is tiny no matter how big the corpus is.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    s = F.sum(F.floor(F.col("v") * 1000000).cast("decimal(38,0)"))
+    return (
+        x.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (ddouble(s) / F.lit(1000000.0) / F.count(F.lit(1))).alias("mean_val"),
+        )
+        .orderBy("label", "dim")
     )

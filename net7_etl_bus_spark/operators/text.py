@@ -575,3 +575,61 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 2)
         .orderBy("term")
     )
+
+
+# --- text_url_extract -------------------------------------------------
+
+# Written to the common subset of Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround. Host chars then an optional /path of
+# non-space chars.
+_URL_PAT = r"https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+_HOST_PAT = r"https?://([A-Za-z0-9.-]+)"
+
+
+@register(
+    "text_url_extract",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
+      FROM read_parquet('{{FIX}}/web_docs.parquet')
+    )
+    SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY domain
+    ORDER BY n_urls DESC, domain
+    """.replace("{FIX}", FIXTURES_DIR),
+)
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain frequency over a web-shaped corpus —
+    the first pass of every web-crawl curation pipeline (domain
+    allow/deny lists, per-domain caps, spam-domain discovery all
+    consume exactly this table).
+
+    Runs over the committed web_docs fixture (the testdata documents
+    are URL-free word soup). The URL regex sticks to the Java/RE2
+    common subset so both engines extract identical spans.
+
+    Scale shape: regexp_extract_all is a narrow JVM-codegen map fused
+    into the scan; the explode fans out to one row per URL; the domain
+    groupBy is the only shuffle, and Zipfian domain skew is exactly
+    where map-side partial aggregation collapses the heavy hitters
+    before the exchange.
+    """
+    d = spark.read.parquet(f"{FIXTURES_DIR}/web_docs.parquet")
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_URL_PAT), F.lit(0))).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id", F.regexp_extract("url", _HOST_PAT, 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )

@@ -325,3 +325,60 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sort_key") == 0)
         .select("event_id", "user_id", "ts", "event_type", "next_signup_ts")
     )
+
+
+# --- running distinct count ---------------------------------------------
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id, ts, event_type,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM f
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per partition — "how many distinct event
+    types has this user produced so far?" — which no engine supports as
+    a native window aggregate (COUNT(DISTINCT ...) OVER is rejected by
+    both Spark and DuckDB). The standard rewrite: mark each (user,
+    type)'s first occurrence with a row_number window, then running-sum
+    the 0/1 markers in event order.
+
+    Scale shape: two window passes — the marker partitions by
+    (user_id, event_type), the prefix sum by user_id; each is one
+    hash-partitioned shuffle + bounded per-user sort, with no blowup
+    (the intermediate is exactly one 0/1 column wider than the input).
+    Deterministic: both orderings carry the unique event_id tiebreak,
+    and the output is an exact integer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )

@@ -110,6 +110,9 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_histogram", "agg_regr", "profile_columns", "event_transitions",
     "zorder_cluster", "ts_resample_ohlc", "join_asof_forward",
     "text_inverted_index", "sim_search_bcast_index",
+    "anomaly_zscore", "skew_key_profile", "sample_weighted",
+    "win_running_distinct", "knn_classify", "emb_centroid",
+    "text_url_extract", "dedup_paragraph",
 )
 
 

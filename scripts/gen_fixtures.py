@@ -279,6 +279,7 @@ def main() -> None:
     write_zip_orc(rows, os.path.join(FIXTURES, "zip_codes.orc"))
     write_zip_fixed(rows, os.path.join(FIXTURES, "zip_codes_fixed.txt"))
     write_pii_docs(os.path.join(FIXTURES, "pii_docs.parquet"))
+    write_web_docs(os.path.join(FIXTURES, "web_docs.parquet"))
     print(f"wrote fixtures to {FIXTURES}: {len(rows)} zip rows")
 
 
@@ -312,6 +313,55 @@ def write_pii_docs(path) -> None:
             toks.insert(rng.randrange(len(toks)),
                         f"{rng.randint(1, 254)}.{rng.randint(0, 254)}.{rng.randint(0, 254)}.{rng.randint(1, 254)}")
         rows.append((doc_id, " ".join(toks)))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string())}
+        ),
+        path,
+    )
+
+
+def write_web_docs(path) -> None:
+    """Web-shaped documents for the URL-extraction and paragraph-dedup
+    operators: multi-paragraph text (\\n\\n separated) where every doc
+    carries a site header/footer paragraph shared across its "site"
+    (boilerplate by construction) around 1-4 unique body paragraphs,
+    some salted with http(s) URLs from a skewed domain list. The
+    testdata documents table is single-paragraph word soup with no
+    URLs, so these two operators need their own fixture. All URLs use
+    reserved example/invalid domains."""
+    rng = random.Random(4242)
+    words = ["the", "data", "spark", "batch", "merge", "join", "row",
+             "table", "stream", "window", "filter", "key", "value",
+             "scan", "query", "page", "site", "link"]
+    headers = [
+        "welcome to site alpha all rights reserved",
+        "site beta navigation home about contact",
+        "gamma portal member login register help",
+    ]
+    footers = [
+        "copyright site alpha terms privacy",
+        "site beta footer sitemap feedback",
+        "gamma portal powered by gamma engine",
+    ]
+    # Zipf-ish skew: example.com dominates, tail domains are rare.
+    domains = (["example.com"] * 8 + ["example.org"] * 4 + ["example.net"] * 2
+               + ["test.invalid", "docs.example.edu", "cdn.example.io"])
+    rows = []
+    for doc_id in range(150):
+        site = rng.randrange(3)
+        paras = [headers[site]]
+        for _ in range(rng.randint(1, 4)):
+            toks = [rng.choice(words) for _ in range(rng.randint(6, 18))]
+            if rng.random() < 0.6:
+                d = rng.choice(domains)
+                scheme = "https" if rng.random() < 0.8 else "http"
+                toks.insert(rng.randrange(len(toks)),
+                            f"{scheme}://{d}/p{rng.randint(1, 500)}")
+            paras.append(" ".join(toks))
+        paras.append(footers[site])
+        rows.append((doc_id, "\n\n".join(paras)))
     pq.write_table(
         pa.table(
             {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
