@@ -402,3 +402,77 @@ def test_histogram_partial_aggregation(spark):
     plan = plan_of(spark, "agg_histogram", mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_anomaly_zscore_stats_join_broadcast(spark):
+    """anomaly_zscore: the per-type moment stats (|event_types| rows)
+    must rejoin the event stream by BROADCAST — a shuffle join here
+    would move the whole fact to score it."""
+    plan = plan_of(spark, "anomaly_zscore", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_key_profile_topk_no_global_sort(spark):
+    """skew_key_profile: the top-20 keys come from
+    TakeOrderedAndProject over the aggregated counts, never a global
+    sort of all keys; the grand total attaches by broadcast."""
+    plan = plan_of(spark, "skew_key_profile", mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sample_weighted_no_shuffle(spark):
+    """sample_weighted: membership is a pure per-row function of
+    (key, weight) — the plan must be scan -> project -> filter with
+    ZERO exchanges."""
+    plan = plan_of(spark, "sample_weighted", mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_win_running_distinct_two_windows_no_join(spark):
+    """win_running_distinct: the rewrite is two window passes (marker,
+    prefix sum) — no join, no aggregate, and no more exchanges than
+    the two window shuffles."""
+    plan = plan_of(spark, "win_running_distinct", mode="simple")
+    assert plan.count("Window") >= 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_knn_classify_query_side_broadcast(spark):
+    """knn_classify: the labeled query batch must broadcast against
+    the corpus scan (nested-loop by construction — there is no equi
+    key); the corpus must never shuffle before per-query top-k."""
+    plan = plan_of(spark, "knn_classify", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_emb_centroid_partial_agg_after_explode(spark):
+    """emb_centroid: posexplode fans out in the scan stage and partial
+    aggregation collapses each task to <= |labels|*dim rows before the
+    single (label, dim) exchange."""
+    plan = plan_of(spark, "emb_centroid", mode="simple")
+    assert "Generate" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_text_url_extract_no_join_single_explode(spark):
+    """text_url_extract: regex extraction + explode + one aggregation
+    — no join anywhere, exactly one Generate."""
+    plan = plan_of(spark, "text_url_extract", mode="simple")
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dedup_paragraph_boiler_join_broadcast(spark):
+    """dedup_paragraph: the boilerplate set (cross-doc repeated
+    paragraphs only) must rejoin the exploded paragraphs by BROADCAST
+    hash join on the md5 key — the full text never shuffles for the
+    membership test."""
+    plan = plan_of(spark, "dedup_paragraph", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
