@@ -432,3 +432,48 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- agg_weighted_avg -------------------------------------------------
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
+                         * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT))
+                         AS VARCHAR) AS DOUBLE)
+             / 100.0 AS wavg_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean every revenue/mix analysis needs, which has no built-in
+    aggregate in either engine.
+
+    Both the numerator Σ(w·x) and denominator Σw are exact integer
+    sums of 0.01-quantized inputs; the result is two string-exact
+    double conversions and two IEEE divisions — bit-identical across
+    engines (a float Σ(w·x) would be summation-order-dependent).
+
+    Scale shape: single scan, map-side-combinable aggregate, 3-row
+    result — all work in the scan stage, like every moment sketch.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    wq = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    xq = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            (
+                ddouble(F.sum(wq * xq)) / ddouble(F.sum(wq)) / F.lit(100.0)
+            ).alias("wavg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

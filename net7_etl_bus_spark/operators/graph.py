@@ -114,3 +114,56 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks
+
+
+# --- degree distribution ----------------------------------------------
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    deg AS (
+      SELECT 'customer' AS node_type, c AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM pairs GROUP BY c
+      UNION ALL
+      SELECT 'supplier' AS node_type, s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM pairs GROUP BY s)
+    SELECT node_type, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY node_type, degree
+    ORDER BY node_type, degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer<->supplier purchase graph
+    (how many customers trade with exactly k suppliers, and vice
+    versa) — the first thing to measure before running anything
+    iterative on a graph: it is the skew profile that decides whether
+    PageRank/CC need hub splitting.
+
+    Scale shape: one orders x lineitem join (the same edge derivation
+    PageRank uses) collapsed by DISTINCT, then two tiny aggregation
+    ladders — per-node degree, then nodes-per-degree; every shuffle
+    after the edge join carries only ids and small ints.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_c = pairs.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select(F.lit("customer").alias("node_type"), "node", "degree")
+    deg_s = pairs.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select(F.lit("supplier").alias("node_type"), "node", "degree")
+    return (
+        deg_c.unionByName(deg_s)
+        .groupBy("node_type", "degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )

@@ -633,3 +633,119 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_urls").desc(), "domain")
     )
+
+
+# --- text_url_canonicalize --------------------------------------------
+
+# scheme://host[/path] -> lower(host) + path minus query/fragment and
+# any trailing slash; scheme dropped (http and https collapse).
+_CANON_STRIP = r"[?#].*$"
+
+
+@register(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
+    FROM read_parquet('{{FIX}}/web_docs.parquet')),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '{_HOST_PAT}', 1))
+               || regexp_replace(regexp_replace(
+                      regexp_replace(url, '{_CANON_STRIP}', ''),
+                      'https?://[A-Za-z0-9.-]+', ''),
+                      '/$', '')
+               AS canon
+      FROM u)
+    SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM c GROUP BY canon
+    HAVING COUNT(*) >= 2
+    ORDER BY n_urls DESC, canon
+    """.replace("{FIX}", FIXTURES_DIR),
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate-URL counting: scheme dropped
+    (http/https collapse), host lowercased, query/fragment and
+    trailing slash stripped — the normalization pass before URL-level
+    dedup of a crawl (the same page fetched via different URL
+    spellings must collapse to one key). Emits canonical URLs seen
+    more than once, with occurrence and document counts.
+
+    All transforms are regexp_replace/extract in the Java/RE2 common
+    subset, so both engines derive byte-identical canonical keys.
+
+    Scale shape: narrow regex maps fused into the scan; one explode;
+    one groupBy on the canonical key — at crawl scale the counts
+    collapse map-side exactly like the domain table.
+    """
+    d = spark.read.parquet(f"{FIXTURES_DIR}/web_docs.parquet")
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_URL_PAT), F.lit(0))).alias("url"),
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("url", _CANON_STRIP, ""),
+            r"https?://[A-Za-z0-9.-]+",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    canon = F.concat(F.lower(F.regexp_extract("url", _HOST_PAT, 1)), path)
+    return (
+        urls.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .orderBy(F.col("n_urls").desc(), "canon")
+    )
+
+
+# --- text_bpe_pairs ---------------------------------------------------
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_SQL_W}) AS word FROM documents),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i, 2))) AS pair
+      FROM w WHERE length(word) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies within words (top-50) — the
+    counting step of one BPE merge round, the inner loop of tokenizer
+    vocabulary induction. Same tokenization as every text operator so
+    the counts line up with text_token_count/text_ngram_freq.
+
+    Scale shape: two explodes (words, then in-word pairs) fused into
+    the scan stage, a two-phase hash aggregate over a tiny key space
+    (byte pairs), TakeOrderedAndProject for the top-k; ties break on
+    the pair so the cut is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    w = d.select(F.explode(words).alias("word")).filter(F.length("word") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )

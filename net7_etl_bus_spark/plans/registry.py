@@ -113,6 +113,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "anomaly_zscore", "skew_key_profile", "sample_weighted",
     "win_running_distinct", "knn_classify", "emb_centroid",
     "text_url_extract", "dedup_paragraph",
+    "ts_rolling_stats", "graph_degree_stats", "agg_weighted_avg",
+    "text_url_canonicalize", "text_bpe_pairs",
 )
 
 
