@@ -476,3 +476,41 @@ def test_dedup_paragraph_boiler_join_broadcast(spark):
     plan = plan_of(spark, "dedup_paragraph", mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ts_rolling_stats_single_window_pass(spark):
+    """ts_rolling_stats: all four frame aggregates share ONE window
+    spec — one shuffle, one sort, no self-join (the naive rolling-join
+    formulation would blow up row counts)."""
+    plan = plan_of(spark, "ts_rolling_stats", mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_agg_weighted_avg_single_scan_partial_agg(spark):
+    """agg_weighted_avg: one scan, two-phase hash aggregate, no join —
+    the weighted mean is a pure moment sketch."""
+    plan = plan_of(spark, "agg_weighted_avg", mode="simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_text_bpe_pairs_topk_no_global_sort(spark):
+    """text_bpe_pairs: two fused explodes then TakeOrderedAndProject —
+    the top-50 must not globally sort the full pair-frequency table."""
+    plan = plan_of(spark, "text_bpe_pairs", mode="simple")
+    assert plan.count("Generate") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_graph_degree_stats_no_cartesian(spark):
+    """graph_degree_stats: the edge derivation joins orders x lineitem
+    on the order key — never a cartesian product — and every
+    aggregation is hash-based."""
+    plan = plan_of(spark, "graph_degree_stats", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
