@@ -415,3 +415,39 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unbase64(F.base64(head24.cast("binary"))).cast("string") == head24
         ).alias("b64_roundtrip"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle=r"""
+    SELECT o.o_orderkey,
+           regexp_extract(o.o_orderpriority, '([0-9])-([A-Z]+)', 1) AS prio_num,
+           regexp_extract(o.o_orderpriority, '([0-9])-([A-Z]+)', 2) AS prio_word,
+           regexp_matches(c.c_name, 'Customer#0*[17]') AS name_flag,
+           regexp_replace(c.c_name, '#0+', '#') AS name_short,
+           CAST(len(regexp_extract_all(o.o_orderpriority, '[A-Z]{3,}')) AS BIGINT)
+             AS n_caps_words
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function surface: extract (by group), match test,
+    replace, and match counting — confined to the Java/RE2 common
+    subset (character classes, bounded repetition, capture groups; no
+    backrefs, no lookaround) so both engines see identical matches.
+
+    Scale shape: narrow codegen'd maps over the scan plus one
+    broadcast dimension join, like fn_string.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"([0-9])-([A-Z]+)", 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"([0-9])-([A-Z]+)", 2).alias("prio_word"),
+        F.rlike(F.col("c_name"), F.lit(r"Customer#0*[17]")).alias("name_flag"),
+        F.regexp_replace("c_name", r"#0+", "#").alias("name_short"),
+        F.size(F.regexp_extract_all("o_orderpriority", F.lit(r"[A-Z]{3,}"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_caps_words"),
+    )

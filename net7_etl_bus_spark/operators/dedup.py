@@ -626,3 +626,55 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- lead-fingerprint (prefix) dedup ----------------------------------
+
+_PREFIX_LEN = 40
+
+
+@register(
+    "dedup_prefix",
+    oracle=f"""
+    SELECT md5(substring(text, 1, {_PREFIX_LEN})) AS lead_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS survivor_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM read_parquet('{{FIX}}/web_docs.parquet')
+    GROUP BY lead_fp HAVING COUNT(*) >= 2
+    ORDER BY lead_fp
+    """.replace("{FIX}", FIXTURES_DIR),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-fingerprint dedup: documents grouped by the md5 of their
+    first {_PREFIX_LEN} characters — the cheap catcher for truncation
+    duplicates and same-template leads (mirrors/partial fetches of one
+    page share a lead long before full-text hashes agree). Groups with
+    >= 2 docs come back with a deterministic survivor (min doc_id) and
+    the ordered member list.
+
+    Scale shape: like dedup_exact, the shuffle carries (16-byte
+    fingerprint, doc_id) — never text; member lists are bounded by
+    group size (duplicate clusters), not corpus size. The stringified
+    member list keeps the output hash-comparable (array columns don't
+    sort portably in the driver compare).
+    """
+    d = spark.read.parquet(f"{FIXTURES_DIR}/web_docs.parquet")
+    fp = F.md5(F.substring("text", 1, _PREFIX_LEN).cast("binary"))
+    return (
+        d.select(fp.alias("lead_fp"), "doc_id")
+        .groupBy("lead_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("lead_fp")
+    )

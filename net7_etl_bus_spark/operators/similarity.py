@@ -760,3 +760,114 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --- emb_pq_quantize --------------------------------------------------
+
+# Product quantization: the 64-dim vector splits into _PQ_M contiguous
+# 16-dim subvectors; each is assigned to the nearest of _PQ_K fixed
+# centroids by L2, giving a _PQ_M-byte code per vector (here 4 codes of
+# 3 bits). Centroids are seed-deterministic Gaussians embedded as SQL
+# literals — a production build would k-means them per subspace exactly
+# like sim_search_ivf documents for its coarse quantizer; the assignment
+# machinery (the part Spark executes at scale) is identical either way.
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 8
+
+
+def _pq_centroids() -> list[list[list[float]]]:
+    rng = random.Random(20240814)
+    return [
+        [[round(rng.gauss(0.0, 0.12), 6) for _ in range(_PQ_SUB)] for _ in range(_PQ_K)]
+        for _ in range(_PQ_M)
+    ]
+
+
+def _pq_spark_dists(m: int, cents: list[list[float]]) -> str:
+    """Spark SQL: array of L2 distances from subvector m to each
+    centroid — sequential fold over index order (element_at is
+    1-based, matching DuckDB's list indexing)."""
+    arrs = ", ".join(
+        "array(" + ", ".join(f"cast({x!r} as double)" for x in c) + ")" for c in cents
+    )
+    off = m * _PQ_SUB
+    return (
+        f"transform(array({arrs}), c -> aggregate(sequence(1, {_PQ_SUB}), "
+        f"cast(0.0 as double), (acc, i) -> acc + "
+        f"(cast(element_at(embedding, {off} + i) as double) - element_at(c, i)) "
+        f"* (cast(element_at(embedding, {off} + i) as double) - element_at(c, i))))"
+    )
+
+
+def _pq_duck_dists(m: int, cents: list[list[float]]) -> str:
+    arrs = ", ".join(
+        "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + "]" for c in cents
+    )
+    off = m * _PQ_SUB
+    return (
+        f"list_transform([{arrs}], c -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_PQ_SUB}), "
+        f"i -> (CAST(embedding[{off} + i] AS DOUBLE) - c[i]) "
+        f"* (CAST(embedding[{off} + i] AS DOUBLE) - c[i]))), (acc, v) -> acc + v))"
+    )
+
+
+_PQ_CENTS = _pq_centroids()
+
+_PQ_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id,
+         {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
+  FROM embeddings)
+SELECT vec_id,
+       {" || '-' || ".join(f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS VARCHAR)" for m in range(_PQ_M))}
+         AS pq_code,
+       {" + ".join(f"list_min(d{m})" for m in range(_PQ_M))} AS recon_err
+FROM d
+ORDER BY vec_id
+"""
+
+
+@register("emb_pq_quantize", oracle=_PQ_ORACLE)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column: each vector
+    compressed to a {_PQ_M}-code PQ word plus its reconstruction error
+    — THE memory-bound ANN technique at 100 TB scale (codes are ~16x
+    smaller than float16 vectors; IVF-PQ = sim_search_ivf's coarse
+    lists + these fine codes).
+
+    Determinism: distances are sequential folds over index order on
+    identical literals, argmin is first-occurrence array_position /
+    list_position (same 1-based semantics both engines), and the
+    reconstruction error sums the {_PQ_M} subspace minima in fixed
+    order — every output bit-identical cross-engine.
+
+    Scale shape: pure narrow map over the scan — the centroid table is
+    a plan literal (broadcast-variable-sized in a real build), so
+    quantizing N vectors is embarrassingly parallel with zero
+    shuffles; only the tiny (vec_id, code, err) result moves.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id",
+        *[
+            F.expr(_pq_spark_dists(m, _PQ_CENTS[m])).alias(f"d{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    code = F.concat_ws(
+        "-",
+        *[
+            (F.array_position(F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))) - 1).cast(
+                "string"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+    err = F.array_min(F.col("d0"))
+    for m in range(1, _PQ_M):
+        err = err + F.array_min(F.col(f"d{m}"))
+    return d.select(
+        "vec_id", code.alias("pq_code"), err.alias("recon_err")
+    ).orderBy("vec_id")

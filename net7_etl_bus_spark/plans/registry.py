@@ -115,6 +115,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_url_extract", "dedup_paragraph",
     "ts_rolling_stats", "graph_degree_stats", "agg_weighted_avg",
     "text_url_canonicalize", "text_bpe_pairs",
+    "emb_pq_quantize", "dedup_prefix", "fn_regexp",
 )
 
 
