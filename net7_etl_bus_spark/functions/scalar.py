@@ -451,3 +451,45 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_caps_words"),
     )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 35 THEN 'medium'
+                ELSE 'large' END AS qty_band,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_state,
+           LEAST(l_quantity, l_discount * 100) AS least_v,
+           GREATEST(l_quantity, l_discount * 100) AS greatest_v,
+           CASE WHEN l_tax > l_discount THEN l_tax ELSE l_discount END AS max_rate
+    FROM lineitem
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression surface: CASE laddering, NULLIF/COALESCE
+    null plumbing, LEAST/GREATEST — the branch-free conditional kernel
+    every cleansing pipeline is made of. All comparisons are on exact
+    doubles or on products of identical operands, so the selected
+    branches agree across engines.
+
+    Scale shape: narrow codegen'd maps, zero shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d100 = F.col("l_discount") * 100
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 35, "medium")
+        .otherwise("large")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "return_state"
+        ),
+        F.least(F.col("l_quantity"), d100).alias("least_v"),
+        F.greatest(F.col("l_quantity"), d100).alias("greatest_v"),
+        F.when(F.col("l_tax") > F.col("l_discount"), F.col("l_tax"))
+        .otherwise(F.col("l_discount"))
+        .alias("max_rate"),
+    )

@@ -214,3 +214,72 @@ def scd2_apply_increment(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
         valid_to.isNull().alias("is_current"),
     )
     return rebuilt if closed is None else closed.unionByName(rebuilt)
+
+
+# --- SCD2 point-in-time join ------------------------------------------
+
+_SCD2_DIM_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state),
+    dim AS (
+      SELECT user_id, state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+      FROM changes)
+"""
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle=_SCD2_DIM_SQL
+    + """
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.state AS state_at_purchase, d.version
+    FROM events f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase fact matched to the
+    dimension version valid AT the fact's timestamp — the query every
+    SCD2 dimension exists to answer, and the reason warehouses keep
+    validity intervals instead of just latest state.
+
+    Composes scd2_dimension directly: the join is an equi-join on the
+    entity key with the interval containment as a residual predicate.
+    Per-entity version counts bound the multiplicity, and the interval
+    filter keeps exactly one version per fact — so the join output is
+    |facts| rows, never |facts| x |versions|.
+
+    Scale shape: both sides hash-partition on user_id (one shuffle
+    each); the dimension side is the collapsed change log, orders of
+    magnitude smaller than the fact. No nested-loop, no broadcast of
+    fact-scale data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_dimension(spark, sf_dir).drop("is_current")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("f_user_id"), "ts", "value"
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("f_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        "version",
+    )

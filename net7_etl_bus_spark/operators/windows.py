@@ -382,3 +382,64 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
     )
+
+
+# --- gaps and islands -------------------------------------------------
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+      FROM events)
+    SELECT user_id, event_type,
+           MIN(ts) AS island_start,
+           MAX(ts) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS run_length
+    FROM marked
+    GROUP BY user_id, event_type, island
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, island_start
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (>= 2 long), via the classic two-row_number difference —
+    the run-length-encoding shape behind streak analytics, downtime
+    detection, and state-run compression.
+
+    Both row_numbers share the user_id shuffle (the second adds
+    event_type to the partition key but Spark plans it over the same
+    exchange-compatible sort), and the island aggregate groups by the
+    difference — constant within a run by construction. Total order
+    (ts, event_id) makes every island boundary deterministic.
+
+    Scale shape: one user_id shuffle + per-user sorts, then a hash
+    aggregate whose key count is the number of runs — no self-join,
+    no blowup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island"),
+    )
+    return (
+        marked.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("run_length"),
+        )
+        .filter(F.col("run_length") >= 2)
+        .select("user_id", "event_type", "island_start", "island_end", "run_length")
+        .orderBy("user_id", "island_start")
+    )

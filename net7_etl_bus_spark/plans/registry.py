@@ -116,6 +116,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "ts_rolling_stats", "graph_degree_stats", "agg_weighted_avg",
     "text_url_canonicalize", "text_bpe_pairs",
     "emb_pq_quantize", "dedup_prefix", "fn_regexp",
+    "join_scd2_pointintime", "win_gaps_islands", "fn_conditional",
 )
 
 
