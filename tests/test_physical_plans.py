@@ -514,3 +514,44 @@ def test_graph_degree_stats_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_emb_pq_quantize_zero_shuffle(spark):
+    """emb_pq_quantize: the centroid table is a plan literal, so
+    quantization is a pure narrow map — no join, and no exchange
+    beyond the presentation sort."""
+    plan = plan_of(spark, "emb_pq_quantize", mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_dedup_prefix_hashes_only(spark):
+    """dedup_prefix: the group key is md5(lead), aggregated hash-style
+    — no join, no window, no text-wide shuffle beyond the group."""
+    plan = plan_of(spark, "dedup_prefix", mode="simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_join_scd2_pointintime_no_nested_loop(spark):
+    """join_scd2_pointintime: the temporal join must be an equi join
+    on the entity key with the interval as residual — a nested-loop
+    or cartesian plan here is the classic temporal-join blowup."""
+    plan = plan_of(spark, "join_scd2_pointintime", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_win_gaps_islands_no_join(spark):
+    """win_gaps_islands: the two-row_number formulation needs windows
+    and one aggregate — never a self-join of the event stream."""
+    plan = plan_of(spark, "win_gaps_islands", mode="simple")
+    assert plan.count("Window") >= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_fn_conditional_no_shuffle(spark):
+    """fn_conditional: conditional expressions are narrow codegen'd
+    maps — zero exchanges."""
+    plan = plan_of(spark, "fn_conditional", mode="simple")
+    assert "Exchange" not in plan, plan
