@@ -142,7 +142,14 @@ def test_results_invariant_under_shuffle_partitioning(spark):
     qs = registry.queries()
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        for name in ("q1_pricing_summary", "agg_stats_moments", "graph_pagerank"):
+        for name in (
+            "q1_pricing_summary",
+            "agg_stats_moments",
+            "graph_pagerank",
+            "anomaly_zscore",     # broadcast moments + per-row z cut
+            "emb_pq_quantize",    # argmin over folded distances
+            "ts_rolling_stats",   # exact sums inside window frames
+        ):
             results = []
             for n in ("7", "32"):
                 spark.conf.set("spark.sql.shuffle.partitions", n)

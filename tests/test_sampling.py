@@ -81,3 +81,56 @@ def test_scrub_pii_redacts_all_kinds(spark):
     assert total["phone"] >= 60
     assert total["ssn"] >= 35
     assert total["ipv4"] >= 25
+
+
+def test_sample_weighted_rate_and_membership_purity(spark):
+    """sample_weighted's two core claims: (1) the realized rate tracks
+    the expected avg(weight) (= avg(quantity)/50), (2) membership is a
+    pure function of the row key — computing the sample over any
+    SUBSET yields exactly the full sample restricted to that subset
+    (the property that makes the sample append/partition/engine
+    stable, which seeded df.sample() does not have)."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.plans import registry
+
+    qs = registry.queries()
+    full = qs["sample_weighted"](spark, SF_SMALL)
+    l = load_table(spark, SF_SMALL, "lineitem")
+    n_all = l.count()
+    expected = (
+        l.agg(F.sum(F.col("l_quantity") / 50.0).cast("double")).collect()[0][0]
+    )
+    n_sampled = full.count()
+    assert abs(n_sampled - expected) / n_all < 0.03, (n_sampled, expected)
+
+    keys_full = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in full.filter(F.col("l_orderkey") % 2 == 0).collect()
+    }
+    # recompute the op's own filter over just the even-orderkey subset
+    half = full.sparkSession.createDataFrame(
+        l.filter(F.col("l_orderkey") % 2 == 0).collect(), l.schema
+    )
+    # membership must be identical when computed from the subset alone
+    from net7_etl_bus_spark.operators.sampling import _SQL_U24
+
+    keyed = half.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    ).withColumn("u24", F.expr(_SQL_U24).cast("bigint"))
+    keys_half = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in keyed.filter(
+            F.col("u24").cast("double")
+            < (F.col("l_quantity") / F.lit(50.0)) * F.lit(16777216.0)
+        ).collect()
+    }
+    assert keys_half == keys_full
