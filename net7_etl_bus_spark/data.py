@@ -35,12 +35,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet file. A vanilla
-        # SparkSession (e.g. the driver harness's) throws
-        # PARQUET_TYPE_ILLEGAL on it; the legacy conf is runtime-settable,
-        # so set it here instead of relying on session-build-time config.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Re-assert runtime-settable parity confs (ANSI off, UTC, nanos
+    # legacy read) — a vanilla session (e.g. the driver harness's)
+    # throws PARQUET_TYPE_ILLEGAL on events.ts and ANSI errors on edge
+    # rows otherwise. Idempotent, driver-local, cheap.
+    from .session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is TIMESTAMP(NANOS) in the file; with

@@ -34,6 +34,25 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_N = 3  # word 3-grams
 
+# Universal-hash family over a 60-bit md5-derived integer:
+#   x(s)  = int(md5(s)[:15 hex]) mod P          (ONE md5 per shingle)
+#   h_i(s) = (A[i] * x + B[i]) mod P            (integer mul/add/mod)
+# P = 2^31 - 1 (prime); A[i] < P so A[i]*x < 2^62 — exact in signed
+# 64-bit in both engines, hence bit-identical Spark vs DuckDB. The
+# previous family (16 full md5 calls per shingle, 32-char string mins)
+# cost 16x the hashing and shuffled 512-byte signature rows; this one
+# hashes once and shuffles 16 bigints. Constants from Random(42).
+_MH_P = 2147483647
+_MH_A = [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257,
+         479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866,
+         1915941033, 1171165723, 186699714, 1268073013]
+_MH_B = [906070220, 68252793, 63989047, 201209005, 469521477, 499635468,
+         1085242216, 1292825378, 56985561, 1205264595, 427000596, 1537640408,
+         1395616196, 1506083910, 1170252923, 900911954]
+# Band-key combiner: pairwise modular polynomial with multiplier 65599
+# (values < 2^31, 65599 < 2^17 -> products < 2^48, exact in int64).
+_MH_M = 65599
+
 _NORM = "lower(trim(text))"
 
 
@@ -131,21 +150,25 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature_from(sh: DataFrame) -> DataFrame:
-    """doc_id + 16 MinHash columns h0..h15 + n_shingles.
+    """doc_id + 16 MinHash columns h0..h15 (bigint) + n_shingles.
 
-    Hash family: h_i(s) = md5(s || '#i'); the signature element is the
-    MIN over the doc's shingle set. Computed as 16 min-aggregates in a
-    single groupBy pass over the exploded shingles — the data is
-    exploded once, not 16 times. The per-doc distinct-shingle count
+    Hash family: ONE md5 per shingle -> 60-bit integer x, then
+    h_i(s) = (A[i]*x + B[i]) mod P (see _MH_* constants) — the
+    signature element is the MIN over the doc's shingle set. Computed
+    as 16 min-aggregates in a single groupBy pass over the exploded
+    shingles — the data is exploded once, not 16 times, and the md5 is
+    computed once, not 16 times. The per-doc distinct-shingle count
     rides along in the same pass (same group key, same input) so the
     verified cascade never re-scans the shingles for set sizes.
     """
+    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % _MH_P
+    hashed = sh.select("doc_id", x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % _MH_P).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     aggs.append(F.count(F.lit(1)).alias("n_shingles"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,18 +182,18 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     N_BANDS projections, which would replay the (expensive) signature
     aggregation once per band at plan level. The self-join is an
     equi-join on (band_id, band_hash): only colliding buckets produce
-    work; AQE skew-join splits boilerplate-heavy buckets.
+    work; AQE skew-join splits boilerplate-heavy buckets. Band keys are
+    8-byte modular-polynomial combines of the 4 signature ints (not
+    md5-of-concat strings) — smaller shuffle rows, zero string work.
     """
-    band_hash_array = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+
+    def band_key(b: int) -> Column:
+        v = F.col(f"h{b * ROWS_PER_BAND}")
+        for r in range(1, ROWS_PER_BAND):
+            v = (v * _MH_M + F.col(f"h{b * ROWS_PER_BAND + r}")) % _MH_P
+        return v
+
+    band_hash_array = F.array(*[band_key(b) for b in range(N_BANDS)])
     bands = sig.select(
         "doc_id", F.posexplode(band_hash_array).alias("band_id", "band_hash")
     )
@@ -188,17 +211,29 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+_SQL_X = f"(CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {_MH_P})"
+
 _SQL_SIG = f"""
+hashed AS (
+  SELECT doc_id, {_SQL_X} AS x FROM shingles
+),
 sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN(md5(s || '#{i}')) AS h{i}" for i in range(N_HASHES))}
-  FROM shingles GROUP BY doc_id
+         {', '.join(f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(N_HASHES))}
+  FROM hashed GROUP BY doc_id
 )
 """
 
+
+def _sql_band_key(b: int) -> str:
+    v = f"h{b * ROWS_PER_BAND}"
+    for r in range(1, ROWS_PER_BAND):
+        v = f"(({v}) * {_MH_M} + h{b * ROWS_PER_BAND + r}) % {_MH_P}"
+    return v
+
+
 _SQL_BANDS = "bands AS (\n" + "\nUNION ALL\n".join(
-    f"  SELECT doc_id, {b} AS band_id, "
-    f"md5(concat({', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))})) AS band_hash FROM sig"
+    f"  SELECT doc_id, {b} AS band_id, {_sql_band_key(b)} AS band_hash FROM sig"
     for b in range(N_BANDS)
 ) + "\n)"
 

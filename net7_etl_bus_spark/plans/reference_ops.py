@@ -504,7 +504,12 @@ def extract_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a JSON datasource scan (that's json_scan)."""
     raw = spark.read.text(API_RESPONSES_PATH)
     parsed = raw.select(F.from_json("value", API_RESPONSE_SCHEMA).alias("r"))
-    first = F.element_at("r.results", 1)
+    # try_element_at: rows whose results array is empty (API error
+    # responses) yield NULL enrichments — identical to DuckDB's
+    # results[1] on an empty list, and safe under ANSI mode (plain
+    # element_at throws INVALID_ARRAY_INDEX there, which is what broke
+    # this query in the driver's vanilla ANSI-on session in round 2).
+    first = F.try_element_at("r.results", F.lit(1))
     return parsed.select(
         F.col("r.composite_key").alias("composite_key"),
         F.col("r.status").alias("status"),

@@ -50,7 +50,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
-        _QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver harness builds its own vanilla SparkSession
+            # (ANSI on by default in Spark 4, TZ unset, 200 shuffle
+            # partitions). Re-assert the runtime-settable correctness
+            # confs so every query behaves identically under any
+            # session — see session.ensure_runtime_confs.
+            from ..session import ensure_runtime_confs
+
+            return fn(ensure_runtime_confs(spark), sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = " ".join(oracle.split())
         return fn
@@ -58,65 +72,54 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Keys the driver's round-1 correctness sweep did NOT verify (it checked
-# exactly the first 50 registrations and stopped), plus the three keys
-# that FAILED in round 1 (events nanos crash, fixed in data.load_table).
-# These are yielded first so a count-capped sweep reaches them. Keys not
-# in the registry are ignored, so this list never breaks registration.
+# Sweep ordering for the driver's count-capped correctness run (it
+# checks ~50 queries per round in registration order). Round-3 front of
+# the line: the single round-2 FAIL (extract_nested_json — ANSI
+# element_at on an empty array in the driver's vanilla session, fixed
+# via try_element_at + runtime ANSI-off), then every key that has never
+# received a driver verdict (absent from CORRECTNESS_r01 ∪ r02), oldest
+# additions first. Keys already green in r01/r02 re-register last.
+# Keys not in the registry are ignored, so this list never breaks
+# registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-1 FAILs — must flip to green
-    "fn_map", "fn_json", "fn_json_typed",
-    # reference parity (§2.1) — zero driver verdicts in round 1
-    "csv_scan", "xml_scan", "orc_scan", "derive_composite_key", "project_widen", "dedup_by_key",
-    "completeness_filter", "ttl_freshness_filter", "semi_join_incoming",
-    "anti_join_processed", "run_gate_predicate", "lookup_by_id",
-    "count_agg", "exists_agg", "json_scan", "extract_nested_json",
-    "audit_timestamps", "file_checksum", "etl_run_snapshot",
-    # flagship queries
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
-    # windows + as-of joins
-    "win_rank_dense_rownum", "win_lag_lead", "win_running_agg",
-    "win_range_frame", "win_ntile_percent", "join_asof", "join_asof_pandas",
-    # streaming batch twins
-    "win_tumbling", "win_sliding", "win_session",
-    "stream_dedup_keys", "stream_dedup_first_event",
-    # similarity / embeddings
-    "sim_search_topk", "sim_search_lsh", "emb_dedup_cosine",
-    "sim_search_ivf", "emb_dedup_cosine_lsh",
-    # text analysis
-    "text_stats", "text_quality", "text_token_count",
-    "text_lang_id", "text_fingerprint",
-    # subqueries + data quality
+    # round-2 FAIL — must flip to green
+    "extract_nested_json",
+    # never driver-checked: subqueries + data quality
     "subquery_scalar_correlated", "subquery_exists", "subquery_in_nested",
-    "dq_audit",
-    # round-2 additions (no driver verdict yet)
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q13_order_count_dist", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q21_waiting_suppliers", "q22_dormant_customers",
-    "sample_hash_pct", "split_train_test", "text_repetition",
-    "stream_join_attrib", "dedup_cc_clusters", "agg_rollup_time",
-    "text_scrub_pii", "funnel_conversion", "cohort_retention", "agg_unpivot",
-    "scd2_dimension", "cdc_snapshot_diff", "win_first_last",
-    "text_ngram_freq", "join_range_binned",
-    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
-    "q12_priority_shipping", "q15_top_supplier", "q16_supplier_part_cnt",
-    "q17_small_quantity_revenue", "q20_excess_suppliers",
-    "agg_stats_moments", "agg_collect_list", "sample_stratified",
-    "ts_gapfill_locf", "ts_interpolate_linear", "text_decontaminate",
-    "geo_distance_join", "text_feature_hash", "emb_quantize_int8",
-    "rfm_segmentation", "subquery_lateral", "fn_try_safe", "graph_pagerank", "fn_variant", "fixedwidth_scan", "agg_mode", "fn_bitwise", "fn_encoding",
-    # round-2 late additions (no driver verdict yet)
-    "agg_histogram", "agg_regr", "profile_columns", "event_transitions",
-    "zorder_cluster", "ts_resample_ohlc", "join_asof_forward",
-    "text_inverted_index", "sim_search_bcast_index",
-    "anomaly_zscore", "skew_key_profile", "sample_weighted",
-    "win_running_distinct", "knn_classify", "emb_centroid",
-    "text_url_extract", "dedup_paragraph",
-    "ts_rolling_stats", "graph_degree_stats", "agg_weighted_avg",
-    "text_url_canonicalize", "text_bpe_pairs",
-    "emb_pq_quantize", "dedup_prefix", "fn_regexp",
-    "join_scd2_pointintime", "win_gaps_islands", "fn_conditional",
+    "subquery_lateral", "dq_audit",
+    # never driver-checked: remaining flagship queries
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q11_important_stock",
+    "q12_priority_shipping", "q13_order_count_dist", "q15_top_supplier",
+    "q16_supplier_part_cnt", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    # never driver-checked: sampling / dedup / text / graph
+    "sample_hash_pct", "split_train_test", "sample_stratified",
+    "sample_weighted", "text_repetition", "text_scrub_pii",
+    "text_ngram_freq", "text_decontaminate", "text_feature_hash",
+    "text_inverted_index", "text_url_extract", "text_url_canonicalize",
+    "text_bpe_pairs", "dedup_cc_clusters", "dedup_paragraph", "dedup_prefix",
+    "graph_pagerank", "graph_degree_stats",
+    # never driver-checked: aggregation / window / analytics
+    "agg_rollup_time", "agg_unpivot", "agg_stats_moments",
+    "agg_collect_list", "agg_mode", "agg_histogram", "agg_regr",
+    "agg_weighted_avg", "profile_columns", "anomaly_zscore",
+    "skew_key_profile", "win_first_last", "win_running_distinct",
+    "win_gaps_islands", "event_transitions",
+    "funnel_conversion", "cohort_retention", "rfm_segmentation",
+    # never driver-checked: joins / CDC / time series / layout
+    "join_range_binned", "join_asof_forward", "join_scd2_pointintime",
+    "geo_distance_join", "stream_join_attrib",
+    "scd2_dimension", "cdc_snapshot_diff",
+    "ts_gapfill_locf", "ts_interpolate_linear", "ts_resample_ohlc",
+    "ts_rolling_stats", "zorder_cluster",
+    # never driver-checked: embeddings / similarity
+    "emb_quantize_int8", "emb_centroid", "emb_pq_quantize",
+    "sim_search_bcast_index", "sim_search_pq", "knn_classify",
+    # never driver-checked: scalar fn surfaces + plugin scan
+    "fn_try_safe", "fn_variant", "fn_bitwise", "fn_encoding",
+    "fn_regexp", "fn_conditional", "fixedwidth_scan",
 )
 
 

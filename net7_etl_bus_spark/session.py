@@ -50,6 +50,44 @@ _DEFAULT_CONF = {
 }
 
 
+# Confs that are RUNTIME-settable and required for correctness parity
+# with the DuckDB oracle, applied defensively to any externally-built
+# session (the driver harness constructs its own SparkSession with
+# vanilla defaults — Spark 4 defaults ANSI ON, which turns
+# element_at/cast/divide on edge rows into exceptions where DuckDB and
+# the reference's tolerant row handling return NULL).
+_RUNTIME_CONF = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Perf (also runtime-settable): keep the oracle sweep fast on a
+    # vanilla session — 200 default shuffle partitions is ~6x overhead
+    # at sf0.01; AQE coalesces; dims broadcast.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply correctness-critical runtime confs to an existing session.
+
+    Idempotent and cheap (conf writes are driver-local). Called by the
+    registry wrapper around every query and by data.load_table, so a
+    query behaves identically whether it runs under our
+    :func:`get_spark` session or the driver harness's own.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf that became static in some Spark build must not
+            # break the query path; the session-build defaults cover it.
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "net7-etl-bus-spark",
     master: str | None = None,
