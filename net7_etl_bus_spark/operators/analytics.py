@@ -477,3 +477,59 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- time-decay weighted aggregation ----------------------------------
+
+_DECAY_REF_YEAR = 2001  # latest order year in the synthetic data
+_DECAY_MAX_K = 8
+
+
+@register(
+    "agg_decay_weighted",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderpriority,
+             LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K}) AS k,
+             CAST(FLOOR(o_totalprice * 100) AS HUGEINT) AS cents
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_ddouble(f"SUM(cents * (1 << ({_DECAY_MAX_K} - k)))")}
+             / {100.0 * (1 << _DECAY_MAX_K)} AS decayed_revenue
+    FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed revenue per order priority — the
+    recency-weighted aggregate behind decayed popularity scores and
+    half-life dashboards (weight = 2^-age_years, one-year half-life).
+
+    Exactness trick: the decayed sum is computed ENTIRELY in integers —
+    Σ cents·2^(K−k) with K = {_DECAY_MAX_K} — and divided by 100·2^K
+    once at the end. Power-of-two weights make the rescale a pure
+    exponent shift, so the result is bit-identical cross-engine and
+    independent of partial-aggregation order (a float Σ price·w^age
+    would be neither). Age clamps at K so the shift never underflows.
+
+    Scale shape: one scan, one map-side-combining hash agg; the decay
+    weight is a narrow per-row expression — no window, no self-join
+    (contrast with the naive "join each row to a reference-date dim"
+    formulation).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    term = F.expr(
+        f"CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) * "
+        f"CAST(shiftleft(1L, {_DECAY_MAX_K} - LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K})) AS DECIMAL(38,0))"
+    )
+    return (
+        o.select("o_orderpriority", term.alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (ddouble(F.sum("t")) / F.lit(100.0 * (1 << _DECAY_MAX_K))).alias(
+                "decayed_revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,168 @@
+"""End-to-end training-data curation pipeline — the flagship composite.
+
+One operator chaining the stages a 100 TB pretraining-corpus build
+actually runs, in the order production pipelines run them (cheap
+narrow filters first, corpus-wide dedup last):
+
+    language gate  ->  quality gate  ->  exact dedup  ->  MinHash
+    near-dedup     ->  per-source audit of kept/dropped tokens
+
+Every document gets exactly one disposition (`lang`, `quality`,
+`exact_dup`, `near_dup`, `kept`) decided by the FIRST stage that drops
+it, and the output is the per-(source, reason) document/token ledger —
+the artifact a data team actually reviews before a training run.
+
+The whole composite is one lazy Catalyst plan (no materialization
+between stages) and is value-checked end-to-end against a single
+DuckDB oracle that recomputes all five stages, including the banded
+MinHash LSH + exact-Jaccard verification, from scratch.
+
+Scale shape by stage: the two gates are narrow maps fused into the
+scan; exact dedup shuffles (16-byte md5, doc_id); the near-dup stage
+is the candidate-restricted cascade from operators/dedup.py (bucket
+collisions only, never corpus²); the final ledger is a tiny
+two-column groupBy. Nothing in the plan carries document text through
+a shuffle except the survivor semi-joins, which carry keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..plans.registry import register
+from .dedup import (
+    _SQL_BANDS,
+    _SQL_JACCARD_PAIRS,
+    _SQL_SHINGLES,
+    _SQL_SIG,
+    dedup_minhash_verified,
+    normalized_text,
+)
+from .text import _SQL_STOP, _SQL_W, _STOPWORDS
+
+_NEAR_J = 0.5  # verified-Jaccard drop threshold (same as dedup_cc)
+
+_CURATION_ORACLE = f"""
+WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+{_SQL_JACCARD_PAIRS},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.c, 0))
+        >= {_NEAR_J}
+),
+flags AS (
+  SELECT doc_id, source,
+         (lang = 'en') AS lang_ok,
+         (LENGTH(text) BETWEEN 100 AND 20000 AND
+          CAST(len(list_filter({_SQL_W}, x -> x IN ({_SQL_STOP}))) AS DOUBLE)
+            / len({_SQL_W}) >= 0.01) AS q_ok,
+         CAST(len({_SQL_W}) AS BIGINT) AS n_tokens,
+         md5(lower(trim(text))) AS h
+  FROM documents
+),
+s12 AS (SELECT * FROM flags WHERE lang_ok AND q_ok),
+keep3 AS (SELECT MIN(doc_id) AS kid FROM s12 GROUP BY h),
+s3 AS (SELECT f.doc_id FROM s12 f JOIN keep3 k ON f.doc_id = k.kid),
+neardrop AS (
+  SELECT DISTINCT v.doc_b AS doc_id
+  FROM verified v
+  JOIN s3 a ON v.doc_a = a.doc_id
+  JOIN s3 b ON v.doc_b = b.doc_id
+),
+reasons AS (
+  SELECT f.source, f.n_tokens,
+         CASE WHEN NOT f.lang_ok THEN 'lang'
+              WHEN NOT f.q_ok THEN 'quality'
+              WHEN s3.doc_id IS NULL THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS reason
+  FROM flags f
+  LEFT JOIN s3 ON f.doc_id = s3.doc_id
+  LEFT JOIN neardrop nd ON f.doc_id = nd.doc_id
+)
+SELECT source, reason,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM reasons GROUP BY source, reason ORDER BY source, reason
+"""
+
+
+@register("pipeline_curation", oracle=_CURATION_ORACLE)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation ledger (see module docstring).
+
+    Disposition rules, applied in order:
+
+    1. ``lang``      — declared language is not English.
+    2. ``quality``   — fails the Gopher/C4-style gate (length in
+       [100, 20000] and stopword ratio >= 1%), same predicate as
+       `text_quality`.
+    3. ``exact_dup`` — not the min-doc_id survivor of its normalized
+       md5 group *among gate survivors* (dedup after filtering, the
+       production order — a spam doc must not shield a good one).
+    4. ``near_dup``  — a verified MinHash pair (Jaccard >= {_NEAR_J})
+       links it to a smaller-id exact-stage survivor.
+    5. ``kept``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalized_text("text"), " ")
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(w)
+    )
+    flags = d.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("lang_ok"),
+        (
+            (F.length("text") >= 100)
+            & (F.length("text") <= 20000)
+            & (stop_ratio >= 0.01)
+        ).alias("q_ok"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.md5(normalized_text("text")).alias("h"),
+    )
+    s12 = flags.filter(F.col("lang_ok") & F.col("q_ok"))
+    keep3 = s12.groupBy("h").agg(F.min("doc_id").alias("kid")).select("kid")
+    s3 = s12.join(keep3, s12.doc_id == keep3.kid, "left_semi").select("doc_id")
+
+    pairs = dedup_minhash_verified(spark, sf_dir).filter(F.col("jaccard") >= _NEAR_J)
+    neardrop = (
+        pairs.join(s3.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(s3.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    reasons = (
+        flags.join(s3.withColumn("in_s3", F.lit(1)), "doc_id", "left")
+        .join(neardrop.withColumn("in_nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.when(~F.col("lang_ok"), "lang")
+            .when(~F.col("q_ok"), "quality")
+            .when(F.col("in_s3").isNull(), "exact_dup")
+            .when(F.col("in_nd").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
+    return (
+        reasons.groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "reason")
+    )

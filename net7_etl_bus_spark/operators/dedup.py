@@ -713,3 +713,153 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("lead_fp")
     )
+
+
+# --- repeated long-span detection (substring-level dedup signal) ------
+
+_SPAN_K = 5  # tokens per window
+_SPAN_MIN_DOCS = 2
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(_SPAN_K))})) AS wh
+  FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+dup AS (
+  SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN d.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(CASE WHEN d.wh IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+         AS dup_fraction
+FROM wins w LEFT JOIN dup d ON w.wh = d.wh
+GROUP BY w.doc_id
+"""
+
+
+@register("dedup_span_ngram", oracle=_SPAN_ORACLE)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated long-span detection — the substring-level dedup signal
+    (the scalable analogue of suffix-array substring dedup, Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    positional {_SPAN_K}-token window is hashed; windows whose hash
+    occurs in >= {_SPAN_MIN_DOCS} distinct documents are cross-document
+    repeated spans; each doc reports its window count, repeated-window
+    count, and repeated fraction (the "how much of this doc is copied
+    text" score used to drop or trim documents).
+
+    Unlike shingle MinHash (whole-document similarity), this catches
+    partial copying: a unique article quoting three boilerplate
+    paragraphs scores low on Jaccard but high here.
+
+    Scale shape: the shuffle carries (16-byte window hash, doc_id)
+    pairs, never text; the dup-hash relation is hash-aggregated with
+    map-side partial counts; the rejoin is a hash equi-join on the
+    window hash. Everything downstream of the one explode is
+    hash-width, so cost is O(total tokens), independent of document
+    sizes or corpus skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(normalized_text("text"), " ").alias("w"))
+    win_list = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (_SPAN_K - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at("w", i + k) for k in range(_SPAN_K)])
+        ),
+    )
+    wins = (
+        toks.filter(F.size("w") >= _SPAN_K)
+        .select("doc_id", F.explode(win_list).alias("wh"))
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _SPAN_MIN_DOCS)
+        .select("wh")
+    )
+    marked = wins.join(dup.withColumn("is_dup", F.lit(1)), "wh", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_windows"),
+        (
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )
+
+
+# --- incremental (streaming) corpus dedup -----------------------------
+
+
+def dedup_apply_increment(seen: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Incrementally maintain the exact-dedup state table of
+    :func:`dedup_exact` from one micro-batch of documents (the
+    foreachBatch body for a streaming corpus-dedup stage).
+
+    State schema: (text_hash, keep_doc_id, n_copies) — identical to
+    dedup_exact's output, so after any number of batches the state
+    equals the one-shot batch build over everything ingested
+    (pinned in tests/test_streaming.py). The merge is one full-outer
+    join on the 16-byte hash: survivor = least doc_id seen so far,
+    count = running sum. Work per batch is O(batch + matched hashes);
+    untouched state rows pass through untouched. Batches must arrive
+    exactly once (the queue contract — same as scd2_apply_increment;
+    replay safety comes from foreachBatch batchId bookkeeping).
+
+    Scale note: in production the state lives in a hash-bucketed lake
+    table (sources/sinks.py upsert_parquet) so each micro-batch
+    rewrites only the buckets its hashes land in.
+    """
+    inc = (
+        batch.select(F.md5(normalized_text("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("b_keep"),
+            F.count(F.lit(1)).alias("b_copies"),
+        )
+    )
+    if seen is None:
+        return inc.select(
+            "text_hash",
+            F.col("b_keep").alias("keep_doc_id"),
+            F.col("b_copies").alias("n_copies"),
+        )
+    return (
+        seen.join(inc, "text_hash", "full_outer")
+        .select(
+            "text_hash",
+            F.least(
+                F.coalesce(F.col("keep_doc_id"), F.col("b_keep")),
+                F.coalesce(F.col("b_keep"), F.col("keep_doc_id")),
+            ).alias("keep_doc_id"),
+            (
+                F.coalesce(F.col("n_copies"), F.lit(0))
+                + F.coalesce(F.col("b_copies"), F.lit(0))
+            ).alias("n_copies"),
+        )
+    )
+
+
+def dedup_batch_survivors(seen: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """The rows of ``batch`` a streaming dedup stage should emit
+    downstream: hash unseen in prior state AND first (min doc_id)
+    within the batch for that hash. Anti-join on the hash + one
+    min-agg — both on 16-byte keys."""
+    hashed = batch.withColumn("text_hash", F.md5(normalized_text("text")))
+    firsts = (
+        hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    )
+    fresh = (
+        firsts
+        if seen is None
+        else firsts.join(seen.select("text_hash"), "text_hash", "left_anti")
+    )
+    return hashed.join(
+        fresh, ["text_hash", "doc_id"], "left_semi"
+    ).drop("text_hash")

@@ -245,3 +245,107 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from (text, frame_no) must match the mapInPandas kernel's output."""
     media = synthesize_media_from_documents(spark, sf_dir)
     return sample_frames(media, every_ms=1000)
+
+
+# --- perceptual-hash near-dup detection -------------------------------
+
+_PHASH_ROWS = 4
+_PHASH_COLS = 4  # 4x4 "pixel" grid -> 4 rows x 3 horizontal gradients
+
+
+def _fake_pixels(content: bytes) -> list[int]:
+    """Deterministic stand-in for a decoded, downscaled grayscale
+    image: the first 16 digest bytes as a 4x4 grid. The real kernel
+    decodes + resizes with PIL; only this function changes."""
+    digest = hashlib.sha256(content or b"").digest()
+    return list(digest[: _PHASH_ROWS * _PHASH_COLS])
+
+
+def _dhash(pixels: list[int]) -> int:
+    """Difference hash: one bit per horizontal gradient, row-major."""
+    bits = 0
+    idx = 0
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            if pixels[r * _PHASH_COLS + c] > pixels[r * _PHASH_COLS + c + 1]:
+                bits |= 1 << idx
+            idx += 1
+    return bits
+
+
+def _phash_sql() -> str:
+    """DuckDB twin: recompute the dHash from the sha256 hex digest —
+    byte i is hex pair [2i+1, 2i+2]."""
+
+    def byte(i: int) -> str:
+        return f"CAST(concat('0x', substring(sha256(text), {2 * i + 1}, 2)) AS INT)"
+
+    terms = []
+    idx = 0
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            a = byte(r * _PHASH_COLS + c)
+            b = byte(r * _PHASH_COLS + c + 1)
+            terms.append(f"(CASE WHEN {a} > {b} THEN {1 << idx} ELSE 0 END)")
+            idx += 1
+    return " + ".join(terms)
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id AS media_id, CAST({_phash_sql()} AS BIGINT) AS phash
+      FROM documents)
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           MIN(media_id) AS keeper_id
+    FROM hashed GROUP BY phash
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate detection for media: the
+    hash is computed INSIDE the decode stage (mapInPandas, beside the
+    codec — resized pixels never leave the Python worker), and
+    deduplication is then a plain JVM hash-groupBy on the 64-bit-max
+    hash — the image-dedup shape used on LAION-scale corpora (crops,
+    re-encodes, and watermarks of one image share a dHash; byte hashes
+    don't).
+
+    The fake decode derives its 4x4 "pixel" grid from the content
+    digest, so the oracle recomputes the exact same gradients from
+    sha256 hex in SQL — kernel plumbing AND dedup are value-checked,
+    not just row-counted. Production swaps _fake_pixels for
+    PIL decode+resize; nothing else changes.
+
+    Scale shape: narrow Arrow-batched map (no shuffle of pixels or
+    payloads), then a groupBy carrying (8-byte hash, media_id). For
+    Hamming-distance-k matching, group by rotated hash prefixes like
+    dedup_simhash — same plumbing.
+    """
+    media = synthesize_media_from_documents(spark, sf_dir)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        _dhash(_fake_pixels(bytes(c))) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    hashed = media.mapInPandas(run, schema)
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.min("media_id").alias("keeper_id"),
+    )

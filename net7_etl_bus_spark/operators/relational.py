@@ -1175,3 +1175,106 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- interval-overlap join (binned, shuffle-safe) ---------------------
+
+_IVL_W_US = 6 * 3600 * 1_000_000  # 6-hour buckets, microseconds
+_IVL_WINDOWS = (
+    ("W1", "2024-01-03 00:00:00", "2024-01-04 12:00:00"),
+    ("W2", "2024-01-10 06:00:00", "2024-01-10 18:00:00"),
+    ("W3", "2024-01-15 00:00:00", "2024-01-20 00:00:00"),
+    ("W4", "2024-01-29 12:00:00", "2024-02-02 00:00:00"),
+)
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH ivl AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             epoch_us(MIN(ts)) AS a_lo, epoch_us(MAX(ts)) AS a_hi
+      FROM events GROUP BY user_id, date_trunc('day', ts)),
+    win AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"('{w}', epoch_us(TIMESTAMP '{lo}'), epoch_us(TIMESTAMP '{hi}'))"
+          for w, lo, hi in _IVL_WINDOWS)})
+      t(incident_id, b_lo, b_hi))
+    SELECT incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ivl JOIN win ON a_lo <= b_hi AND b_lo <= a_hi
+    GROUP BY incident_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — per-user-day activity intervals joined
+    to incident windows they overlap (the Flink/Timescale "interval
+    join" / maintenance-window attribution shape), rewritten from the
+    theta form (the oracle: a nested-loop over ``a_lo <= b_hi AND b_lo
+    <= a_hi``) into a binned EQUI join.
+
+    Both sides explode into the fixed 6-hour buckets they cover; the
+    join is hash-on-bucket with the overlap predicate as a residual.
+    An overlapping pair would match once per shared bucket, so instead
+    of a dedup shuffle the residual keeps ONLY the bucket containing
+    ``greatest(a_lo, b_lo)`` — the later start — which every
+    overlapping pair contains exactly once. Zero duplicates by
+    construction, no distinct, one hash join.
+
+    Scale shape: O(intervals x buckets_per_interval) exploded rows
+    instead of O(intervals x windows) comparisons; each exploded row
+    probes one hash bucket. With W sized near the median interval
+    length the blowup factor is ~2-3x rows for a join that would
+    otherwise be quadratic. The plan is a BroadcastHashJoin on the
+    bucket key (windows are dimension-sized), never a nested loop.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ivl = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            # events.ts can surface as TIMESTAMP_NTZ; cast is a no-op
+            # under the UTC session TZ and unix_micros requires TIMESTAMP.
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("a_lo"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("a_hi"),
+        )
+    )
+    ivl_b = ivl.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("a_lo") / _IVL_W_US).cast("long"),
+                (F.col("a_hi") / _IVL_W_US).cast("long"),
+            )
+        ),
+    )
+    win = spark.createDataFrame(
+        list(_IVL_WINDOWS), "incident_id string, lo string, hi string"
+    ).select(
+        "incident_id",
+        F.unix_micros(F.to_timestamp("lo")).alias("b_lo"),
+        F.unix_micros(F.to_timestamp("hi")).alias("b_hi"),
+    )
+    win_b = win.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("b_lo") / _IVL_W_US).cast("long"),
+                (F.col("b_hi") / _IVL_W_US).cast("long"),
+            )
+        ),
+    )
+    joined = ivl_b.join(
+        F.broadcast(win_b),
+        (ivl_b["bucket"] == win_b["bucket"])
+        & (F.col("a_lo") <= F.col("b_hi"))
+        & (F.col("b_lo") <= F.col("a_hi"))
+        & (
+            ivl_b["bucket"]
+            == (F.greatest(F.col("a_lo"), F.col("b_lo")) / _IVL_W_US).cast("long")
+        ),
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

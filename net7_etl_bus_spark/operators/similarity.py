@@ -925,12 +925,6 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         *[
-            F.expr(
-                f"array_position(dd, array_min(dd)) FROM (SELECT 1)"
-            ).alias("_never")  # placeholder, replaced below
-            for _ in ()
-        ],
-        *[
             (
                 lambda m: F.expr(
                     f"array_position({_pq_spark_dists(m, _PQ_CENTS[m])}, "
@@ -955,6 +949,117 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("adc_dist", dist)
         .select("query_id", "neighbor_id", "adc_dist")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _ADC_K)
+    )
+
+
+# --- sim_search_ivfpq (IVF coarse lists + PQ/ADC fine scoring) --------
+
+_IVFPQ_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
+  WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cos("e.embedding", "c.cent_emb")} DESC,
+                                     c.cid) AS rkc
+  FROM embeddings e CROSS JOIN cent c
+),
+corpus AS (
+  SELECT r.vec_id,
+         r.cid,
+         {", ".join(f"list_position(d{m}, list_min(d{m})) AS k{m}" for m in range(_PQ_M))}
+  FROM (
+    SELECT vec_id, cid,
+           {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
+    FROM ranked WHERE rkc = 1 AND vec_id >= {N_QUERIES}) r
+),
+probes AS (
+  SELECT vec_id AS query_id, cid,
+         {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS t{m}" for m in range(_PQ_M))}
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rkc <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {" + ".join(f"p.t{m}[c.k{m}]" for m in range(_PQ_M))} AS adc_dist
+  FROM probes p JOIN corpus c ON c.cid = p.cid
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM scored) t
+WHERE rk <= {_ADC_K}
+"""
+
+
+@register("sim_search_ivfpq", oracle=_IVFPQ_ORACLE)
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full billion-scale ANN architecture (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search"): an IVF coarse
+    quantizer restricts each query to its {N_PROBE} nearest centroid
+    lists (sim_search_ivf's shape), and scoring inside those lists uses
+    asymmetric PQ distance over {_PQ_M}-code words (sim_search_pq's
+    shape) instead of full-vector kernels.
+
+    Work per query = |probed lists| x O(M) table lookups — both factors
+    of the brute-force cost cut independently: nprobe/K of the corpus
+    is touched, and each touched vector costs 4 adds, not a 64-dim
+    float kernel. At 100 TB the probed scan reads (cid, 4-byte code)
+    rows — the vectors themselves never leave the quantization pass.
+    Production swaps the fixed seed centroids for k-means and encodes
+    residuals (vector - centroid) instead of raw vectors; neither
+    changes any plan shape.
+
+    Everything is oracle-checked: assignment, probing, codes, and ADC
+    tables all reduce to the same bit-exact fold/argmin machinery as
+    the component ops.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    ranked = (
+        e.join(F.broadcast(cent))
+        .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rkc", F.row_number().over(w_assign))
+    )
+    corpus = (
+        ranked.filter((F.col("rkc") == 1) & (F.col("vec_id") >= N_QUERIES))
+        .select(
+            "vec_id",
+            "cid",
+            *[
+                F.expr(
+                    f"array_position({_pq_spark_dists(m, _PQ_CENTS[m])}, "
+                    f"array_min({_pq_spark_dists(m, _PQ_CENTS[m])}))"
+                ).alias(f"k{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rkc") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            *[
+                F.expr(_pq_spark_dists(m, _PQ_CENTS[m])).alias(f"t{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    scored = corpus.join(F.broadcast(probes), "cid")
+    dist = F.element_at(F.col("t0"), F.col("k0").cast("int"))
+    for m in range(1, _PQ_M):
+        dist = dist + F.element_at(F.col(f"t{m}"), F.col(f"k{m}").cast("int"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("adc_dist", dist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _ADC_K)
     )

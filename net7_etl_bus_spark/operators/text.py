@@ -749,3 +749,78 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+# --- linear quality classifier over hashed features -------------------
+
+_CLF_D = 64  # hashed feature buckets
+# Quantized integer weights (fasttext-style linear model; Random(7)).
+# Integer weights + integer sums keep the score EXACT cross-engine;
+# only the final mean is one IEEE division on identical operands.
+_CLF_W = [-9, -31, 0, 33, -44, -41, 18, -38, -4, 24, -43, 14, -23, -46, -39,
+          5, 3, -42, -20, -39, 20, 4, -43, 22, -35, -22, 30, 30, 24, -43, 23,
+          24, 0, -44, -22, -45, 21, -33, -13, 3, -32, 19, -35, 23, -11, 21,
+          37, -27, -37, 24, 23, 31, -26, -3, -38, 20, 41, -42, 22, -43, 29,
+          -24, 13, 37]
+_CLF_BIAS = 120
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(([{", ".join(str(w) for w in _CLF_W)}])
+                 [(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % {_CLF_D}) + 1])
+               AS wsum
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(wsum + {_CLF_BIAS} AS BIGINT) AS raw_score,
+           CAST(wsum + {_CLF_BIAS} AS DOUBLE) / n_tokens AS mean_score,
+           CAST(wsum + {_CLF_BIAS} >= 0 AS BIGINT) AS is_quality
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-quality classifier over hashed bag-of-words features
+    — the fasttext-style model shape used to score web documents for
+    training-data inclusion (e.g. the CCNet / LLaMA quality filters):
+    token -> md5 hash -> one of {_CLF_D} feature buckets -> learned
+    weight; document score = bias + sum of token weights; keep/drop on
+    the sign.
+
+    Weights here are fixed quantized integers so the score is an exact
+    integer sum — bit-identical cross-engine and invariant to partial-
+    aggregation order. Production swaps trained float weights quantized
+    the same way (int8/int16 weights are standard for inference), and
+    the plumbing — broadcast weight literal, one explode, one hash-agg
+    — is unchanged.
+
+    Scale shape: the weight table is a plan literal (broadcast-sized at
+    any real vocabulary hash width); scoring is one explode + one
+    map-side-combining groupBy on doc_id; nothing but (doc_id, partial
+    sum) ever shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    )
+    w_lit = F.array(*[F.lit(w) for w in _CLF_W])
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _CLF_D
+    weight = F.element_at(w_lit, (bucket + 1).cast("int"))
+    scored = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(weight).alias("wsum"),
+    )
+    raw = F.col("wsum") + _CLF_BIAS
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        raw.cast("bigint").alias("raw_score"),
+        (raw.cast("double") / F.col("n_tokens")).alias("mean_score"),
+        (raw >= 0).cast("bigint").alias("is_quality"),
+    )

@@ -120,6 +120,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # never driver-checked: scalar fn surfaces + plugin scan
     "fn_try_safe", "fn_variant", "fn_bitwise", "fn_encoding",
     "fn_regexp", "fn_conditional", "fixedwidth_scan",
+    # round-3 additions
+    "sim_search_ivfpq", "dedup_span_ngram", "join_interval_overlap",
+    "text_quality_classifier", "agg_decay_weighted",
+    "mm_phash_dedup", "pipeline_curation",
 )
 
 
@@ -160,7 +164,7 @@ def _load_all() -> None:
     from .. import pipeline  # noqa: F401
     from ..operators import windows  # noqa: F401
     from ..streaming import batch_equiv  # noqa: F401
-    from ..operators import cdc, geo, graph, sampling, similarity, text, timeseries  # noqa: F401
+    from ..operators import cdc, curation, geo, graph, sampling, similarity, text, timeseries  # noqa: F401
     from ..operators import relational  # noqa: F401  (subqueries + dq_audit unverified)
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401

@@ -555,3 +555,63 @@ def test_fn_conditional_no_shuffle(spark):
     maps — zero exchanges."""
     plan = plan_of(spark, "fn_conditional", mode="simple")
     assert "Exchange" not in plan, plan
+
+
+def test_interval_overlap_is_hash_not_nested_loop(spark):
+    """join_interval_overlap: the bucket rewrite must run as a
+    BroadcastHashJoin on the bucket key — the theta form would be a
+    nested loop over intervals x windows."""
+    plan = plan_of(spark, "join_interval_overlap", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_ivfpq_probe_join_is_hash(spark):
+    """sim_search_ivfpq: scoring joins coded corpus to probes on cid
+    as a hash join (the only nested-loop allowed is the deliberate
+    K-centroid broadcast assignment)."""
+    plan = plan_of(spark, "sim_search_ivfpq", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_ngram_two_explodes_hash_joins(spark):
+    """dedup_span_ngram: the positional-window explode runs once per
+    branch (marked windows + dup-hash set) — exactly two Generates,
+    both linear in token count; everything downstream joins/aggregates
+    on 16-byte hashes — no cartesian, no window operator."""
+    import re
+
+    plan = plan_of(spark, "dedup_span_ngram")
+    node_ids = {m for m in re.findall(r"\((\d+)\) Generate", plan)}
+    assert len(node_ids) == 2, plan
+    simple = plan_of(spark, "dedup_span_ngram", mode="simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "Window" not in simple, simple
+
+
+def test_quality_classifier_no_join_no_window(spark):
+    """text_quality_classifier: weight lookup is a plan literal —
+    scoring is explode + hash agg, never a join against a weight
+    table or a window."""
+    plan = plan_of(spark, "text_quality_classifier", mode="simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_decay_weighted_single_agg_no_join(spark):
+    """agg_decay_weighted: the decay weight is a narrow per-row
+    expression; the whole query is scan -> partial agg -> final agg."""
+    plan = plan_of(spark, "agg_decay_weighted", mode="simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_pipeline_curation_no_cartesian(spark):
+    """pipeline_curation: five stages, one lazy plan — the only joins
+    are hash joins on doc ids / 16-byte hashes; any cartesian or
+    nested-loop means a stage regressed to all-pairs."""
+    plan = plan_of(spark, "pipeline_curation", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan

@@ -498,3 +498,50 @@ def test_queuefile_stream_plugin_exactly_once_across_restart(spark, tmp_path):
     run_once()
     second = {tuple(r) for r in spark.read.parquet(sink).collect()}
     assert second == first | {("d", "0003.txt")}, second
+
+
+def test_incremental_dedup_state_equals_one_shot(spark):
+    """dedup_apply_increment: any batch split of the corpus must yield
+    the same state table as the one-shot dedup_exact build — survivor
+    (min doc_id) and copy counts are merge-associative."""
+    from net7_etl_bus_spark.operators.dedup import dedup_apply_increment
+    from net7_etl_bus_spark.plans.registry import queries
+
+    d = load_table(spark, SF_SMALL, "documents")
+    state = None
+    for k in range(3):  # interleaved split: hash groups span batches
+        state = dedup_apply_increment(state, d.filter(F.col("doc_id") % 3 == k))
+    got = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"]) for r in state.collect()
+    }
+    want = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in queries()["dedup_exact"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_incremental_dedup_survivors_equal_one_shot_when_ordered(spark):
+    """dedup_batch_survivors: with batches arriving in doc_id order
+    (the queue contract, same as scd2's event-time order), the union
+    of per-batch emissions equals the one-shot survivor set."""
+    from net7_etl_bus_spark.operators.dedup import (
+        dedup_apply_increment,
+        dedup_batch_survivors,
+    )
+    from net7_etl_bus_spark.plans.registry import queries
+
+    d = load_table(spark, SF_SMALL, "documents")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    cuts = [0, n // 3, 2 * n // 3, n]
+    state, emitted = None, []
+    for lo, hi in zip(cuts, cuts[1:]):
+        b = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        emitted += [r["doc_id"] for r in dedup_batch_survivors(state, b).collect()]
+        state = dedup_apply_increment(state, b)
+    want = {
+        r["doc_id"]
+        for r in queries()["dedup_exact_survivors"](spark, SF_SMALL).collect()
+    }
+    assert set(emitted) == want
+    assert len(emitted) == len(want)
