@@ -545,3 +545,86 @@ def test_incremental_dedup_survivors_equal_one_shot_when_ordered(spark):
     }
     assert set(emitted) == want
     assert len(emitted) == len(want)
+
+
+def test_streaming_corpus_dedup_via_queuefile(spark, tmp_path):
+    """Live streaming corpus dedup: queuefile streams dropped document
+    files, foreachBatch applies dedup_apply_increment against the
+    parquet state table and emits batch survivors; after two runs (the
+    second consuming only a late file) the state equals the one-shot
+    dedup_exact build over everything, and emitted survivors are
+    exactly the first-seen copies — a duplicate arriving in a later
+    file is suppressed by state, not batch-local dedup."""
+    import os
+
+    from net7_etl_bus_spark.operators.dedup import (
+        dedup_apply_increment,
+        dedup_batch_survivors,
+    )
+    from net7_etl_bus_spark.sources.plugin import register_queuefile
+
+    register_queuefile(spark)
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    state_path = str(tmp_path / "seen")
+    out_path = str(tmp_path / "kept")
+    # doc 3 duplicates doc 1 (cross-file); doc 4 duplicates doc 3
+    # (same file); doc 5 is fresh in the late file.
+    (qdir / "0001.txt").write_text("1,alpha text\n2,beta text\n")
+    (qdir / "0002.txt").write_text("3,alpha text\n4,alpha text\n")
+    (qdir / "0003.txt").write_text("5,gamma text\n6,beta text\n")
+
+    def parse(batch):
+        c = F.split("value", ",")
+        return batch.select(
+            c.getItem(0).cast("long").alias("doc_id"),
+            c.getItem(1).alias("text"),
+        )
+
+    def apply_batch(batch, _bid):
+        parsed = parse(batch)
+        existing = (
+            spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        )
+        dedup_batch_survivors(existing, parsed).write.mode("append").parquet(out_path)
+        dedup_apply_increment(existing, parsed).write.mode("overwrite").parquet(
+            state_path + ".tmp"
+        )
+        spark.read.parquet(state_path + ".tmp").write.mode("overwrite").parquet(
+            state_path
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.format("queuefile")
+            .option("path", str(qdir))
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (qdir / "0003.txt").rename(tmp_path / "hold")
+    run_once()
+    (tmp_path / "hold").rename(qdir / "0003.txt")
+    run_once()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 5], kept
+    state = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    # one-shot equivalence over the union of all files
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text"),
+         (4, "alpha text"), (5, "gamma text"), (6, "beta text")],
+        "doc_id long, text string",
+    )
+    want = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in dedup_apply_increment(None, docs).collect()
+    }
+    assert state == want
