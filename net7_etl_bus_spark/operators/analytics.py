@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..plans.registry import ddouble, register, sql_ddouble
+from ..plans.registry import ddouble, dsum, register, sql_ddouble, sql_dsum
 
 # --- agg_histogram ----------------------------------------------------
 
@@ -533,3 +533,68 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- period-over-period change ----------------------------------------
+
+
+@register(
+    "win_pct_change",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, date_trunc('month', o.o_orderdate))
+    SELECT nation, month, revenue,
+           revenue - LAG(revenue) OVER w AS mom_delta,
+           (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS mom_pct,
+           revenue - LAG(revenue, 12) OVER w AS yoy_delta
+    FROM monthly
+    WINDOW w AS (PARTITION BY nation ORDER BY month)
+    ORDER BY nation, month
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas: monthly revenue per nation with
+    month-over-month delta/percent and year-over-year delta — the
+    hypertable "compare to previous bucket" query every metrics
+    dashboard runs.
+
+    Determinism: monthly revenue goes through exact floor-scaled
+    integer summation (dsum), so the LAG operands are bit-identical
+    cross-engine; deltas are single IEEE subtractions/divisions on
+    identical values. First-month rows carry NULL deltas (no fill-in)
+    — same on both engines.
+
+    Scale shape: the heavy lifting is the one groupBy (fact scanned
+    once, dims broadcast); the window runs over the tiny
+    nation x month series and shares its partitioning with nothing —
+    at 100 TB the series is still only |nations| x |months| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "nation",
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+        (F.col("revenue") - prev12).alias("yoy_delta"),
+    ).orderBy("nation", "month")

@@ -863,3 +863,61 @@ def dedup_batch_survivors(seen: DataFrame | None, batch: DataFrame) -> DataFrame
     return hashed.join(
         fresh, ["text_hash", "doc_id"], "left_semi"
     ).drop("text_hash")
+
+
+# --- signature-only Jaccard estimation --------------------------------
+
+_EST_MATCH_EXPR = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+
+@register(
+    "dedup_lsh_jaccard_est",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_EST_MATCH_EXPR} AS BIGINT) AS n_agree,
+           CAST({_EST_MATCH_EXPR} AS DOUBLE) / {N_HASHES} AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_lsh_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard estimation for LSH candidate pairs: the
+    fraction of agreeing MinHash components is an unbiased estimator
+    of the true Jaccard (the defining property of MinHash), so
+    candidates can be thresholded WITHOUT ever rejoining the shingle
+    sets — the middle tier of the production cascade between raw LSH
+    collisions and exact verification (dedup_minhash_verified), and
+    often the final tier at 100 TB: comparing two 16-int signatures is
+    O(1) per pair vs O(|shingles|) for the exact join.
+
+    Plan shape: candidate pairs (bucket-join-bounded) + two hash joins
+    against the one-row-per-doc signature relation; per-pair work is
+    16 integer equality checks. Nothing re-touches document text.
+    """
+    sig = _minhash_signature(spark, sf_dir)
+    cand = _lsh_candidate_pairs(sig)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    n_agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.cast("bigint").alias("n_agree"),
+            (n_agree.cast("double") / N_HASHES).alias("jaccard_est"),
+        )
+    )

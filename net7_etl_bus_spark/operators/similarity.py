@@ -1063,3 +1063,76 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _ADC_K)
     )
+
+
+# --- embedding-column profiling ---------------------------------------
+
+
+@register(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             {_sql_norm("embedding")} AS l2,
+             len(embedding) AS dim,
+             len(list_filter(embedding, x -> x = 0)) AS n_zero
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           MIN(l2) AS min_norm,
+           MAX(l2) AS max_norm,
+           {sql_ddouble("SUM(CAST(FLOOR(l2 * 1000000) AS HUGEINT))")} / 1000000.0
+             / COUNT(*) AS mean_norm,
+           CAST(SUM(CASE WHEN n_zero = dim THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health profile per label: vector counts,
+    dimension min/max (schema-drift detector), L2-norm min/max/mean,
+    and all-zero vector count — the sanity pass run before any
+    ANN/dedup job (zero vectors break cosine; norm outliers flag
+    truncated or unnormalized batches; mixed dims flag a bad writer).
+
+    Norms use the same sequential-fold kernel as every similarity op
+    (bit-identical cross-engine); the mean goes through floor-scaled
+    integer summation so partial-aggregation order can't perturb it.
+    One scan, one hash agg — the profile of a 100 TB embedding table
+    costs one pass with map-side partials.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    n = e.select(
+        "label",
+        l2.alias("l2"),
+        F.size("embedding").alias("dim"),
+        (
+            F.size(F.filter(F.col("embedding"), lambda x: x == 0)) == F.size("embedding")
+        ).alias("all_zero"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("dim").cast("bigint").alias("min_dim"),
+            F.max("dim").cast("bigint").alias("max_dim"),
+            F.min("l2").alias("min_norm"),
+            F.max("l2").alias("max_norm"),
+            (
+                ddouble(F.sum(F.floor(F.col("l2") * 1000000).cast("decimal(38,0)")))
+                / F.lit(1000000.0) / F.count(F.lit(1))
+            ).alias("mean_norm"),
+            F.sum(F.when(F.col("all_zero"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vectors"),
+        )
+        .orderBy("label")
+    )

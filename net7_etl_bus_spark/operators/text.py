@@ -824,3 +824,69 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw.cast("double") / F.col("n_tokens")).alias("mean_score"),
         (raw >= 0).cast("bigint").alias("is_quality"),
     )
+
+
+# --- HTML strip (web-page -> training text) ---------------------------
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><body><h1>' || source || '</h1><p>' || text ||
+             '</p><a href="https://example.com/' || CAST(doc_id AS VARCHAR) ||
+             '">&amp;more &lt;here&gt;</a></body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+             trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS no_tags
+      FROM page)
+    SELECT doc_id, n_tags,
+           replace(replace(replace(no_tags, '&amp;', '&'), '&lt;', '<'),
+                   '&gt;', '>') AS clean_text
+    FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction — the first stage of every web-crawl
+    curation pipeline (trafilatura/jusText's job, reduced to its
+    regex-expressible core): drop tags, collapse whitespace, decode
+    the common entities, count what was removed.
+
+    The page markup is synthesized deterministically around the
+    document text (title, paragraph, anchor with entities), so the
+    strip kernel — two regexp_replace passes + entity decode, all in
+    the Java/RE2-common regex subset — is value-checked end to end
+    against DuckDB performing the identical transformation.
+
+    Scale shape: a pure narrow map fused into the scan; zero shuffle,
+    zero Python. A real boilerplate extractor (DOM-aware) would slot
+    in as a mapInPandas stage like the multimodal codecs; tag-strip +
+    whitespace-collapse stays the JVM fast path either way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://example.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">&amp;more &lt;here&gt;</a></body></html>'),
+    )
+    no_tags = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), " +", " ")
+    )
+    clean = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(html, F.lit("<[^>]+>")).cast("bigint").alias("n_tags"),
+        clean.alias("clean_text"),
+    )

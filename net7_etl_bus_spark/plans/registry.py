@@ -124,6 +124,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "sim_search_ivfpq", "dedup_span_ngram", "join_interval_overlap",
     "text_quality_classifier", "agg_decay_weighted",
     "mm_phash_dedup", "pipeline_curation",
+    "text_html_strip", "emb_norm_stats", "dedup_lsh_jaccard_est",
+    "win_pct_change",
 )
 
 

@@ -89,6 +89,7 @@ _PYTHON_ALLOWED = {
     "join_asof_pandas",      # FlatMapCoGroupsInPandas
     "mm_features",           # mapInPandas codec plumbing
     "mm_frame_sample",       # mapInPandas codec plumbing
+    "mm_phash_dedup",        # mapInPandas decode-side perceptual hash
     "dedup_minhash_mllib",   # MLlib pipeline (fit() driver-side)
     "http_enrichment_mock",  # mapInPandas enrichment stage (T1-T4)
     "sim_search_bcast_index",  # mapInPandas broadcast-index scoring

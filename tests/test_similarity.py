@@ -148,3 +148,24 @@ def test_approx_percentile_error_bound(spark):
         rank_target = q * n
         rank_got = bisect.bisect_left(prices, approx)
         assert abs(rank_got - rank_target) <= n / acc + 1, (q, approx, exact)
+
+
+def test_signature_jaccard_estimate_tracks_exact(spark):
+    """dedup_lsh_jaccard_est vs dedup_minhash_verified on the same
+    candidate pairs: the 16-component MinHash estimator must track the
+    exact Jaccard (binomial std err ~ sqrt(j(1-j)/16) <= 0.125; allow
+    3 sigma) and be exactly 1.0 whenever the exact Jaccard is 1.0."""
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in QUERIES["dedup_lsh_jaccard_est"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_minhash_verified"](spark, SF_SMALL).collect()
+    }
+    assert set(est) == set(exact)
+    assert est, "no candidate pairs at test SF"
+    for pair, j in exact.items():
+        assert abs(est[pair] - j) <= 0.375, (pair, est[pair], j)
+        if j == 1.0:
+            assert est[pair] == 1.0, pair
