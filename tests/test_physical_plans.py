@@ -616,3 +616,12 @@ def test_pipeline_curation_no_cartesian(spark):
     plan = plan_of(spark, "pipeline_curation", mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_fuzzy_join_blocks_to_hash_join(spark):
+    """join_fuzzy_levenshtein: the prefix block key must make this a
+    hash equi-join with levenshtein as residual — all-pairs distance
+    would be a nested loop."""
+    plan = plan_of(spark, "join_fuzzy_levenshtein", mode="simple")
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
