@@ -1,159 +1,166 @@
-"""Property-based tests (hypothesis) for the pure Python kernels.
+"""Property-based tests (hypothesis) — randomized adversaries for the
+algorithmic kernels whose correctness the oracle suite can only probe
+at fixed inputs.
 
-The reference has no randomized testing (SURVEY.md §5.1); these cover
-the engine's custom kernels — the code paths a DuckDB oracle can't
-reach because they're not relational. Pure functions only: no
-SparkSession, so the whole file runs in milliseconds.
+Each property runs the Spark implementation against an independent
+pure-Python model on small randomized inputs. Spark work stays tiny
+(driver-local createDataFrame), so the whole module is seconds, not
+minutes; deadline is disabled because Spark job latency is noisy.
 """
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
-from net7_etl_bus_spark.operators.enrich import DeterministicMockClient, retrying
-from net7_etl_bus_spark.streaming.windows import sessionize_pure
-
-GAP_US = 10 * 60 * 1_000_000
-CAP_US = 60 * 60 * 1_000_000
-
-events = st.lists(
-    st.tuples(
-        st.integers(min_value=0, max_value=4 * CAP_US),
-        st.sampled_from(["click", "view", "buy"]),
-    ),
-    max_size=200,
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
 )
 
 
-@given(events)
-@settings(max_examples=200, deadline=None)
-def test_sessionize_partitions_all_events(evs):
-    evs = sorted(evs)
-    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
-    total = sum(s[2] for s in closed) + (open_s[2] if open_s else 0)
-    assert total == len(evs)
+# --- connected components vs union-find -------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
 
 
-@given(events)
-@settings(max_examples=200, deadline=None)
-def test_sessionize_invariants(evs):
-    evs = sorted(evs)
-    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
-    all_sessions = closed + ([open_s] if open_s else [])
-    prev_end = None
-    for start, last, n, first_t, last_t in all_sessions:
-        assert start <= last
-        assert last - start <= CAP_US  # duration cap honored
-        assert n >= 1
-        if prev_end is not None:
-            assert start >= prev_end  # sessions ordered, non-overlapping
-        prev_end = last
-    # Consecutive closed sessions split for a reason: gap exceeded or
-    # cap would have been exceeded by the next session's first event.
-    for a, b in zip(all_sessions, all_sessions[1:]):
-        assert (b[0] - a[1] > GAP_US) or (b[0] - a[0] > CAP_US)
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
 
 
-@given(events)
-@settings(max_examples=100, deadline=None)
-def test_sessionize_incremental_equals_batch(evs):
-    """Feeding events in two chunks through the carried state must give
-    the same sessions as one pass — the property that makes the
-    streaming operator correct across micro-batches."""
-    evs = sorted(evs)
-    for cut in {0, len(evs) // 2, len(evs)}:
-        c1, open1 = sessionize_pure(evs[:cut], GAP_US, CAP_US)
-        c2, open2 = sessionize_pure(evs[cut:], GAP_US, CAP_US, state=open1)
-        one_c, one_open = sessionize_pure(evs, GAP_US, CAP_US)
-        assert c1 + c2 == one_c
-        assert open2 == one_open
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label propagation must agree with a classic
+    union-find on arbitrary small graphs — including multi-edges,
+    reversed duplicates, chains, and disjoint cliques."""
+    from net7_etl_bus_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
 
 
-@given(st.integers(min_value=0, max_value=10), st.integers(min_value=1, max_value=12))
-@settings(max_examples=100, deadline=None)
-def test_retrying_succeeds_iff_enough_attempts(fail_n, attempts):
-    calls = {"n": 0}
+# --- interval-overlap binning vs naive quadratic ----------------------
 
-    def flaky():
-        calls["n"] += 1
-        if calls["n"] <= fail_n:
-            raise RuntimeError("transient")
-        return "ok"
-
-    delays = []
-    try:
-        out = retrying(flaky, attempts=attempts, sleeper=delays.append)
-        assert out == "ok" and attempts > fail_n
-        assert calls["n"] == fail_n + 1
-    except RuntimeError:
-        assert attempts <= fail_n
-        assert calls["n"] == attempts
-    assert len(delays) == min(fail_n, attempts - 1)
+_intervals = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 60)), min_size=1, max_size=20
+)
 
 
-@given(st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=10))
-@settings(max_examples=200, deadline=None)
-def test_mock_client_total_and_in_range(zipcode):
-    """The mock enrichment is total over arbitrary zip strings and
-    stays in plausible geo ranges — per-row tolerance upstream never
-    depends on input shape."""
-    lat, lng, elev, tz = DeterministicMockClient._f(zipcode)
-    assert 24.0 <= lat < 49.0
-    assert -125.0 <= lng < -67.0
-    assert 0.0 <= elev < 440.0
-    assert tz.endswith("Time")
+@given(ivls=_intervals, wins=_intervals)
+@settings(**_SETTINGS)
+def test_interval_bin_join_matches_naive(spark, ivls, wins):
+    """The binned equi-join + later-start-bucket residual must produce
+    exactly the overlapping pairs of the naive quadratic check — no
+    duplicates, no misses, for arbitrary interval layouts (containment,
+    touching endpoints, zero-length)."""
+    W = 16
+    a = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivls)]
+    b = [(j, lo, lo + ln) for j, (lo, ln) in enumerate(wins)]
+    af = spark.createDataFrame(a, "aid long, a_lo long, a_hi long").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence((F.col("a_lo") / W).cast("long"), (F.col("a_hi") / W).cast("long"))
+        ),
+    )
+    bf = spark.createDataFrame(b, "bid long, b_lo long, b_hi long").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence((F.col("b_lo") / W).cast("long"), (F.col("b_hi") / W).cast("long"))
+        ),
+    )
+    joined = af.join(
+        bf,
+        (af["bucket"] == bf["bucket"])
+        & (F.col("a_lo") <= F.col("b_hi"))
+        & (F.col("b_lo") <= F.col("a_hi"))
+        & (af["bucket"] == (F.greatest("a_lo", "b_lo") / W).cast("long")),
+    ).select("aid", "bid")
+    got = sorted((r["aid"], r["bid"]) for r in joined.collect())
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in a
+        for j, blo, bhi in b
+        if alo <= bhi and blo <= ahi
+    )
+    assert got == want
 
 
-def test_no_direct_sfdir_parquet_reads():
-    """Every testdata read must go through data.load_table: events.ts is
-    TIMESTAMP(NANOS) and load_table is where the legacy conf + ns->us
-    conversion live. A direct spark.read.parquet(sf_dir...) in an
-    operator works in OUR session (conf set at build time) but crashes
-    in any vanilla external session — the exact round-1 driver failure
-    mode. Static guard so the trap can't come back."""
-    import pathlib
-    import re
+# --- incremental dedup state is split-invariant -----------------------
 
-    root = pathlib.Path(__file__).resolve().parent.parent / "net7_etl_bus_spark"
-    bad = []
-    for py in root.rglob("*.py"):
-        if py.name == "data.py":
-            continue
-        src = py.read_text()
-        for m in re.finditer(r"read\.parquet\(([^)]*)\)", src):
-            arg = m.group(1)
-            if "sf_dir" in arg or "table_path" in arg:
-                bad.append(f"{py}:{arg}")
-    assert not bad, f"direct sf_dir parquet reads (use data.load_table): {bad}"
+_docs = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["aa", "bb", "cc", "dd"])),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
 
 
-def test_results_invariant_under_shuffle_partitioning(spark):
-    """The registry's determinism scheme (exact decimal sums, total
-    orders, quantized accumulations) must make results IDENTICAL when
-    the physical partitioning changes — 7 vs 32 shuffle partitions
-    reorder every partial aggregation, which is exactly the
-    nondeterminism a 1000-executor cluster injects. Checked on the
-    float-heaviest queries."""
-    from net7_etl_bus_spark.plans import registry
+@given(docs=_docs, split=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_incremental_dedup_any_split_matches_one_shot(spark, docs, split):
+    """dedup_apply_increment folded over ANY partition of the corpus
+    into batches must equal the single-batch build — min-survivor and
+    counts are associative/commutative under the merge."""
+    from net7_etl_bus_spark.operators.dedup import dedup_apply_increment
 
-    from .conftest import SF_SMALL
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    state = None
+    for k in range(split):
+        part = df.filter(F.col("doc_id") % split == k)
+        state = dedup_apply_increment(state, part)
+    got = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"]) for r in state.collect()
+    }
+    want = {
+        r["text_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in dedup_apply_increment(None, df).collect()
+    }
+    assert got == want
 
-    qs = registry.queries()
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for name in (
-            "q1_pricing_summary",
-            "agg_stats_moments",
-            "graph_pagerank",
-            "anomaly_zscore",     # broadcast moments + per-row z cut
-            "emb_pq_quantize",    # argmin over folded distances
-            "ts_rolling_stats",   # exact sums inside window frames
-        ):
-            results = []
-            for n in ("7", "32"):
-                spark.conf.set("spark.sql.shuffle.partitions", n)
-                results.append(sorted(map(tuple, qs[name](spark, SF_SMALL).collect())))
-            assert results[0] == results[1], f"{name} varies with partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+# --- universal MinHash family sanity ----------------------------------
+
+
+@given(values=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_minhash_family_is_deterministic_and_bounded(spark, values):
+    """The integer universal-hash family: h_i(x) lands in [0, P) and is
+    a pure function of the input string (same rows -> same signature
+    regardless of partitioning)."""
+    from net7_etl_bus_spark.operators.dedup import _MH_A, _MH_B, _MH_P
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % _MH_P
+    h0 = (F.lit(_MH_A[0]) * x + F.lit(_MH_B[0])) % _MH_P
+    one = df.select("s", h0.alias("h")).collect()
+    two = df.repartition(7).select("s", h0.alias("h")).collect()
+    m1 = {r["s"]: r["h"] for r in one}
+    m2 = {r["s"]: r["h"] for r in two}
+    assert m1 == m2
+    assert all(0 <= v < _MH_P for v in m1.values())
