@@ -1136,3 +1136,80 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- ANN index evaluation (recall@k vs exact) -------------------------
+
+
+def _recall_oracle() -> str:
+    lsh_body = _lsh_oracle().strip()
+    # strip the leading WITH so both chains share one WITH clause
+    cut = lsh_body.rindex("SELECT query_id")  # the final projection, not scored's
+    lsh_ctes = lsh_body[len("WITH "):cut].rstrip().rstrip(",")
+    lsh_select = lsh_body[cut:]
+    return f"""
+    WITH {lsh_ctes},
+    approx AS ({lsh_select}),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             {_sql_dot("q.embedding", "cc.embedding")} /
+               ({_sql_norm("q.embedding")} * {_sql_norm("cc.embedding")}) AS cosine
+      FROM embeddings q JOIN embeddings cc
+        ON q.vec_id < {N_QUERIES} AND q.vec_id <> cc.vec_id
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored) t
+      WHERE rk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@register("sim_eval_recall", oracle=_recall_oracle())
+def sim_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@k of the sign-LSH index against
+    the exact brute-force top-k, per query — the acceptance metric
+    every production ANN deployment tracks (an index is only "done"
+    when measured recall at the target latency is known). Registered
+    as a first-class operator so the evaluation itself is distributed
+    and oracle-checked, not a notebook afterthought.
+
+    Composes the two existing search ops and joins their results on
+    (query, neighbor); the exact side defines the denominator. At
+    100 TB the exact baseline runs on a sampled query set (it is the
+    expensive side by construction) — the join/aggregate shape is
+    unchanged.
+    """
+    exact = sim_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_search_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.count("a_nid").cast("bigint").alias("n_hit"),
+            (F.count("a_nid").cast("double") / F.count(F.lit(1))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
