@@ -598,3 +598,58 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("revenue") - prev) / prev).alias("mom_pct"),
         (F.col("revenue") - prev12).alias("yoy_delta"),
     ).orderBy("nation", "month")
+
+
+# --- bitmap-based exact distinct --------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH chunks AS (
+      SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+      FROM events GROUP BY date_trunc('day', ts), user_id // 32)
+    SELECT day,
+           CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM chunks GROUP BY day ORDER BY day
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day via bitmap chunks — the
+    roaring-bitmap pattern (ClickHouse/Druid `groupBitmap`) expressed
+    with built-ins: ids bucket into 32-wide chunks, each (day, chunk)
+    group ORs a one-hot mask, and the distinct count is the popcount
+    sum. Both aggregation levels are map-side combinable.
+
+    Why it matters at 100 TB: COUNT(DISTINCT user) shuffles every
+    distinct (day, user) pair; this shuffles one 8-byte mask per
+    (day, 32-id chunk) — up to 32x fewer, denser rows, and unlike
+    approx_count_distinct it is EXACT, and the per-day chunk masks are
+    mergeable state (union across days/files = bit_or again), the same
+    reusability HLL sketches give but without the error bar. Needs a
+    bounded integer id domain (user ids here); arbitrary keys first
+    map through a dictionary/dense-rank pass.
+
+    Fully oracle-checked: masks and popcounts are pure integer ops,
+    identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    chunks = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    return (
+        chunks.groupBy("day")
+        .agg(
+            F.sum(F.bit_count("mask")).cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("day")
+    )
