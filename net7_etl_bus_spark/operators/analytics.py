@@ -653,3 +653,66 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- bitmap retention (mask algebra) ----------------------------------
+
+
+@register(
+    "agg_bitmap_retention",
+    oracle="""
+    WITH chunks AS (
+      SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+      FROM events GROUP BY date_trunc('day', ts), user_id // 32),
+    days AS (SELECT DISTINCT day FROM chunks),
+    pairs AS (
+      SELECT a.day AS day, b.day AS next_day,
+             a.chunk, a.mask AS mask_a, b.mask AS mask_b
+      FROM chunks a
+      JOIN chunks b ON b.day = a.day + INTERVAL 1 DAY AND b.chunk = a.chunk)
+    SELECT day,
+           CAST(SUM(bit_count(mask_a & mask_b)) AS BIGINT) AS n_retained
+    FROM pairs GROUP BY day ORDER BY day
+    """,
+)
+def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained users via bitmap algebra: the users active
+    on day d AND day d+1 are the popcount of the ANDed chunk masks —
+    the set-intersection half of the roaring-bitmap pattern
+    (agg_bitmap_distinct is the cardinality half). No (day, user)
+    pairs are ever re-shuffled: retention joins day-level chunk masks
+    on (chunk), 8 bytes a side, and intersection/popcount is bitwise.
+
+    This algebra is why bitmap state beats COUNT(DISTINCT ...) at
+    100 TB: masks merge (OR), intersect (AND), and diff (AND NOT)
+    without touching raw ids again — N-day retention triangles,
+    resurrection counts, and audience overlaps all reduce to the same
+    chunk-equi-join + popcount shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    chunks = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day") + F.expr("INTERVAL 1 DAY"))
+        & (F.col("b.chunk") == F.col("a.chunk")),
+    )
+    return (
+        pairs.select(
+            F.col("a.day").alias("day"),
+            F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).alias("bc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("bc").cast("bigint").alias("n_retained"))
+        .orderBy("day")
+    )

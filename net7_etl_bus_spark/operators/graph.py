@@ -16,7 +16,7 @@ which has no dangling nodes, keeping the update rule to the textbook
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -166,4 +166,67 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_type", "degree")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("node_type", "degree")
+    )
+
+
+# --- common-neighbor scoring (link prediction / co-purchase) ----------
+
+_CN_TOPK = 20
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             CAST(COUNT(*) AS BIGINT) AS common_customers
+      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT supp_a, supp_b, common_customers, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY common_customers DESC, supp_a, supp_b) AS rk
+      FROM pairs) t
+    WHERE rk <= {_CN_TOPK}
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor scoring on the bipartite purchase graph: the
+    top supplier pairs ranked by shared customers — the
+    link-prediction / "customers also bought from" computation, and
+    the standard co-occurrence join behind recommendation candidate
+    generation.
+
+    Scale shape: the wedge join (a.c = b.c) is an equi-join on the
+    customer key whose output is Σ deg(c)² over customers — THE
+    skew-sensitive graph join. Defenses that keep it tractable at
+    100 TB: per-customer distinct edges first (bounds deg by the
+    catalog, not purchase volume), AQE skew-split on hub customers,
+    and in production a deg-cap/sampling on hubs (documented, not
+    needed at test SF). The final global top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_customers"))
+    )
+    w = Window.orderBy(
+        F.col("common_customers").desc(), F.col("supp_a"), F.col("supp_b")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CN_TOPK)
     )
