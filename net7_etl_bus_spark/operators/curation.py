@@ -34,9 +34,10 @@ from ..data import load_table
 from ..plans.registry import register
 from .dedup import (
     _SQL_BANDS,
-    _SQL_JACCARD_PAIRS,
     _SQL_SHINGLES,
     _SQL_SIG,
+    _SQL_VERIFIED_JACCARD,
+    _SQL_XSETS,
     dedup_minhash_verified,
     normalized_text,
 )
@@ -51,15 +52,13 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-{_SQL_JACCARD_PAIRS},
+{_SQL_XSETS},
 verified AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c
-  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sizes sa ON sa.doc_id = c.doc_a
-  JOIN sizes sb ON sb.doc_id = c.doc_b
-  WHERE CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.c, 0))
-        >= {_NEAR_J}
+  JOIN xsets sa ON sa.doc_id = c.doc_a
+  JOIN xsets sb ON sb.doc_id = c.doc_b
+  WHERE {_SQL_VERIFIED_JACCARD} >= {_NEAR_J}
 ),
 flags AS (
   SELECT doc_id, source,
