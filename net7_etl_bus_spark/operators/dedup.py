@@ -934,3 +934,40 @@ def dedup_lsh_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_agree.cast("double") / N_HASHES).alias("jaccard_est"),
         )
     )
+
+
+_CC_SURV_ORACLE = (
+    _CC_ORACLE.replace(
+        "SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id\nFROM reach GROUP BY s ORDER BY doc_id",
+        """, clusters AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+ORDER BY d.doc_id""",
+    )
+)
+
+
+@register("dedup_cc_survivors", oracle=_CC_SURV_ORACLE)
+def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup clustering — what the pipeline
+    actually writes out: every document that is either untouched by
+    any verified near-dup cluster or is its cluster's keeper
+    (min doc_id). Completes the cascade: pairs -> clusters ->
+    surviving rows.
+
+    Plan shape: the cluster relation (tiny — only near-dup members)
+    left-anti/semi joins back to the corpus by doc_id; at 100 TB the
+    cluster side broadcasts and the corpus never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = dedup_cc_clusters(spark, sf_dir)
+    drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        d.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
