@@ -169,3 +169,22 @@ def test_signature_jaccard_estimate_tracks_exact(spark):
         assert abs(est[pair] - j) <= 0.375, (pair, est[pair], j)
         if j == 1.0:
             assert est[pair] == 1.0, pair
+
+
+def test_curation_ledger_partitions_the_corpus(spark):
+    """pipeline_curation: the (source, reason) ledger must partition
+    the corpus exactly — every document counted once, token totals
+    consistent with a direct scan."""
+    from net7_etl_bus_spark.data import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["pipeline_curation"](spark, SF_SMALL).collect()
+    d = load_table(spark, SF_SMALL, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), " ")))
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    assert {r["reason"] for r in rows} <= {"lang", "quality", "exact_dup", "near_dup", "kept"}
+    assert any(r["reason"] == "kept" for r in rows)
