@@ -228,3 +228,42 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity", "u24")
         # no orderBy: sampled output is corpus-sized at scale
     )
+
+
+# --- temporal (leakage-aware) split -----------------------------------
+
+_T_TRAIN_END = "2024-01-22 00:00:00"  # ~70% of the Jan 2024 events span
+_T_VAL_END = "2024-01-27 00:00:00"    # next ~17%; rest = test
+
+
+@register(
+    "split_temporal",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN ts < TIMESTAMP '{_T_TRAIN_END}' THEN 'train'
+                WHEN ts < TIMESTAMP '{_T_VAL_END}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test assignment — the leakage-aware split
+    for anything with a time axis (forecasting, ranking, event
+    prediction): train strictly precedes validation strictly precedes
+    test, so no future information crosses a boundary. The
+    hash-stable `split_train_test` is the right tool for exchangeable
+    documents; THIS is the right tool when rows are ordered by time —
+    mixing them up is the classic offline/online metric gap.
+
+    Pure narrow map (two timestamp comparisons fused into the scan);
+    the boundary literals prune cleanly against partition/row-group
+    min-max stats when the table is date-partitioned, so at 100 TB a
+    "train only" read touches only train-range files.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit(_T_TRAIN_END).cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit(_T_VAL_END).cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    return e.select("event_id", "user_id", split.alias("split"))

@@ -127,7 +127,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_html_strip", "emb_norm_stats", "dedup_lsh_jaccard_est",
     "win_pct_change", "join_fuzzy_levenshtein", "sim_eval_recall",
     "agg_bitmap_distinct", "agg_bitmap_retention", "graph_common_neighbors",
-    "dedup_cc_survivors",
+    "dedup_cc_survivors", "split_temporal",
 )
 
 
