@@ -878,6 +878,39 @@ def dedup_batch_survivors(seen: DataFrame | None, batch: DataFrame) -> DataFrame
     ).drop("text_hash")
 
 
+@register(
+    "dedup_apply_increment",
+    oracle=f"""
+    SELECT md5({_NORM}) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_apply_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable replay of :func:`dedup_apply_increment`: fold
+    the corpus through the incremental exact-dedup state maintainer in
+    THREE disjoint micro-batches (doc_id mod 3) and return the final
+    state table. The oracle is the ONE-SHOT dedup_exact SQL over the
+    whole corpus — a green row proves incremental state == batch
+    rebuild regardless of how documents were batched.
+
+    Scale shape: each fold is one full-outer join on the 16-byte hash
+    (O(batch + matched state)); in production each fold's output is
+    persisted to the hash-bucketed state table, so the three-deep lazy
+    plan here is a harness artifact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seen: DataFrame | None = None
+    for i in range(3):
+        seen = dedup_apply_increment(
+            seen, d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        )
+    assert seen is not None
+    return seen
+
+
 # --- signature-only Jaccard estimation --------------------------------
 
 _EST_MATCH_EXPR = " + ".join(

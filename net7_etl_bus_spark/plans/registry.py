@@ -73,38 +73,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Sweep ordering for the driver's count-capped correctness run (it
-# checks ~50 queries per round in registration order). Round-3 front of
-# the line: the single round-2 FAIL (extract_nested_json — ANSI
-# element_at on an empty array in the driver's vanilla session, fixed
-# via try_element_at + runtime ANSI-off), then every key that has never
-# received a driver verdict (absent from CORRECTNESS_r01 ∪ r02), oldest
-# additions first. Keys already green in r01/r02 re-register last.
+# checks exactly the FIRST 50 queries per round in registration order).
+# Round-4 front of the line: the keys never verified by any driver
+# sweep — i.e. absent from CORRECTNESS_r01 ∪ r02 ∪ r03 (r3 was 50/50
+# green, so no failures to re-front) — plus the newly registered
+# scd2_apply_increment (SURVEY-named, VERDICT r3 item 2). The front
+# block is EXACTLY 50 keys; the 3 that don't fit this round's budget
+# (text_html_strip, win_pct_change — trivial narrow maps, both
+# beyond-SURVEY — and the new dedup_apply_increment) queue at 51-53
+# for round 5's sweep. Keys already driver-green re-register last.
 # Keys not in the registry are ignored, so this list never breaks
 # registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-2 FAIL — must flip to green
-    "extract_nested_json",
-    # never driver-checked: subqueries + data quality
-    "subquery_scalar_correlated", "subquery_exists", "subquery_in_nested",
-    "subquery_lateral", "dq_audit",
-    # never driver-checked: remaining flagship queries
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q11_important_stock",
-    "q12_priority_shipping", "q13_order_count_dist", "q15_top_supplier",
-    "q16_supplier_part_cnt", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    # never driver-checked: sampling / dedup / text / graph
-    "sample_hash_pct", "split_train_test", "sample_stratified",
-    "sample_weighted", "text_repetition", "text_scrub_pii",
-    "text_ngram_freq", "text_decontaminate", "text_feature_hash",
-    "text_inverted_index", "text_url_extract", "text_url_canonicalize",
-    "text_bpe_pairs", "dedup_cc_clusters", "dedup_paragraph", "dedup_prefix",
-    "graph_pagerank", "graph_degree_stats",
-    # never driver-checked: aggregation / window / analytics
-    "agg_rollup_time", "agg_unpivot", "agg_stats_moments",
-    "agg_collect_list", "agg_mode", "agg_histogram", "agg_regr",
-    "agg_weighted_avg", "profile_columns", "anomaly_zscore",
+    # new this round: incremental-==-rebuild replay (SURVEY-named key)
+    "scd2_apply_increment",
+    # never driver-checked: window / sessionization / product analytics
     "skew_key_profile", "win_first_last", "win_running_distinct",
     "win_gaps_islands", "event_transitions",
     "funnel_conversion", "cohort_retention", "rfm_segmentation",
@@ -120,14 +103,16 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # never driver-checked: scalar fn surfaces + plugin scan
     "fn_try_safe", "fn_variant", "fn_bitwise", "fn_encoding",
     "fn_regexp", "fn_conditional", "fixedwidth_scan",
-    # round-3 additions
+    # never driver-checked: round-3 additions
     "sim_search_ivfpq", "dedup_span_ngram", "join_interval_overlap",
     "text_quality_classifier", "agg_decay_weighted",
     "mm_phash_dedup", "pipeline_curation",
-    "text_html_strip", "emb_norm_stats", "dedup_lsh_jaccard_est",
-    "win_pct_change", "join_fuzzy_levenshtein", "sim_eval_recall",
+    "emb_norm_stats", "dedup_lsh_jaccard_est",
+    "join_fuzzy_levenshtein", "sim_eval_recall",
     "agg_bitmap_distinct", "agg_bitmap_retention", "graph_common_neighbors",
     "dedup_cc_survivors", "split_temporal",
+    # ---- 50-key budget line (the driver stops here) ----
+    "text_html_strip", "win_pct_change", "dedup_apply_increment",
 )
 
 
