@@ -608,7 +608,7 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chunks AS (
       SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
-             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+             bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32 AS INT)) AS mask
       FROM events GROUP BY date_trunc('day', ts), user_id // 32)
     SELECT day,
            CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users,
@@ -639,8 +639,13 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         e.select(
             F.date_trunc("day", "ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("chunk"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+            # Floor-division chunk in pure int64 (ADVICE r3): user_id -
+            # pmod(...) is divisible by 32, so trunc-div == floor-div,
+            # matching DuckDB's flooring `//` for negative ids too, with
+            # no double rounding for ids above 2^53. pmod keeps the
+            # shift count in [0, 32) regardless of sign.
+            F.expr("(user_id - pmod(user_id, 32)) div 32").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").alias("bit"),
         )
         .groupBy("day", "chunk")
         .agg(F.expr("bit_or(bit)").alias("mask"))
@@ -663,7 +668,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chunks AS (
       SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
-             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+             bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32 AS INT)) AS mask
       FROM events GROUP BY date_trunc('day', ts), user_id // 32),
     days AS (SELECT DISTINCT day FROM chunks),
     pairs AS (
@@ -694,8 +699,13 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         e.select(
             F.date_trunc("day", "ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("chunk"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+            # Floor-division chunk in pure int64 (ADVICE r3): user_id -
+            # pmod(...) is divisible by 32, so trunc-div == floor-div,
+            # matching DuckDB's flooring `//` for negative ids too, with
+            # no double rounding for ids above 2^53. pmod keeps the
+            # shift count in [0, 32) regardless of sign.
+            F.expr("(user_id - pmod(user_id, 32)) div 32").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").alias("bit"),
         )
         .groupBy("day", "chunk")
         .agg(F.expr("bit_or(bit)").alias("mask"))

@@ -163,10 +163,18 @@ def _minhash_signature_from(sh: DataFrame, with_sets: bool = False) -> DataFrame
     pass, so the verified cascade needs zero further shingle scans:
     set sizes and intersections come from the arrays.
     """
-    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % _MH_P
+    # x stays PRE-mod (60-bit) so the collected sets keep full hash
+    # width — within-doc collision odds ~n²/2^61, not ~n²/2^32 as the
+    # previous post-mod collect had (ADVICE r3). The reduction mod P
+    # moves inside the h_i expressions; (A*(x%P)+B)%P == (A*x+B)%P, so
+    # signatures, band keys, and candidate pairs are unchanged, and
+    # A*(x%P) stays < 2^62 (no int64 overflow — A*x with 60-bit x
+    # would overflow, which is why the pre-reduction must be explicit).
+    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
     hashed = sh.select("doc_id", x.alias("x"))
+    xm = F.col("x") % _MH_P
     aggs = [
-        F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % _MH_P).alias(f"h{i}")
+        F.min((F.lit(_MH_A[i]) * xm + F.lit(_MH_B[i])) % _MH_P).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     aggs.append(F.count(F.lit(1)).alias("n_shingles"))
@@ -215,7 +223,8 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-_SQL_X = f"(CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % {_MH_P})"
+# Pre-mod 60-bit x (mirrors the Spark side; % P happens inside h_i).
+_SQL_X = "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
 
 _SQL_SIG = f"""
 hashed AS (
@@ -223,7 +232,7 @@ hashed AS (
 ),
 sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(N_HASHES))}
+         {', '.join(f"MIN(({_MH_A[i]} * (x % {_MH_P}) + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(N_HASHES))}
   FROM hashed GROUP BY doc_id
 )
 """
@@ -382,7 +391,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline).
 
     Jaccard here is over 60-bit shingle *hashes* (collision odds
-    ~|doc|²/2^31 per pair — immaterial, and the oracle computes the
+    ~|doc|²/2^61 per doc — immaterial, and the oracle computes the
     identical hashed sets, so the check is still value-exact).
     Measured at sf0.1: the array form is ~15-20% faster than the
     previous candidate-driven exploded-shingle joins, which in turn

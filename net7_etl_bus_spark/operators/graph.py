@@ -223,10 +223,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_customers"))
     )
+    # Top-k as orderBy+limit so the plan is TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), matching the
+    # docstring — a row_number over an unpartitioned Window would
+    # funnel every pair through one partition's sort (ADVICE r3). The
+    # rank is derived AFTER the k-row cut, where a single-partition
+    # window over k rows is free.
+    topk = pairs.orderBy(
+        F.col("common_customers").desc(), F.col("supp_a"), F.col("supp_b")
+    ).limit(_CN_TOPK)
     w = Window.orderBy(
         F.col("common_customers").desc(), F.col("supp_a"), F.col("supp_b")
     )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= _CN_TOPK)
-    )
+    return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -51,22 +51,37 @@ _DEFAULT_CONF = {
 
 
 # Confs that are RUNTIME-settable and required for correctness parity
-# with the DuckDB oracle, applied defensively to any externally-built
-# session (the driver harness constructs its own SparkSession with
-# vanilla defaults — Spark 4 defaults ANSI ON, which turns
-# element_at/cast/divide on edge rows into exceptions where DuckDB and
-# the reference's tolerant row handling return NULL).
-_RUNTIME_CONF = {
+# with the DuckDB oracle, applied to any externally-built session (the
+# driver harness constructs its own SparkSession with vanilla defaults
+# — Spark 4 defaults ANSI ON, which turns element_at/cast/divide on
+# edge rows into exceptions where DuckDB and the reference's tolerant
+# row handling return NULL).
+#
+# LOUD DOCUMENTATION OF THE CONF LEAK: these three settings are NOT
+# restored after the query runs. They cannot be — registered queries
+# return LAZY DataFrames, and ANSI/timezone/nanos semantics are bound
+# when the plan finally executes (driver-side .collect()), which is
+# after the wrapper has returned. A save/restore around the wrapper
+# body would silently re-enable ANSI before the caller ever executes
+# the plan. Callers who need ANSI-on behavior for their OWN queries on
+# a shared session should set spark.sql.ansi.enabled back themselves.
+_CORRECTNESS_CONF = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Perf (also runtime-settable): keep the oracle sweep fast on a
-    # vanilla session — 200 default shuffle partitions is ~6x overhead
-    # at sf0.01; AQE coalesces; dims broadcast.
-    "spark.sql.shuffle.partitions": "32",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+# Perf confs (also runtime-settable, also leaked for the same lazy-
+# execution reason) applied ONLY when the session still carries the
+# stock Spark default — i.e. the owner never tuned them. 200 default
+# shuffle partitions is ~6x overhead at sf0.01 on the driver's vanilla
+# sweep session; the 10 MB default broadcast threshold leaves the
+# larger dimension tables shuffling. An owner-set value (anything
+# other than the stock default) is always respected.
+_PERF_CONF = {
+    # key: (stock_default, ours)
+    "spark.sql.shuffle.partitions": ("200", "32"),
+    "spark.sql.autoBroadcastJoinThreshold": ("10485760", str(64 * 1024 * 1024)),
 }
 
 
@@ -77,13 +92,27 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     registry wrapper around every query and by data.load_table, so a
     query behaves identically whether it runs under our
     :func:`get_spark` session or the driver harness's own.
+
+    Semantics confs (ANSI off, UTC, parquet nanos-as-long) are always
+    asserted; perf confs (shuffle partitions, broadcast threshold) only
+    when the current value is the stock Spark default, so an externally
+    tuned session keeps its owner's tuning. Both classes persist on the
+    session after the call — see the module comment above
+    ``_CORRECTNESS_CONF`` for why restore-after-run is impossible.
     """
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _CORRECTNESS_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # A conf that became static in some Spark build must not
             # break the query path; the session-build defaults cover it.
+            pass
+    for k, (stock, ours) in _PERF_CONF.items():
+        try:
+            current = spark.conf.get(k, stock)
+            if current in (stock, None):
+                spark.conf.set(k, ours)
+        except Exception:
             pass
     return spark
 

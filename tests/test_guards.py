@@ -1,0 +1,192 @@
+"""Guard tests protecting documented past regressions, plus the pure-
+kernel properties (sessionize / retrying / mock-client) that live
+alongside them.
+
+Restored after the round-3 test_properties.py rewrite dropped them
+(ADVICE r3 item 1): the static parquet-read guard protects the round-1
+driver failure mode (TIMESTAMP(NANOS) events read outside load_table),
+and the shuffle-partition invariance test protects the cross-engine
+determinism scheme against partial-aggregation reorderings — exactly
+the nondeterminism a 1000-executor cluster injects.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from net7_etl_bus_spark.operators.enrich import DeterministicMockClient, retrying
+from net7_etl_bus_spark.streaming.windows import sessionize_pure
+
+GAP_US = 10 * 60 * 1_000_000
+CAP_US = 60 * 60 * 1_000_000
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * CAP_US),
+        st.sampled_from(["click", "view", "buy"]),
+    ),
+    max_size=200,
+)
+
+
+@given(events)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_partitions_all_events(evs):
+    evs = sorted(evs)
+    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
+    total = sum(s[2] for s in closed) + (open_s[2] if open_s else 0)
+    assert total == len(evs)
+
+
+@given(events)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_invariants(evs):
+    evs = sorted(evs)
+    closed, open_s = sessionize_pure(evs, GAP_US, CAP_US)
+    all_sessions = closed + ([open_s] if open_s else [])
+    prev_end = None
+    for start, last, n, first_t, last_t in all_sessions:
+        assert start <= last
+        assert last - start <= CAP_US  # duration cap honored
+        assert n >= 1
+        if prev_end is not None:
+            assert start >= prev_end  # sessions ordered, non-overlapping
+        prev_end = last
+    # Consecutive closed sessions split for a reason: gap exceeded or
+    # cap would have been exceeded by the next session's first event.
+    for a, b in zip(all_sessions, all_sessions[1:]):
+        assert (b[0] - a[1] > GAP_US) or (b[0] - a[0] > CAP_US)
+
+
+@given(events)
+@settings(max_examples=100, deadline=None)
+def test_sessionize_incremental_equals_batch(evs):
+    """Feeding events in two chunks through the carried state must give
+    the same sessions as one pass — the property that makes the
+    streaming operator correct across micro-batches."""
+    evs = sorted(evs)
+    for cut in {0, len(evs) // 2, len(evs)}:
+        c1, open1 = sessionize_pure(evs[:cut], GAP_US, CAP_US)
+        c2, open2 = sessionize_pure(evs[cut:], GAP_US, CAP_US, state=open1)
+        one_c, one_open = sessionize_pure(evs, GAP_US, CAP_US)
+        assert c1 + c2 == one_c
+        assert open2 == one_open
+
+
+@given(st.integers(min_value=0, max_value=10), st.integers(min_value=1, max_value=12))
+@settings(max_examples=100, deadline=None)
+def test_retrying_succeeds_iff_enough_attempts(fail_n, attempts):
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= fail_n:
+            raise RuntimeError("transient")
+        return "ok"
+
+    delays = []
+    try:
+        out = retrying(flaky, attempts=attempts, sleeper=delays.append)
+        assert out == "ok" and attempts > fail_n
+        assert calls["n"] == fail_n + 1
+    except RuntimeError:
+        assert attempts <= fail_n
+        assert calls["n"] == attempts
+    assert len(delays) == min(fail_n, attempts - 1)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_mock_client_total_and_in_range(zipcode):
+    """The mock enrichment is total over arbitrary zip strings and
+    stays in plausible geo ranges — per-row tolerance upstream never
+    depends on input shape."""
+    lat, lng, elev, tz = DeterministicMockClient._f(zipcode)
+    assert 24.0 <= lat < 49.0
+    assert -125.0 <= lng < -67.0
+    assert 0.0 <= elev < 440.0
+    assert tz.endswith("Time")
+
+
+def test_no_direct_sfdir_parquet_reads():
+    """Every testdata read must go through data.load_table: events.ts is
+    TIMESTAMP(NANOS) and load_table is where the legacy conf + ns->us
+    conversion live. A direct spark.read.parquet(sf_dir...) in an
+    operator works in OUR session (conf set at build time) but crashes
+    in any vanilla external session — the exact round-1 driver failure
+    mode. Static guard so the trap can't come back."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "net7_etl_bus_spark"
+    bad = []
+    for py in root.rglob("*.py"):
+        if py.name == "data.py":
+            continue
+        src = py.read_text()
+        for m in re.finditer(r"read\.parquet\(([^)]*)\)", src):
+            arg = m.group(1)
+            if "sf_dir" in arg or "table_path" in arg:
+                bad.append(f"{py}:{arg}")
+    assert not bad, f"direct sf_dir parquet reads (use data.load_table): {bad}"
+
+
+def test_bitmap_chunking_sign_safe(spark):
+    """The bitmap-distinct chunk/shift expressions must be exact for
+    NEGATIVE and large ids (ADVICE r3: double division truncated toward
+    zero and % produced negative shift counts, which Java masks mod 64
+    — fixture ids being non-negative hid it). Popcount-sum over the
+    floor-div/pmod chunks must equal exact COUNT(DISTINCT id) on a
+    domain straddling zero."""
+    from pyspark.sql import functions as F
+
+    ids = list(range(-100, 100, 3)) + [-1, -32, -33, 31, 32, 2**40, -(2**40)]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    chunks = (
+        df.select(
+            F.expr("(user_id - pmod(user_id, 32)) div 32").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").alias("bit"),
+        )
+        .groupBy("chunk")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    n = chunks.agg(F.sum(F.bit_count("mask"))).collect()[0][0]
+    assert n == len(set(ids))
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """The registry's determinism scheme (exact decimal sums, total
+    orders, quantized accumulations) must make results IDENTICAL when
+    the physical partitioning changes — 7 vs 32 shuffle partitions
+    reorder every partial aggregation, which is exactly the
+    nondeterminism a 1000-executor cluster injects. Checked on the
+    float-heaviest queries.
+
+    Note: ensure_runtime_confs only overrides shuffle.partitions when
+    it still holds the stock default, so the explicit 7/32 set below
+    sticks through the registry wrapper — this comparison is real, not
+    32-vs-32.
+    """
+    from net7_etl_bus_spark.plans import registry
+
+    from .conftest import SF_SMALL
+
+    qs = registry.queries()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in (
+            "q1_pricing_summary",
+            "agg_stats_moments",
+            "graph_pagerank",
+            "anomaly_zscore",     # broadcast moments + per-row z cut
+            "emb_pq_quantize",    # argmin over folded distances
+            "ts_rolling_stats",   # exact sums inside window frames
+        ):
+            results = []
+            for n in ("7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results.append(sorted(map(tuple, qs[name](spark, SF_SMALL).collect())))
+            assert results[0] == results[1], f"{name} varies with partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

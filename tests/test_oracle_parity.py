@@ -38,3 +38,53 @@ def test_oracle_parity(name, spark, duck):
 def test_no_oracle_queries_run(name, spark):
     # rows-only check (the driver's weaker fallback)
     assert QUERIES[name](spark, SF_SMALL).count() >= 0
+
+
+# --- adversarial-session pin (VERDICT r3 item 7) ----------------------
+
+_CONF_SENSITIVE = (
+    "extract_nested_json",  # ANSI element_at on empty arrays
+    "fn_json",              # ANSI casts inside JSON extraction
+    "win_session",          # session-window timestamp arithmetic
+    "join_asof",            # timestamp comparisons under session TZ
+    "agg_rollup_time",      # date_trunc under session TZ
+)
+
+
+def test_registry_wrapper_under_adversarial_session(spark, duck):
+    """Pin the round-3 countermeasure: queries must produce
+    oracle-identical results under the driver's session profile —
+    ANSI ON, non-UTC session timezone, 200 shuffle partitions (the
+    Spark 4 vanilla defaults per the driver harness) — because the
+    registry wrapper re-asserts the correctness confs on whatever
+    session it is handed. A refactor that drops ensure_runtime_confs
+    from the wrapper fails here, not in round N+1's sweep."""
+    adv = spark.newSession()
+    adv.conf.set("spark.sql.ansi.enabled", "true")
+    adv.conf.set("spark.sql.session.timeZone", "America/New_York")
+    adv.conf.set("spark.sql.shuffle.partitions", "200")
+    adv.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    for name in _CONF_SENSITIVE:
+        sdf = QUERIES[name](adv, SF_SMALL).toPandas()
+        odf = duck.execute(ORACLES[name]).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, f"{name} under adversarial session: {problems}"
+
+
+def test_runtime_confs_respect_owner_tuning(spark):
+    """ensure_runtime_confs must flip correctness confs but leave an
+    owner-tuned perf conf alone (ADVICE r3: no silent perf override on
+    externally owned sessions); the stock default IS overridden."""
+    from net7_etl_bus_spark.session import ensure_runtime_confs
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "7")  # owner-tuned
+    ensure_runtime_confs(s)
+    assert s.conf.get("spark.sql.ansi.enabled") == "false"
+    assert s.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "200")  # stock default
+    ensure_runtime_confs(s2)
+    assert s2.conf.get("spark.sql.shuffle.partitions") == "32"
