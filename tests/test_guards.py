@@ -155,6 +155,45 @@ def test_bitmap_chunking_sign_safe(spark):
     assert n == len(set(ids))
 
 
+def test_minhash_verified_mega_doc_guard(spark):
+    """The carried-hash-set cap (VERDICT r3 item 4) must not change
+    results: pairs routed through the exploded-hash fallback (doc above
+    cap -> empty xs) must get the IDENTICAL exact Jaccard the array
+    path computes. Checked two ways: a synthetic corpus with two
+    near-dup mega docs under a tiny cap, and the real sf0.001 documents
+    with cap=8 (routing essentially every pair through the fallback)
+    against the default cap."""
+    from net7_etl_bus_spark.operators.dedup import _verified_pairs
+
+    def run(docs, cap):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in _verified_pairs(docs, cap=cap).collect()
+        )
+
+    # synthetic: two near-identical 60-word docs (mega under cap=16),
+    # one unrelated small doc
+    words = [f"w{i}" for i in range(60)]
+    mega_a = " ".join(words)
+    mega_b = " ".join(words[:-1] + ["changed"])
+    docs = spark.createDataFrame(
+        [(1, mega_a), (2, mega_b), (3, "tiny doc with few words here")],
+        "doc_id long, text string",
+    )
+    uncapped = run(docs, 2**31)
+    capped = run(docs, 16)
+    assert uncapped == capped
+    assert any(a == 1 and b == 2 and j > 0.9 for a, b, j in uncapped)
+
+    # real corpus: fallback-for-everything == arrays-for-everything
+    from net7_etl_bus_spark.data import load_table
+
+    from .conftest import SF_SMALL
+
+    real = load_table(spark, SF_SMALL, "documents")
+    assert run(real, 8) == run(real, 2**31)
+
+
 def test_results_invariant_under_shuffle_partitioning(spark):
     """The registry's determinism scheme (exact decimal sums, total
     orders, quantized accumulations) must make results IDENTICAL when
