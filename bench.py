@@ -42,6 +42,15 @@ BENCH_QUERIES = [
     "text_token_count",
 ]
 
+# Tracked round-over-round outside the frozen headline total: the two
+# flagship composites whose wall time best represents a 100 TB curation
+# run (lang gate -> quality gate -> exact dedup -> verified near-dedup
+# -> token ledger; LSH pairs -> connected components -> surviving corpus).
+COMPOSITE_QUERIES = [
+    "pipeline_curation",
+    "dedup_cc_survivors",
+]
+
 
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -64,6 +73,14 @@ def main() -> None:
         timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Separately-reported composite block (NOT part of the comparable
+    # 16-query total, which stays frozen for round-over-round series):
+    # the two most 100 TB-representative end-to-end cascades.
+    composites: dict[str, float] = {}
+    for name in COMPOSITE_QUERIES:
+        composites[name] = round(run_one(spark, qs[name], sf_dir), 3)
+        print(f"# [composite] {name}: {composites[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -72,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "composites": composites,
+                "composites_total": round(sum(composites.values()), 3),
                 "sf": sf,
             }
         )

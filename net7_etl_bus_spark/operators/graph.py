@@ -91,6 +91,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
     n_nodes = nodes.count()  # O(1) driver scalar, same as the oracle's (SELECT n)
+    if n_nodes == 0:
+        # Empty graph (e.g. a date slice with no orders): the uniform
+        # prior 1/n is undefined — return the empty rank relation with
+        # the standard schema instead of dividing by zero.
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
     for _ in range(_ITERS):
         contrib = (

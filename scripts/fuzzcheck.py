@@ -1,0 +1,79 @@
+"""Null-injection fuzz differential.
+
+Builds a seeded, deterministic mirror of the testdata tables with NULLs
+injected into a fraction of every (supported) column, then runs the
+full Spark-vs-DuckDB differential check on the mutated mirror. Both
+engines see the SAME bytes, so any divergence is a genuine cross-engine
+semantics bug — default null ordering, null-in-join-key handling,
+null-propagation through expressions — i.e. exactly the failure modes
+real 100 TB data has and the clean synthetic fixtures never exercise.
+
+Usage: python scripts/fuzzcheck.py [src_sf_dir] [rate] [seed] [query ...]
+Exit 0 iff every checked query matches on the mutated data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from net7_etl_bus_spark.schemas import TESTDATA_TABLES  # noqa: E402
+
+
+def mutate_table(src: str, dst: str, rate: float, seed: int) -> None:
+    t = pq.read_table(src)
+    cols = []
+    for i, field in enumerate(t.schema):
+        col = t.column(i)
+        # zlib.crc32 (not hash()) so the mask is stable across processes.
+        rng = np.random.default_rng(
+            zlib.crc32(f"{os.path.basename(src)}:{field.name}:{seed}".encode())
+        )
+        mask = pa.array(rng.random(len(t)) < rate)
+        try:
+            col = pc.if_else(mask, pa.scalar(None, type=field.type), col.combine_chunks())
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            pass  # nested/unsupported type: leave column untouched
+        cols.append(col)
+    pq.write_table(
+        pa.table(cols, schema=t.schema), dst, use_deprecated_int96_timestamps=False
+    )
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
+    rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
+    rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03
+    rest = rest[1:] if rest and rest[0].replace(".", "").isdigit() else rest
+    seed = int(rest[0]) if rest and rest[0].isdigit() else 0
+    only = rest[1:] if rest and rest[0].isdigit() else rest
+
+    with tempfile.TemporaryDirectory(prefix="fuzzsf_") as dst_dir:
+        for t in TESTDATA_TABLES:
+            mutate_table(
+                os.path.join(src_dir, f"{t}.parquet"),
+                os.path.join(dst_dir, f"{t}.parquet"),
+                rate,
+                seed,
+            )
+        print(f"# mutated mirror at rate={rate} seed={seed}: {dst_dir}", flush=True)
+        import diffcheck
+
+        sys.argv = ["diffcheck.py", dst_dir, *only]
+        return diffcheck.main()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    raise SystemExit(main())
