@@ -470,6 +470,26 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
     exact for every doc). The union of the three partitions
     (small-small / mixed / mega-mega) is what the single array path
     used to return, so the oracle is unchanged."""
+    # Cheap corpus probe BEFORE building any cascade machinery. Two
+    # tiers, both early-exiting narrow scans of `documents` only (no
+    # shingle explode, no md5, no shuffle): (1) raw char length — a
+    # NECESSARY condition for n_w > cap, since n_w - 1 spaces need
+    # norm_len >= cap and lower() expands length at most 3x — then
+    # (2) the exact word count, only on the rare corpus where tier 1
+    # fires. When the corpus has no mega doc — the overwhelmingly
+    # common case — the whole function returns ONE lazy single-pass
+    # plan with NO persist and NO probe-of-the-cascade: identical cost
+    # to the unguarded r3 shape plus one cheap column scan (the prior
+    # design probed the CACHED candidate relation, which forced the
+    # full signature cascade to materialize into the cache before the
+    # verify job — measured ~1.4 s extra single-shot at sf0.1).
+    has_mega = (
+        docs.filter(F.length("text") * 3 >= cap).limit(1).count() > 0
+        and docs.filter(
+            F.size(F.split(normalized_text("text"), " ")) > cap
+        ).limit(1).count() > 0
+    )
+
     sh = _shingles_counted(docs)
     sig = _minhash_signature_from(sh, with_sets=True, cap=cap)
     cand = _lsh_candidate_pairs(sig)
@@ -487,31 +507,34 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
         F.col("is_mega").alias("mb"),
     )
     # ONE row per candidate pair with both arrays/sizes attached.
-    # Persisted because three downstream branches (array verify, mixed
-    # fallback, mega-mega fallback) consume it — unpersisted, each
-    # branch replays the whole signature cascade (measured 4x wall
-    # time at sf0.1). The relation is candidate-count sized (arrays
-    # capped at 64 KB/side), so the cache is small by construction.
     joined = (
         cand.join(sa, F.col("doc_a") == F.col("da"))
         .join(sb, F.col("doc_b") == F.col("db"))
         .select("doc_a", "doc_b", "xa", "xb", "na", "nb", "ma", "mb")
-        .persist()
     )
     inter = F.size(F.array_intersect("xa", "xb")).cast("double")
     jac = inter / (F.col("na") + F.col("nb") - inter)
+
+    if not has_mega:
+        # No doc exceeds the cap, so every xs is complete and the
+        # array verify is exact for every pair — one lazy plan, no
+        # persist, no ma/mb branches.
+        return joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+    # Mega path: three downstream branches (array verify, mixed
+    # fallback, mega-mega fallback) consume `joined` — unpersisted,
+    # each branch replays the whole signature cascade (measured 4x
+    # wall time at sf0.1). The relation is candidate-count sized
+    # (arrays capped at 64 KB/side), so the cache is small by
+    # construction. Persisted for the lifetime of the returned lazy
+    # plan — callers running corpora with mega docs repeatedly on a
+    # long-lived session should spark.catalog.clearCache() between
+    # runs.
+    joined = joined.persist()
     small = (
         joined.filter(~F.col("ma") & ~F.col("mb"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-
-    # O(1) driver probe on the CACHED candidate relation (same class
-    # as the CC convergence scalar): when no candidate pair touches a
-    # mega doc — the overwhelmingly common case — the whole fallback
-    # subplan (joins, groupBys, unions) is omitted, not just empty at
-    # runtime. Bounded work: one cache scan with limit 1.
-    if joined.filter(F.col("ma") | F.col("mb")).limit(1).count() == 0:
-        return small
 
     # Fallback hash relation: ONLY mega docs are exploded. The word-
     # count filter (the SAME n_w > cap criterion the signature gate
