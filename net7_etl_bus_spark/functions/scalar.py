@@ -35,7 +35,7 @@ def composite_key(zip_col: Column | str, state_col: Column | str) -> Column:
            CAST(LENGTH(c_name) AS INT) AS name_len,
            CONCAT_WS('#', c_name, c_mktsegment) AS tagged,
            REPLACE(c_name, 'Customer', 'Cust') AS name_short,
-           TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+           TRIM('  ' || c_name || '  ') AS name_trimmed,
            LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
            CONTAINS(c_name, '001') AS has_001
     FROM customer
@@ -148,7 +148,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("int").alias("n_tokens"),
         F.element_at("tokens", 1).alias("first_token"),
         F.element_at("tokens", -1).alias("last_token"),
-        F.concat_ws(" ", F.slice("tokens", 1, 3)).alias("first_trigram"),
+        # concat_ws returns '' (never NULL) on a NULL array — the
+        # engine's posture is SQL null propagation, so guard it.
+        F.when(
+            F.col("tokens").isNotNull(), F.concat_ws(" ", F.slice("tokens", 1, 3))
+        ).alias("first_trigram"),
         F.array_contains("tokens", "spark").alias("mentions_spark"),
     )
 
@@ -259,8 +263,9 @@ def checksum_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_filter(w, t -> length(t) > 4)) AS INT) AS n_long_tokens,
            array_to_string(list_transform(w[1:5], t -> upper(t)), ' ') AS first5_upper,
-           CAST(list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
-                            (acc, v) -> acc + v) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN w IS NULL THEN NULL ELSE
+                list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
+                            (acc, v) -> acc + v) END AS BIGINT) AS total_chars,
            CAST(length(list_filter(w, t -> t = 'the')) > 0 AS BOOLEAN) AS has_the
     FROM toks
     """,
@@ -280,8 +285,9 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("w", lambda t: F.length(t) > 4)).cast("int").alias(
             "n_long_tokens"
         ),
-        F.concat_ws(
-            " ", F.transform(F.slice("w", 1, 5), lambda t: F.upper(t))
+        F.when(  # concat_ws is ''-on-NULL; propagate the NULL instead
+            F.col("w").isNotNull(),
+            F.concat_ws(" ", F.transform(F.slice("w", 1, 5), lambda t: F.upper(t))),
         ).alias("first5_upper"),
         F.aggregate(
             F.transform("w", lambda t: F.length(t).cast("bigint")),

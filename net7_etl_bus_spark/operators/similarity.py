@@ -818,12 +818,15 @@ _PQ_CENTS = _pq_centroids()
 _PQ_ORACLE = f"""
 WITH d AS (
   SELECT vec_id,
+         embedding IS NULL AS is_null,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
   FROM embeddings)
 SELECT vec_id,
+       CASE WHEN is_null THEN NULL ELSE
        {" || '-' || ".join(f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS VARCHAR)" for m in range(_PQ_M))}
-         AS pq_code,
-       {" + ".join(f"list_min(d{m})" for m in range(_PQ_M))} AS recon_err
+       END AS pq_code,
+       CASE WHEN is_null THEN NULL ELSE
+       {" + ".join(f"list_min(d{m})" for m in range(_PQ_M))} END AS recon_err
 FROM d
 ORDER BY vec_id
 """
@@ -851,6 +854,7 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     d = e.select(
         "vec_id",
+        F.col("embedding").isNull().alias("is_null"),
         *[
             F.expr(_pq_spark_dists(m, _PQ_CENTS[m])).alias(f"d{m}")
             for m in range(_PQ_M)
@@ -868,8 +872,12 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.array_min(F.col("d0"))
     for m in range(1, _PQ_M):
         err = err + F.array_min(F.col(f"d{m}"))
+    # NULL embedding -> NULL code/err (null propagation, matching the
+    # oracle's CASE): concat_ws would otherwise silently emit ''.
     return d.select(
-        "vec_id", code.alias("pq_code"), err.alias("recon_err")
+        "vec_id",
+        F.when(~F.col("is_null"), code).alias("pq_code"),
+        F.when(~F.col("is_null"), err).alias("recon_err"),
     ).orderBy("vec_id")
 
 
@@ -1073,18 +1081,22 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (
       SELECT vec_id, label,
-             {_sql_norm("embedding")} AS l2,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE {_sql_norm("embedding")} END AS l2,
              len(embedding) AS dim,
-             len(list_filter(embedding, x -> x = 0)) AS n_zero
+             len(list_filter(embedding, x -> x = 0)) AS n_zero,
+             embedding IS NULL AS is_null
       FROM embeddings)
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vectors,
            CAST(MIN(dim) AS BIGINT) AS min_dim,
            CAST(MAX(dim) AS BIGINT) AS max_dim,
            MIN(l2) AS min_norm,
            MAX(l2) AS max_norm,
            {sql_ddouble("SUM(CAST(FLOOR(l2 * 1000000) AS HUGEINT))")} / 1000000.0
-             / COUNT(*) AS mean_norm,
+             / COUNT(l2) AS mean_norm,
            CAST(SUM(CASE WHEN n_zero = dim THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_vectors
     FROM n GROUP BY label ORDER BY label
@@ -1122,13 +1134,21 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            # NULL embeddings (a schema violation the profile must
+            # SURFACE, not mask): counted explicitly, excluded from
+            # the norm/dim stats — l2 and dim are NULL for them, and
+            # min/max/sum skip NULLs identically in both engines; the
+            # mean divides by the non-null count.
+            F.sum(F.when(F.col("l2").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_vectors"),
             F.min("dim").cast("bigint").alias("min_dim"),
             F.max("dim").cast("bigint").alias("max_dim"),
             F.min("l2").alias("min_norm"),
             F.max("l2").alias("max_norm"),
             (
                 ddouble(F.sum(F.floor(F.col("l2") * 1000000).cast("decimal(38,0)")))
-                / F.lit(1000000.0) / F.count(F.lit(1))
+                / F.lit(1000000.0) / F.count("l2")
             ).alias("mean_norm"),
             F.sum(F.when(F.col("all_zero"), 1).otherwise(0))
             .cast("bigint")

@@ -102,9 +102,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(w) AS BIGINT) AS ws_tokens,
            CAST(CEIL(nc / 4.0) AS BIGINT) AS char_est_tokens,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           CAST(CASE WHEN w IS NULL THEN NULL ELSE
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(w, x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT))),
-                (acc, v) -> acc + v) AS BIGINT) AS subword_est_tokens
+                (acc, v) -> acc + v) END AS BIGINT) AS subword_est_tokens
     FROM t
     """,
 )

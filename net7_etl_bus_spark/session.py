@@ -47,6 +47,11 @@ _DEFAULT_CONF = {
     # reader rejects; read as raw nanos longs and convert in
     # data.load_table (ns -> us truncation, matching DuckDB).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # size(NULL) must be NULL (SQL semantics, what DuckDB len() and
+    # every other engine return), not the Spark-1.x legacy -1 — found
+    # by the null-injection fuzz differential: every size(split(...))
+    # word count silently became -1 on NULL text.
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 
@@ -69,6 +74,7 @@ _CORRECTNESS_CONF = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 # Perf confs (also runtime-settable, also leaked for the same lazy-
