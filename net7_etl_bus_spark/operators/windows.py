@@ -23,7 +23,7 @@ from ..plans.registry import register
     SELECT p_brand, p_partkey, p_retailprice,
            CAST(RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
            CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank,
-           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rownum
+           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey NULLS FIRST) AS BIGINT) AS price_rownum
     FROM part
     """,
 )
@@ -47,9 +47,9 @@ def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts,
-           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
-           LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_ts,
+           LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_value
     FROM events
     """,
 )
@@ -73,10 +73,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_spend,
-           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS BIGINT)
              AS order_seq
     FROM orders
     """,
@@ -126,8 +126,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ntile_percent",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile,
-           CAST(CUME_DIST() OVER (ORDER BY c_acctbal) AS DOUBLE) AS bal_cume_dist
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST) AS BIGINT) AS bal_quartile,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal NULLS FIRST) AS DOUBLE) AS bal_cume_dist
     FROM customer
     """,
 )
@@ -154,7 +154,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAST_VALUE(o_orderkey)  OVER w AS last_order,
            NTH_VALUE(o_orderkey, 2) OVER w AS second_order
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -212,8 +212,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join-then-max — no row blowup on users with many matches.
     """
     e = load_table(spark, sf_dir, "events")
+    # The side tag is an explicit LITERAL, not derived from event_id
+    # nullness — a left row with NULL event_id (routine in real data;
+    # found by the null-injection fuzz) would otherwise be silently
+    # reclassified as a right row and dropped from the output.
     left = e.filter(F.col("event_type") != "signup").select(
-        "event_id", "user_id", "ts", "event_type", F.lit(None).cast("timestamp").alias("r_ts")
+        "event_id", "user_id", "ts", "event_type",
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(1).alias("is_left"),
     )
     right = e.filter(F.col("event_type") == "signup").select(
         F.lit(None).cast("bigint").alias("event_id"),
@@ -221,19 +227,30 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(None).cast("string").alias("event_type"),
         F.col("ts").alias("r_ts"),
+        F.lit(0).alias("is_left"),
     )
     # Order: at equal ts, right rows sort before left rows (is_left=1
     # after 0) so a signup at exactly l.ts matches (<= semantics).
-    unioned = left.unionByName(right).withColumn(
-        "is_left", F.when(F.col("event_id").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-    )
+    unioned = left.unionByName(right)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn("last_signup_ts", F.last("r_ts", ignorenulls=True).over(w))
+        # NULL event-time -> NULL match, explicitly (nulls-first order
+        # already yields NULL here, but the semantics shouldn't hinge
+        # on sort defaults).
+        unioned.withColumn(
+            "last_signup_ts",
+            F.when(
+                # NULL join key never matches in SQL — but a window
+                # PARTITION BY groups the NULL-user rows together, so
+                # mask those alongside NULL event-times.
+                F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+                F.last("r_ts", ignorenulls=True).over(w),
+            ),
+        )
         .filter(F.col("is_left") == 1)
         .select("event_id", "user_id", "ts", "event_type", "last_signup_ts")
     )
@@ -254,21 +271,35 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.sort_values("ts", kind="mergesort")
+        # merge_asof REQUIRES sorted, non-NaT keys — a single NULL
+        # event time crashes the whole task at scale (found by the
+        # null-injection fuzz). NULL-ts left rows get a NULL match;
+        # NULL-ts signups can never be "most recent at-or-before".
+        nat_left = lpdf[lpdf["ts"].isna()].copy()
+        lpdf = lpdf[lpdf["ts"].notna()].sort_values("ts", kind="mergesort")
+        rpdf = rpdf[rpdf["signup_ts"].notna()]
+        nat_left["last_signup_ts"] = pd.NaT
         if lpdf.empty or rpdf.empty:
             lpdf["last_signup_ts"] = pd.NaT
-            return lpdf
+            return pd.concat([lpdf, nat_left], ignore_index=True)
         rpdf = rpdf.sort_values("signup_ts", kind="mergesort")
         out = pd.merge_asof(
             lpdf, rpdf[["signup_ts"]], left_on="ts", right_on="signup_ts", direction="backward"
         )
-        return out.rename(columns={"signup_ts": "last_signup_ts"})
+        out = out.rename(columns={"signup_ts": "last_signup_ts"})
+        return pd.concat([out, nat_left], ignore_index=True)
 
     schema = "event_id bigint, user_id bigint, ts timestamp, event_type string, last_signup_ts timestamp"
     return (
         left.groupBy("user_id")
         .cogroup(right.groupBy("user_id"))
         .applyInPandas(lambda l, r: merge(l, r), schema)
+        # NULL join key never matches in SQL; the cogroup would pair
+        # the NULL-user groups, so mask the result for those rows.
+        .withColumn(
+            "last_signup_ts",
+            F.when(F.col("user_id").isNotNull(), F.col("last_signup_ts")),
+        )
     )
 
 
@@ -321,7 +352,17 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         left.unionByName(right)
-        .withColumn("next_signup_ts", F.first("r_ts", ignorenulls=True).over(w))
+        # NULL event-time -> NULL match (comparison against NULL is
+        # undefined). Without the mask, null-ts left rows sort FIRST
+        # (Spark ASC default) and their FOLLOWING frame would capture
+        # every future signup — found by the null-injection fuzz.
+        .withColumn(
+            "next_signup_ts",
+            F.when(
+                F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+                F.first("r_ts", ignorenulls=True).over(w),
+            ),
+        )
         .filter(F.col("sort_key") == 0)
         .select("event_id", "user_id", "ts", "event_type", "next_signup_ts")
     )

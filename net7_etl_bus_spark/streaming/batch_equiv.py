@@ -28,6 +28,7 @@ from ..plans.registry import dsum, register, sql_dsum
            COUNT(*) AS n_events,
            {sql_dsum('value')} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     """,
 )
@@ -36,8 +37,12 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode the same expression runs incrementally with a watermark
     bounding state; batch mode is the ground truth."""
     e = load_table(spark, sf_dir, "events")
+    # window() silently drops NULL event times; filter explicitly so
+    # the semantics (null event time = no window, matching watermark
+    # behavior) don't hinge on generator internals.
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),
@@ -55,6 +60,7 @@ def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
              value
       FROM events, UNNEST([0, 1]) AS t(k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
     FROM expanded GROUP BY window_start
@@ -66,7 +72,8 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expands explicitly with the k∈{0,1} shift trick."""
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -78,14 +85,15 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                        < INTERVAL '10 minutes'
                   THEN 0 ELSE 1 END AS is_new_session
       FROM events
+      WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts, value,
-             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM marked
@@ -107,7 +115,8 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     session merging."""
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("win"))
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             "user_id",
@@ -137,7 +146,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts FROM (
       SELECT user_id, event_type, event_id, ts,
-             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rk
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rk
       FROM events) t
     WHERE rk = 1
     """,
