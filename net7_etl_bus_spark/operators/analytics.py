@@ -270,7 +270,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT event_type,
-             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                AS next_type
       FROM events)
     SELECT event_type, next_type,
@@ -554,7 +554,7 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
            (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS mom_pct,
            revenue - LAG(revenue, 12) OVER w AS yoy_delta
     FROM monthly
-    WINDOW w AS (PARTITION BY nation ORDER BY month)
+    WINDOW w AS (PARTITION BY nation ORDER BY month NULLS FIRST)
     ORDER BY nation, month
     """,
 )

@@ -818,9 +818,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH first_seen AS (
       SELECT user_id, date_trunc('week', min(ts)) AS cohort
-      FROM events GROUP BY user_id),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id),
     activity AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT f.cohort,
            CAST((epoch_us(a.wk) - epoch_us(f.cohort)) / 604800000000.0 AS INTEGER) AS week_offset,
            CAST(COUNT(*) AS BIGINT) AS n_active_users
@@ -845,6 +847,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact twice and joins two user-sized relations; this does neither.
     """
     e = load_table(spark, sf_dir, "events")
+    # Activity requires a user identity and an event time: NULL ts is
+    # not activity (collect_set would skip it here but min(ts) would
+    # not define a cohort for all-null users), and NULL user_id rows
+    # are not a cohortable entity (SQL joins would never match them).
+    e = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     u = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort"),
         F.collect_set(F.date_trunc("week", "ts")).alias("wks"),

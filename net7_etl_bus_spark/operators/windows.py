@@ -377,11 +377,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (
       SELECT event_id, user_id, ts, event_type,
              CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                          ORDER BY ts, event_id) = 1
+                                          ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = 1
                   THEN 1 ELSE 0 END AS first_seen
       FROM events)
     SELECT event_id, user_id, ts, event_type,
-           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS distinct_types_so_far
     FROM f
@@ -433,9 +433,9 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, event_type, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
              - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts, event_id) AS island
+                                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS island
       FROM events)
     SELECT user_id, event_type,
            MIN(ts) AS island_start,
