@@ -111,14 +111,19 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — same discipline as registry.dsum."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        prices = pdf["o_totalprice"].to_numpy()
-        cents = np.floor(prices * 100.0).astype("int64").sum()
+        # SQL aggregate semantics by hand: NULL prices are IGNORED by
+        # SUM/MAX (NaN would otherwise poison np.max, and NaN->int64
+        # casts are undefined garbage), COUNT(*) still counts the row,
+        # and an all-NULL group sums/maxes to NULL.
+        prices = pdf["o_totalprice"].dropna().to_numpy()
+        has = len(prices) > 0
+        cents = np.floor(prices * 100.0).astype("int64").sum() if has else None
         return pd.DataFrame(
             {
                 "o_custkey": [pdf["o_custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "total_spend": [cents / 100.0],
-                "max_order": [prices.max()],
+                "total_spend": [cents / 100.0 if has else None],
+                "max_order": [prices.max() if has else None],
             }
         )
 

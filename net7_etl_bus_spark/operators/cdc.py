@@ -24,16 +24,20 @@ from ..plans.registry import register
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type AS state, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events),
+             LAG(event_type) OVER wo AS prev_state,
+             ROW_NUMBER() OVER wo AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, event_type NULLS FIRST)),
     changes AS (
       SELECT user_id, state, ts, event_id FROM ordered
-      WHERE prev_state IS NULL OR state <> prev_state)
+      WHERE rn = 1 OR state IS DISTINCT FROM prev_state)
     SELECT user_id, state, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
-           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+           LEAD(ts) OVER wc AS valid_to,
+           CAST(ROW_NUMBER() OVER wc AS BIGINT) AS version,
+           (LEAD(ts) OVER wc IS NULL) AS is_current
     FROM changes
+    WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, state NULLS FIRST)
     """,
 )
 def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,28 +57,41 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-entity history fits a window partition by construction; no
     global sort, no self-join of the log against itself.
     """
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # CDC record contract (null semantics, fuzz-pinned): a change-log
+    # row MUST carry an entity key and an event time — rows without
+    # either are invalid and dropped; the STATE itself may be NULL and
+    # is compared null-safely (NULL -> 'a' -> NULL is three versions,
+    # not one). First-row detection uses row_number, not
+    # prev_state IS NULL, which is ambiguous when states can be NULL.
+    # state is the final order tiebreak: event_id can be NULL in real
+    # data, and without it two same-ts rows would version
+    # engine-arbitrarily.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     changes = (
         e.select(
             "user_id",
             F.col("event_type").alias("state"),
             "ts",
             "event_id",
-            F.lag("event_type").over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ).alias("prev_state"),
+            F.lag("event_type").over(wo).alias("prev_state"),
+            F.row_number().over(wo).alias("rn"),
         )
-        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
-        .drop("prev_state")
+        .filter(
+            (F.col("rn") == 1) | ~F.col("state").eqNullSafe(F.col("prev_state"))
+        )
+        .drop("prev_state", "rn")
     )
-    valid_to = F.lead("ts").over(w)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id", "state")
+    valid_to = F.lead("ts").over(wc)
     return changes.select(
         "user_id",
         "state",
         F.col("ts").alias("valid_from"),
         valid_to.alias("valid_to"),
-        F.row_number().over(w).cast("bigint").alias("version"),
+        F.row_number().over(wc).cast("bigint").alias("version"),
         valid_to.isNull().alias("is_current"),
     )
 
@@ -161,7 +178,12 @@ def scd2_apply_increment(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
     Equivalence with the one-shot batch build over the full log is
     pinned by test (3 sequential batches == scd2_dimension).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Same CDC record contract as scd2_dimension (key + event time
+    # required, null-safe state compare, state tiebreak) — required
+    # for the incremental == rebuild invariant to hold on data with
+    # nulls.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "state")
+    batch = batch.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     if dim is None:
         open_rows = None
         closed = None
@@ -195,11 +217,14 @@ def scd2_apply_increment(dim: DataFrame | None, batch: DataFrame) -> DataFrame:
     # same logic as the batch build
     changes = (
         seed.withColumn("prev_state", F.lag("state").over(w))
-        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
-        .drop("prev_state")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1) | ~F.col("state").eqNullSafe(F.col("prev_state"))
+        )
+        .drop("prev_state", "rn")
     )
     base = F.first("base_version", ignorenulls=True).over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Window.partitionBy("user_id").orderBy("ts", "event_id", "state")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     valid_to = F.lead("ts").over(w)
@@ -225,16 +250,20 @@ _INC_CUT2 = "2024-01-21 00:00:00"
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type AS state, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events),
+             LAG(event_type) OVER wo AS prev_state,
+             ROW_NUMBER() OVER wo AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, event_type NULLS FIRST)),
     changes AS (
       SELECT user_id, state, ts, event_id FROM ordered
-      WHERE prev_state IS NULL OR state <> prev_state)
+      WHERE rn = 1 OR state IS DISTINCT FROM prev_state)
     SELECT user_id, state, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
-           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+           LEAD(ts) OVER wc AS valid_to,
+           CAST(ROW_NUMBER() OVER wc AS BIGINT) AS version,
+           (LEAD(ts) OVER wc IS NULL) AS is_current
     FROM changes
+    WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, state NULLS FIRST)
     """,
 )
 def scd2_apply_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,18 +297,23 @@ def scd2_apply_increment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SCD2 point-in-time join ------------------------------------------
 
 _SCD2_DIM_SQL = """
+
     WITH ordered AS (
       SELECT user_id, event_type AS state, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
-      FROM events),
+             LAG(event_type) OVER wo AS prev_state,
+             ROW_NUMBER() OVER wo AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, event_type NULLS FIRST)),
     changes AS (
       SELECT user_id, state, ts, event_id FROM ordered
-      WHERE prev_state IS NULL OR state <> prev_state),
-    dim AS (
+      WHERE rn = 1 OR state IS DISTINCT FROM prev_state)
+    , dim AS (
       SELECT user_id, state, ts AS valid_from,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
-      FROM changes)
+             LEAD(ts) OVER wc AS valid_to,
+             CAST(ROW_NUMBER() OVER wc AS BIGINT) AS version
+      FROM changes
+      WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST, state NULLS FIRST))
 """
 
 

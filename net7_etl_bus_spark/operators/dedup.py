@@ -1027,6 +1027,12 @@ def dedup_apply_increment(seen: DataFrame | None, batch: DataFrame) -> DataFrame
     table (sources/sinks.py upsert_parquet) so each micro-batch
     rewrites only the buckets its hashes land in.
     """
+    # Contract (fuzz-pinned): doc_id is the corpus key and is REQUIRED
+    # — a null-id document cannot be a survivor nor be counted against
+    # one deterministically, and id-based batch splits would silently
+    # route such rows to no batch at all (breaking incremental ==
+    # rebuild). NULL text is fine: it forms its own NULL-hash group.
+    batch = batch.filter(F.col("doc_id").isNotNull())
     inc = (
         batch.select(F.md5(normalized_text("text")).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -1041,17 +1047,22 @@ def dedup_apply_increment(seen: DataFrame | None, batch: DataFrame) -> DataFrame
             F.col("b_keep").alias("keep_doc_id"),
             F.col("b_copies").alias("n_copies"),
         )
+    # NULL-SAFE merge key: md5(NULL text) is NULL, and a plain
+    # full-outer equi-join would never merge the NULL-hash group
+    # across batches (one stray state row per batch, diverging from
+    # the one-shot rebuild's single NULL group; fuzz-pinned).
+    s, i = seen.alias("s"), inc.alias("i")
     return (
-        seen.join(inc, "text_hash", "full_outer")
+        s.join(i, F.col("s.text_hash").eqNullSafe(F.col("i.text_hash")), "full_outer")
         .select(
-            "text_hash",
+            F.coalesce(F.col("s.text_hash"), F.col("i.text_hash")).alias("text_hash"),
             F.least(
-                F.coalesce(F.col("keep_doc_id"), F.col("b_keep")),
-                F.coalesce(F.col("b_keep"), F.col("keep_doc_id")),
+                F.coalesce(F.col("s.keep_doc_id"), F.col("i.b_keep")),
+                F.coalesce(F.col("i.b_keep"), F.col("s.keep_doc_id")),
             ).alias("keep_doc_id"),
             (
-                F.coalesce(F.col("n_copies"), F.lit(0))
-                + F.coalesce(F.col("b_copies"), F.lit(0))
+                F.coalesce(F.col("s.n_copies"), F.lit(0))
+                + F.coalesce(F.col("i.b_copies"), F.lit(0))
             ).alias("n_copies"),
         )
     )
@@ -1083,6 +1094,7 @@ def dedup_batch_survivors(seen: DataFrame | None, batch: DataFrame) -> DataFrame
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies
     FROM documents
+    WHERE doc_id IS NOT NULL
     GROUP BY md5({_NORM})
     """,
 )

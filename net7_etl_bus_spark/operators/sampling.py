@@ -184,7 +184,8 @@ _SQL_U24 = (
         SELECT l_orderkey, l_linenumber, l_quantity,
                md5(CAST(l_orderkey AS VARCHAR) || '_'
                    || CAST(l_linenumber AS VARCHAR)) AS h
-        FROM lineitem) a) b
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) a) b
     WHERE CAST(u24 AS DOUBLE) < (l_quantity / 50.0) * 16777216.0
     """,
 )
@@ -206,7 +207,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage. Expected sample rate here = avg(quantity)/50 ≈ 51%.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    keyed = l.select(
+    # Membership is a pure function of the row KEY — a row with a NULL
+    # key part has no deterministic draw, so it is excluded rather
+    # than hashed from a partial key (concat_ws silently skips NULLs,
+    # which would sample such rows from a DIFFERENT key than any
+    # engine propagating NULL would use; fuzz-pinned).
+    keyed = l.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",

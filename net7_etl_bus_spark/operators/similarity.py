@@ -534,7 +534,8 @@ def _sql_int_dot(a: str, b: str) -> str:
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS dot_q
       FROM embeddings q JOIN embeddings c
-        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
+        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+       AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)
     SELECT query_id, neighbor_id, dot_q, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY dot_q DESC, neighbor_id) AS rk
@@ -563,7 +564,11 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings would also crash np.stack over the Arrow batch
+    # - a single bad row kills the executor task at scale (fuzz-found).
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     qrows = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -892,11 +897,11 @@ WITH corpus AS (
   FROM (
     SELECT vec_id,
            {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
-    FROM embeddings WHERE vec_id >= {N_QUERIES}) cd),
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND embedding IS NOT NULL) cd),
 queries AS (
   SELECT vec_id AS query_id,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS t{m}" for m in range(_PQ_M))}
-  FROM embeddings WHERE vec_id < {N_QUERIES}),
+  FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          {" + ".join(f"q.t{m}[c.k{m}]" for m in range(_PQ_M))} AS adc_dist
@@ -929,7 +934,11 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); the coded corpus streams through one scan with
     WindowGroupLimit pruning to k per query before the shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings are not searchable (corpus) and have no
+    # neighborhood (queries) - excluded on both sides, fuzz-pinned.
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         *[
@@ -968,6 +977,7 @@ _IVFPQ_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
   WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
+    AND embedding IS NOT NULL
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cid,
@@ -975,6 +985,7 @@ ranked AS (
                             ORDER BY {_sql_cos("e.embedding", "c.cent_emb")} DESC,
                                      c.cid) AS rkc
   FROM embeddings e CROSS JOIN cent c
+  WHERE e.embedding IS NOT NULL
 ),
 corpus AS (
   SELECT r.vec_id,
@@ -1025,7 +1036,9 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables all reduce to the same bit-exact fold/argmin machinery as
     the component ops.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # not clusterable, not searchable
+    )
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
