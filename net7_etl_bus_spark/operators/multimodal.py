@@ -104,6 +104,12 @@ def synthesize_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFra
     from ..data import load_table
 
     d = load_table(spark, sf_dir, "documents")
+    # A media record's key is REQUIRED (FEATURES_SCHEMA declares
+    # media_id non-nullable; the Arrow writer hard-fails on a null in
+    # a non-nullable field, and the frame-sampler kernel would crash
+    # on int(None) — both fuzz-found). Same contract as the dedup and
+    # CDC state keys.
+    d = d.filter(F.col("doc_id").isNotNull())
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -144,7 +150,7 @@ def extract_features(
                         hashlib.sha256(c or b"").hexdigest() if c is not None else None
                         for c in pdf["content"]
                     ],
-                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "n_bytes": [len(c) if c is not None else None for c in pdf["content"]],
                     "feature": [
                         _fake_feature(c) if c is not None else None for c in pdf["content"]
                     ],
@@ -213,6 +219,7 @@ CASE WHEN doc_id % 3 = 0 THEN 'image'
            sha256(text) AS content_sha256,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,9 +240,9 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(text || '-' || k) AS frame_sha256
     FROM (
       SELECT doc_id AS media_id, text,
-             unnest(range(0, least(greatest(1, CAST(n_chars * 10 AS INT) // 1000), 16))) AS k
+             unnest(range(0, least(greatest(1, COALESCE(CAST(n_chars * 10 AS INT), 0) // 1000), 16))) AS k
       FROM documents
-      WHERE doc_id % 3 = 2
+      WHERE doc_id % 3 = 2 AND text IS NOT NULL
     )
     """,
 )
@@ -295,8 +302,10 @@ def _phash_sql() -> str:
     "mm_phash_dedup",
     oracle=f"""
     WITH hashed AS (
-      SELECT doc_id AS media_id, CAST({_phash_sql()} AS BIGINT) AS phash
-      FROM documents)
+      SELECT doc_id AS media_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE CAST({_phash_sql()} AS BIGINT) END AS phash
+      FROM documents WHERE doc_id IS NOT NULL)
     SELECT phash,
            CAST(COUNT(*) AS BIGINT) AS n_media,
            MIN(media_id) AS keeper_id

@@ -1308,7 +1308,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_partkey AS match_partkey, p_name AS match_name, distance
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
-                 ORDER BY distance, p_name, p_partkey) AS rk
+                 ORDER BY distance, p_name NULLS FIRST, p_partkey NULLS FIRST) AS rk
       FROM cand) t
     WHERE rk = 1
     """,

@@ -1,0 +1,84 @@
+"""Null-injection fuzz differential, pinned in the suite.
+
+scripts/fuzzcheck.py found 42 of 197 oracle-checked keys diverging (or
+crashing) between Spark and DuckDB once NULLs were injected into every
+column — default null ordering, NULL join/partition keys, size(NULL),
+''-on-NULL concat_ws, NaT-crashing pandas kernels, a nondeterministic
+DuckDB window bug. All are fixed with explicit, documented null
+semantics on BOTH sides. This module re-runs exactly those 42 keys
+against a seeded mutated mirror so a refactor can't silently
+reintroduce any of them; the full-registry sweep stays in
+scripts/fuzzcheck.py (run it when adding operators).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+from net7_etl_bus_spark.plans import registry
+from net7_etl_bus_spark.schemas import TESTDATA_TABLES
+
+from .conftest import SF_SMALL
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+
+RATE, SEED = 0.03, 0
+
+# The 42 keys that diverged in the round-4 fuzz sweep.
+FUZZ_REGRESSION_KEYS = [
+    "cohort_retention", "dedup_apply_increment", "emb_norm_stats",
+    "emb_pq_quantize", "event_transitions", "fn_array", "fn_array_hof",
+    "fn_regexp", "fn_string", "join_asof", "join_asof_forward",
+    "join_asof_pandas", "join_fuzzy_levenshtein", "join_scd2_pointintime",
+    "mm_features", "mm_frame_sample", "mm_phash_dedup", "pipeline_curation",
+    "sample_weighted", "scd2_apply_increment", "scd2_dimension",
+    "sim_search_bcast_index", "sim_search_ivfpq", "sim_search_pq",
+    "stream_dedup_first_event", "text_lang_id", "text_quality",
+    "text_stats", "text_token_count", "ts_resample_ohlc",
+    "ts_rolling_stats", "udaf_applyInPandas", "win_first_last",
+    "win_gaps_islands", "win_lag_lead", "win_ntile_percent",
+    "win_pct_change", "win_running_agg", "win_running_distinct",
+    "win_session", "win_sliding", "win_tumbling",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("fuzz_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            RATE,
+            SEED,
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck(fuzz_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzz_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", FUZZ_REGRESSION_KEYS)
+def test_null_fuzz_parity(spark, fuzz_dir, fuzz_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, fuzz_dir).toPandas()
+    odf = fuzz_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"

@@ -48,7 +48,9 @@ def test_null_content_passthrough(spark):
         [(1, "image", None, None)], mm.MEDIA_SCHEMA
     )
     row = mm.extract_features(df).collect()[0]
-    assert row["feature"] is None and row["n_bytes"] == 0
+    # null content propagates NULL metrics (engine-wide null posture;
+    # was n_bytes == 0 before the fuzz-differential round)
+    assert row["feature"] is None and row["n_bytes"] is None
 
 
 def test_frame_sampling_fanout(spark):
