@@ -8,7 +8,10 @@ semantics bug — default null ordering, null-in-join-key handling,
 null-propagation through expressions — i.e. exactly the failure modes
 real 100 TB data has and the clean synthetic fixtures never exercise.
 
-Usage: python scripts/fuzzcheck.py [src_sf_dir] [rate] [seed] [query ...]
+Usage: python scripts/fuzzcheck.py [src_sf_dir] [mode] [rate] [seed] [query ...]
+``mode`` is one of ``nulls`` (default), ``dupes`` (append exact
+duplicate rows — stresses DISTINCT/group multiplicity and tiebreaks on
+non-unique keys), or ``both``.
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -30,30 +33,46 @@ sys.path.insert(0, REPO)
 from net7_etl_bus_spark.schemas import TESTDATA_TABLES  # noqa: E402
 
 
-def mutate_table(src: str, dst: str, rate: float, seed: int) -> None:
+def mutate_table(
+    src: str, dst: str, rate: float, seed: int, mode: str = "nulls"
+) -> None:
     t = pq.read_table(src)
-    cols = []
-    for i, field in enumerate(t.schema):
-        col = t.column(i)
-        # zlib.crc32 (not hash()) so the mask is stable across processes.
+    if mode in ("dupes", "both"):
+        # Append a seeded sample of exact duplicate rows: stresses
+        # DISTINCT / GROUP BY multiplicity and row_number tiebreaks on
+        # now-non-unique "key" columns. Both engines see the same
+        # multiset, so results must still match.
         rng = np.random.default_rng(
-            zlib.crc32(f"{os.path.basename(src)}:{field.name}:{seed}".encode())
+            zlib.crc32(f"{os.path.basename(src)}:dupes:{seed}".encode())
         )
-        mask = pa.array(rng.random(len(t)) < rate)
-        try:
-            col = pc.if_else(mask, pa.scalar(None, type=field.type), col.combine_chunks())
-        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
-            pass  # nested/unsupported type: leave column untouched
-        cols.append(col)
-    pq.write_table(
-        pa.table(cols, schema=t.schema), dst, use_deprecated_int96_timestamps=False
-    )
+        idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
+        t = pa.concat_tables([t, t.take(pa.array(np.sort(idx)))])
+    if mode in ("nulls", "both"):
+        cols = []
+        for i, field in enumerate(t.schema):
+            col = t.column(i)
+            # zlib.crc32 (not hash()) so the mask is stable across processes.
+            rng = np.random.default_rng(
+                zlib.crc32(f"{os.path.basename(src)}:{field.name}:{seed}".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            try:
+                col = pc.if_else(
+                    mask, pa.scalar(None, type=field.type), col.combine_chunks()
+                )
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                pass  # nested/unsupported type: leave column untouched
+            cols.append(col)
+        t = pa.table(cols, schema=t.schema)
+    pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
 
 
 def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
+    mode = rest[0] if rest and rest[0] in ("nulls", "dupes", "both") else "nulls"
+    rest = rest[1:] if rest and rest[0] in ("nulls", "dupes", "both") else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03
     rest = rest[1:] if rest and rest[0].replace(".", "").isdigit() else rest
     seed = int(rest[0]) if rest and rest[0].isdigit() else 0
@@ -66,8 +85,12 @@ def main() -> int:
                 os.path.join(dst_dir, f"{t}.parquet"),
                 rate,
                 seed,
+                mode,
             )
-        print(f"# mutated mirror at rate={rate} seed={seed}: {dst_dir}", flush=True)
+        print(
+            f"# mutated mirror mode={mode} rate={rate} seed={seed}: {dst_dir}",
+            flush=True,
+        )
         import diffcheck
 
         sys.argv = ["diffcheck.py", dst_dir, *only]
