@@ -32,21 +32,51 @@ sys.path.insert(0, REPO)
 
 from net7_etl_bus_spark.schemas import TESTDATA_TABLES  # noqa: E402
 
+# Primary-key columns re-keyed for duplicated rows (lineitem keeps its
+# composite unique via l_linenumber; the bumped copies become dangling
+# FK rows, which both engines drop identically in joins).
+_TABLE_KEYS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_linenumber",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 
 def mutate_table(
     src: str, dst: str, rate: float, seed: int, mode: str = "nulls"
 ) -> None:
     t = pq.read_table(src)
     if mode in ("dupes", "both"):
-        # Append a seeded sample of exact duplicate rows: stresses
-        # DISTINCT / GROUP BY multiplicity and row_number tiebreaks on
-        # now-non-unique "key" columns. Both engines see the same
-        # multiset, so results must still match.
+        # Append a seeded sample of CONTENT duplicates with FRESH keys
+        # (max+1..): the real 100 TB duplication phenomenon — re-crawled
+        # pages, retried ingests — same payload under a new identity.
+        # Key uniqueness (the engine's documented contract: duplicate
+        # PRIMARY keys are ill-defined input — two copies of one
+        # event_id break any total order identically-arbitrarily in
+        # both engines) is preserved, so every divergence is a real
+        # content-duplicate-handling bug, and dedup operators get
+        # exercised on exactly what they exist for.
         rng = np.random.default_rng(
             zlib.crc32(f"{os.path.basename(src)}:dupes:{seed}".encode())
         )
         idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
-        t = pa.concat_tables([t, t.take(pa.array(np.sort(idx)))])
+        dup = t.take(pa.array(np.sort(idx)))
+        name = os.path.basename(src).replace(".parquet", "")
+        for key_col in _TABLE_KEYS.get(name, ()):
+            i = t.schema.get_field_index(key_col)
+            maxv = pc.max(t.column(key_col)).as_py() or 0
+            fresh = pa.array(
+                np.arange(maxv + 1, maxv + 1 + len(dup)), type=t.schema.field(i).type
+            )
+            dup = dup.set_column(i, t.schema.field(i), fresh)
+        t = pa.concat_tables([t, dup])
     if mode in ("nulls", "both"):
         cols = []
         for i, field in enumerate(t.schema):
