@@ -1146,7 +1146,7 @@ def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_mktsegment, c_nationkey),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                   ORDER BY cnt DESC, c_nationkey) AS rn
+                                   ORDER BY cnt DESC, c_nationkey NULLS FIRST) AS rn
       FROM counts)
     SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count
     FROM ranked WHERE rn = 1 ORDER BY c_mktsegment

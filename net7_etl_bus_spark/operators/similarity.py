@@ -82,6 +82,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
          {_SQL_COS} AS cosine
   FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL
 )
 SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
@@ -101,7 +102,9 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcastable batch. For query sets too big to broadcast, see
     sim_search_lsh.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -185,6 +188,7 @@ def _lsh_sigs_cte() -> str:
                  i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])),
                (acc, v) -> acc + v) AS d
       FROM embeddings e CROSS JOIN planes pl
+      WHERE e.embedding IS NOT NULL
     ),
     sigs AS (
       SELECT vec_id, pid // {BITS_PER_TABLE} AS table_id,
@@ -243,7 +247,9 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rows explode xN_TABLES only in the join keys, not payloads.
     Recall vs sim_search_topk is pinned by tests/test_similarity.py.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     signed = e.withColumn("sigs", _lsh_signatures(F.col("embedding")))
     buckets = signed.select(
         "vec_id",
@@ -283,7 +289,7 @@ _EMB_DEDUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_sql_dot("a.embedding", "b.embedding")} /
          ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 WHERE {_sql_dot("a.embedding", "b.embedding")} /
         ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= 0.85
 """
@@ -295,7 +301,9 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force over all pairs — correctness baseline for the
     LSH-bucketed variant (at 100 TB, run the bucket join from
     sim_search_lsh first, then this exact check on candidates only)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
@@ -321,11 +329,13 @@ _IVF_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
   WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
+    AND embedding IS NOT NULL
 ),
 ac AS (
   SELECT e.vec_id, e.label, e.embedding, c.cid,
          {_sql_cos("e.embedding", "c.cent_emb")} AS cos_c
   FROM embeddings e CROSS JOIN cent c
+  WHERE e.embedding IS NOT NULL
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rkc
@@ -368,7 +378,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to sqrt(|corpus|) and nprobe/K fixed, probed work is
     ~nprobe/K of brute force — the standard IVF trade.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
@@ -428,7 +440,9 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py. Near-duplicate embeddings almost always
     share all sign bits in at least one table, so recall at the 0.85
     threshold is near-total."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     buckets = e.select(
         "vec_id",
         "embedding",
@@ -565,9 +579,12 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     # NULL embeddings would also crash np.stack over the Arrow batch
-    # - a single bad row kills the executor task at scale (fuzz-found).
+    # - a single bad row kills the executor task at scale, and a NULL
+    # vec_id would round-trip through NaN->int64 as INT64_MIN garbage
+    # in the numpy kernel (both fuzz-found). SQL comparisons drop null
+    # ids implicitly; the kernel path must do it explicitly.
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
     qrows = (
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -635,7 +652,8 @@ WITH scored AS (
          c.vec_id AS neighbor_id, c.label AS neighbor_label,
          {_SQL_COS} AS cosine
   FROM embeddings q JOIN embeddings c
-    ON q.vec_id < {_KNN_NQ} AND c.vec_id >= {_KNN_NQ}),
+    ON q.vec_id < {_KNN_NQ} AND c.vec_id >= {_KNN_NQ}
+   AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL),
 topk AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -649,7 +667,7 @@ votes AS (
 SELECT query_id, true_label, neighbor_label AS pred_label, votes
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY votes DESC, neighbor_label) AS vr
+                               ORDER BY votes DESC, neighbor_label NULLS FIRST) AS vr
   FROM votes) v
 WHERE vr = 1
 ORDER BY query_id
@@ -673,7 +691,9 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pruning to k per query before the shuffle; the
     vote is a groupBy over |queries|·k rows, i.e. nothing.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
     q = e.filter(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
@@ -1189,6 +1209,7 @@ def _recall_oracle() -> str:
                ({_sql_norm("q.embedding")} * {_sql_norm("cc.embedding")}) AS cosine
       FROM embeddings q JOIN embeddings cc
         ON q.vec_id < {N_QUERIES} AND q.vec_id <> cc.vec_id
+       AND q.embedding IS NOT NULL AND cc.embedding IS NOT NULL
     ),
     exact_topk AS (
       SELECT query_id, neighbor_id FROM (
