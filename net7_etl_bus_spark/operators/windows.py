@@ -379,9 +379,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = 1
                   THEN 1 ELSE 0 END AS first_seen
-      FROM events)
+      FROM events WHERE event_id IS NOT NULL)
     SELECT event_id, user_id, ts, event_type,
-           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS distinct_types_so_far
     FROM f
@@ -402,7 +402,11 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: both orderings carry the unique event_id tiebreak,
     and the output is an exact integer.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Sequencing requires event IDENTITY: two rows with NULL ts AND
+    # NULL event_id cannot be totally ordered, so their running counts
+    # are engine-arbitrary (fuzz-found). The unique non-null event_id
+    # is what makes every window order here total.
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
