@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 from ..data import load_table
 from ..plans.registry import register
 
+# ASCII-only case mapping (engine spec; see operators/dedup.py _NORM
+# comment: full Unicode case mapping is library-defined and diverges
+# between Java and utf8proc — translate() is a pure codepoint map).
+_AUC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ALC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _aupper(c):
+    return F.translate(c, _ALC, _AUC)
+
+
+def _alower(c):
+    return F.translate(c, _AUC, _ALC)
+
+
 
 def composite_key(zip_col: Column | str, state_col: Column | str) -> Column:
     """``f"{zip}_{stateCode}"`` — the reference's upsert/dedup key
@@ -29,8 +44,8 @@ def composite_key(zip_col: Column | str, state_col: Column | str) -> Column:
     "fn_string",
     oracle="""
     SELECT c_custkey,
-           UPPER(c_name) AS name_uc,
-           LOWER(c_mktsegment) AS seg_lc,
+           translate(c_name, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS name_uc,
+           translate(c_mktsegment, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS seg_lc,
            SUBSTRING(c_name, 1, 8) AS name_prefix,
            CAST(LENGTH(c_name) AS INT) AS name_len,
            CONCAT_WS('#', c_name, c_mktsegment) AS tagged,
@@ -45,8 +60,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.upper("c_name").alias("name_uc"),
-        F.lower("c_mktsegment").alias("seg_lc"),
+        _aupper(F.col("c_name")).alias("name_uc"),
+        _alower(F.col("c_mktsegment")).alias("seg_lc"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.length("c_name").cast("int").alias("name_len"),
         F.concat_ws("#", "c_name", "c_mktsegment").alias("tagged"),
@@ -196,9 +211,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+           CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INT) AS k_int,
+           CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END AS VARCHAR) AS missing_field
     FROM events
     """,
 )
@@ -206,7 +221,16 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events ``props`` payload —
     get_json_object stays JVM-side; at 100 TB prefer from_json with an
     explicit schema once the payload shape is known (single parse,
-    typed struct, prunable)."""
+    typed struct, prunable).
+
+    Malformed-input semantics are the ENGINE's (Spark/Jackson): a
+    syntactically invalid payload yields NULL, and a payload with
+    trailing garbage parses as its LEADING document. DuckDB's JSON
+    parser is strict (rejects trailing garbage), so the oracle guards
+    with json_valid() and agrees on valid and invalid-everywhere
+    inputs; leading-document leniency is the one documented
+    divergence, and the strictness is not expressible in either
+    direction without a Python UDF in the hot path."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -219,7 +243,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json_typed",
     oracle="""
-    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+    SELECT event_id,
+           CAST(CASE WHEN json_valid(props) THEN json_extract(props, '$.k') END AS INT) AS k
     FROM events
     """,
 )
@@ -258,11 +283,11 @@ def checksum_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_hof",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      SELECT doc_id, string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
     )
     SELECT doc_id,
            CAST(len(list_filter(w, t -> length(t) > 4)) AS INT) AS n_long_tokens,
-           array_to_string(list_transform(w[1:5], t -> upper(t)), ' ') AS first5_upper,
+           array_to_string(list_transform(w[1:5], t -> translate(t, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')), ' ') AS first5_upper,
            CAST(CASE WHEN w IS NULL THEN NULL ELSE
                 list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
                             (acc, v) -> acc + v) END AS BIGINT) AS total_chars,
@@ -278,7 +303,7 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators build their cosine folds from the same primitives."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+        "doc_id", F.split(_alower(F.trim(F.col("text"))), " ").alias("w")
     )
     return toks.select(
         "doc_id",
@@ -287,7 +312,7 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(  # concat_ws is ''-on-NULL; propagate the NULL instead
             F.col("w").isNotNull(),
-            F.concat_ws(" ", F.transform(F.slice("w", 1, 5), lambda t: F.upper(t))),
+            F.concat_ws(" ", F.transform(F.slice("w", 1, 5), lambda t: _aupper(t))),
         ).alias("first5_upper"),
         F.aggregate(
             F.transform("w", lambda t: F.length(t).cast("bigint")),
@@ -341,9 +366,9 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-           json_extract_string(props, '$.missing') AS absent
+           CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_int,
+           CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS VARCHAR) AS k_str,
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END AS absent
     FROM events
     """,
 )
@@ -356,7 +381,11 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     time per row regardless of how many paths are extracted.
     """
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: malformed payloads (routine in web-scale data)
+    # must yield NULL variants, not task failures - the oracle
+    # mirrors with json_valid() guards (DuckDB json fns THROW on
+    # malformed input where Spark returns NULL; unicode fuzz-found).
+    v = F.try_parse_json("props")
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),

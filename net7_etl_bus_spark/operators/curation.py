@@ -67,7 +67,7 @@ flags AS (
           CAST(len(list_filter({_SQL_W}, x -> x IN ({_SQL_STOP}))) AS DOUBLE)
             / len({_SQL_W}) >= 0.01) AS q_ok,
          CAST(len({_SQL_W}) AS BIGINT) AS n_tokens,
-         md5(lower(trim(text))) AS h
+         md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h
   FROM documents
 ),
 s12 AS (SELECT * FROM flags WHERE lang_ok AND q_ok),

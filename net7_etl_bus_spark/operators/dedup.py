@@ -53,12 +53,22 @@ _MH_B = [906070220, 68252793, 63989047, 201209005, 469521477, 499635468,
 # (values < 2^31, 65599 < 2^17 -> products < 2^48, exact in int64).
 _MH_M = 65599
 
-_NORM = "lower(trim(text))"
+# ASCII-ONLY case folding (the engine spec for text normalization):
+# full Unicode case mapping is LIBRARY-DEFINED, not SQL-defined — Java
+# (Spark) turns ss into SS and applies Greek final-sigma rules where
+# utf8proc (DuckDB) does not, so lower()/upper() on non-ASCII text can
+# NEVER be cross-engine deterministic (found by the unicode fuzz
+# sweep: 18 operators diverged through md5-of-lowered-text alone).
+# translate() is a pure codepoint map, identical everywhere.
+_ASCII_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
+_NORM = "translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
 
 def normalized_text(col: Column | str = "text") -> Column:
+    """trim + ASCII-only case fold (see _NORM comment above)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(c))
+    return F.translate(F.trim(c), _ASCII_UC, _ASCII_LC)
 
 
 def _tokens(df: DataFrame) -> DataFrame:

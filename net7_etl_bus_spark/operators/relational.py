@@ -53,7 +53,7 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderkey,
       o_totalprice,
       CAST(ROUND(o_totalprice * 1.07, 2) AS DOUBLE) AS price_with_tax,
-      UPPER(o_orderpriority) AS priority_uc,
+      translate(o_orderpriority, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS priority_uc,
       DATE_TRUNC('day', o_orderdate) AS order_date
     FROM orders
     """,
@@ -65,7 +65,7 @@ def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.round(F.col("o_totalprice") * 1.07, 2).cast("double").alias("price_with_tax"),
-        F.upper("o_orderpriority").alias("priority_uc"),
+        F.translate(F.col("o_orderpriority"), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ").alias("priority_uc"),
         # timestamp (not DATE) output: DATE round-trips differently
         # through Arrow/pandas in the two engines
         F.date_trunc("day", "o_orderdate").alias("order_date"),
@@ -600,8 +600,10 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "l_returnflag",
-        F.col("O_n").alias("n_O"),
-        F.col("F_n").alias("n_F"),
+        # a (flag, status) cell with NO rows is NULL from pivot but 0
+        # from the oracle's COUNT FILTER - counts are 0, sums stay NULL
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
         F.col("O_qty").alias("qty_O"),
         F.col("F_qty").alias("qty_F"),
     )

@@ -15,9 +15,9 @@ from pyspark.sql import functions as F
 
 from ..data import FIXTURES_DIR, load_table
 from ..plans.registry import register
-from .dedup import normalized_text
+from .dedup import _ASCII_LC as _ALC, _ASCII_UC as _AUC, normalized_text
 
-_NORM = "lower(trim(text))"
+_NORM = "translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"  # ASCII-only case fold; see operators/dedup.py
 _SQL_W = f"string_split({_NORM}, ' ')"
 
 
@@ -268,7 +268,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions, so the oracle hash-matches exactly.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    words = F.split(normalized_text("text"), " ")
     base = d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
@@ -397,7 +397,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    words = F.split(normalized_text("text"), " ")
     base = d.select(words.alias("words")).filter(F.size("words") >= 2)
     bigrams = base.select(
         F.explode(
@@ -421,7 +421,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_decontaminate",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      SELECT doc_id, string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
     ),
     shingles AS (
       SELECT DISTINCT doc_id, s
@@ -489,7 +489,7 @@ _HASH_DIM = 16  # one hex char of md5 -> 16 feature buckets
     "text_feature_hash",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      SELECT doc_id, unnest(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
       FROM documents)
     SELECT doc_id,
            {', '.join(
@@ -517,7 +517,7 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok"),
     )
     bucket = F.substring(F.md5(F.col("tok").cast("binary")), 1, 1)
     return toks.groupBy("doc_id").agg(
@@ -652,7 +652,7 @@ _CANON_STRIP = r"[?#].*$"
     FROM read_parquet('{{FIX}}/web_docs.parquet')),
     c AS (
       SELECT doc_id,
-             lower(regexp_extract(url, '{_HOST_PAT}', 1))
+             translate(regexp_extract(url, '{_HOST_PAT}', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
                || regexp_replace(regexp_replace(
                       regexp_replace(url, '{_CANON_STRIP}', ''),
                       'https?://[A-Za-z0-9.-]+', ''),
@@ -695,7 +695,9 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"/$",
         "",
     )
-    canon = F.concat(F.lower(F.regexp_extract("url", _HOST_PAT, 1)), path)
+    canon = F.concat(
+        F.translate(F.regexp_extract("url", _HOST_PAT, 1), _AUC, _ALC), path
+    )
     return (
         urls.select("doc_id", canon.alias("canon"))
         .groupBy("canon")
@@ -737,7 +739,7 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair so the cut is deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    words = F.split(normalized_text("text"), " ")
     w = d.select(F.explode(words).alias("word")).filter(F.length("word") >= 2)
     pairs = w.select(
         F.explode(

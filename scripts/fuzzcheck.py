@@ -9,9 +9,11 @@ null-propagation through expressions — i.e. exactly the failure modes
 real 100 TB data has and the clean synthetic fixtures never exercise.
 
 Usage: python scripts/fuzzcheck.py [src_sf_dir] [mode] [rate] [seed] [query ...]
-``mode`` is one of ``nulls`` (default), ``dupes`` (append exact
-duplicate rows — stresses DISTINCT/group multiplicity and tiebreaks on
-non-unique keys), or ``both``.
+``mode`` is one of ``nulls`` (default), ``dupes`` (append re-keyed
+content-duplicate rows — exercises dedup ops and multiplicity),
+``both``, or ``unicode`` (append re-keyed copies with non-ASCII edge
+content in string columns — case-folding expanders, combining marks,
+exotic spaces, emoji, CRLF).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -31,6 +33,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from net7_etl_bus_spark.schemas import TESTDATA_TABLES  # noqa: E402
+
+# String columns holding STRUCTURED payloads (JSON) — excluded from
+# free-text mutation; see the unicode mode comment.
+_STRUCTURED_STRING_COLS = {"props"}
 
 # Primary-key columns re-keyed for duplicated rows (lineitem keeps its
 # composite unique via l_linenumber; the bumped copies become dangling
@@ -77,6 +83,49 @@ def mutate_table(
             )
             dup = dup.set_column(i, t.schema.field(i), fresh)
         t = pa.concat_tables([t, dup])
+    if mode == "unicode":
+        # Append re-keyed copies whose STRING columns get non-ASCII
+        # edge content mixed in: case-folding expanders (İ ß ﬁ),
+        # combining marks, non-breaking/ideographic spaces, emoji,
+        # CRLF. Hunts cross-engine divergence in lower()/regex/split/
+        # length/md5 semantics on real-world text — pure-ASCII
+        # fixtures can never reach those paths.
+        rng = np.random.default_rng(
+            zlib.crc32(f"{os.path.basename(src)}:unicode:{seed}".encode())
+        )
+        idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
+        dup = t.take(pa.array(np.sort(idx)))
+        name = os.path.basename(src).replace(".parquet", "")
+        for key_col in _TABLE_KEYS.get(name, ()):
+            i = t.schema.get_field_index(key_col)
+            maxv = pc.max(t.column(key_col)).as_py() or 0
+            fresh = pa.array(
+                np.arange(maxv + 1, maxv + 1 + len(dup)), type=t.schema.field(i).type
+            )
+            dup = dup.set_column(i, t.schema.field(i), fresh)
+        snips = [
+            "İstanbul STRASSE ß", "ﬁne ﬂow", "café́", "ＡＢＣ　ｄｅｆ",
+            "日本語 テスト", "🙂🙃 emoji", "a b c", "line\r\nbreak",
+            "Ꭰ ᏣᎳᎩ", "Σίσυφος ΣΊΣΥΦΟΣ",
+        ]
+        for i, field in enumerate(dup.schema):
+            if field.type != pa.string() and field.type != pa.large_string():
+                continue
+            if field.name in _STRUCTURED_STRING_COLS:
+                # Structured payloads (JSON) are NOT free text: junk
+                # suffixes make them malformed, and malformed-JSON
+                # handling is a DOCUMENTED engine difference (Spark's
+                # Jackson parses the leading document; DuckDB's parser
+                # is strict) - see fn_json's docstring. Mutating them
+                # tests the mutation, not the engine.
+                continue
+            col = dup.column(i).to_pylist()
+            mutated = [
+                None if v is None else f"{v} {snips[(j + seed) % len(snips)]}"
+                for j, v in enumerate(col)
+            ]
+            dup = dup.set_column(i, field, pa.array(mutated, type=field.type))
+        t = pa.concat_tables([t, dup])
     if mode in ("nulls", "both"):
         cols = []
         for i, field in enumerate(t.schema):
@@ -101,8 +150,9 @@ def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
-    mode = rest[0] if rest and rest[0] in ("nulls", "dupes", "both") else "nulls"
-    rest = rest[1:] if rest and rest[0] in ("nulls", "dupes", "both") else rest
+    _MODES = ("nulls", "dupes", "both", "unicode")
+    mode = rest[0] if rest and rest[0] in _MODES else "nulls"
+    rest = rest[1:] if rest and rest[0] in _MODES else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03
     rest = rest[1:] if rest and rest[0].replace(".", "").isdigit() else rest
     seed = int(rest[0]) if rest and rest[0].isdigit() else 0

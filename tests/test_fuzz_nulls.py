@@ -82,3 +82,57 @@ def test_null_fuzz_parity(spark, fuzz_dir, fuzz_duck, key):
     odf = fuzz_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# The 18 keys that diverged under non-ASCII text (unicode fuzz mode):
+# Java vs utf8proc case mapping poisoned every lower()-derived hash,
+# token stat and fingerprint; DuckDB's strict JSON parser threw where
+# Spark's is lenient. Fixed by the ASCII-only case-fold engine spec
+# (operators/dedup.py _NORM) and json_valid() oracle guards.
+UNICODE_REGRESSION_KEYS = [
+    "agg_pivot", "dedup_apply_increment", "dedup_exact",
+    "dedup_lsh_jaccard_est", "dedup_minhash_signature", "dedup_simhash",
+    "fn_array_hof", "fn_json", "fn_json_typed", "fn_string",
+    "fn_variant", "project_expr", "text_feature_hash",
+    "text_inverted_index", "text_quality_classifier", "text_repetition",
+    "text_stats", "text_token_count",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("unicode_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.05,
+            SEED,
+            "unicode",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{unicode_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", UNICODE_REGRESSION_KEYS)
+def test_unicode_fuzz_parity(spark, unicode_dir, unicode_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, unicode_dir).toPandas()
+    odf = unicode_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
