@@ -163,6 +163,27 @@ def _load_all() -> None:
 
 # --- shared deterministic-aggregation helpers -------------------------
 
+def _dsum_lim(scale: int) -> float:
+    """Quantization domain bound for :func:`dsum`: |x| below this keeps
+    ``floor(x * 10^scale)`` inside int64 (Spark's floor() returns LONG
+    and silently SATURATES at +/-2^63 beyond it — fuzz-found: a 1e18
+    input summed as 9.2e16)."""
+    return 9e18 / float(10**scale)
+
+
+def dsum_bad(col: Column | str, scale: int = 2) -> Column:
+    """1 iff the group contains a value dsum cannot represent: NaN,
+    +/-Inf, or magnitude outside the quantization domain. Aggregate
+    expression (MAX of a per-row flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.max(
+        F.when(
+            c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(_dsum_lim(scale)))),
+            1,
+        ).otherwise(0)
+    )
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Deterministic SUM over a double column.
 
@@ -174,39 +195,91 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     double->decimal rounding can flip for values within 1 ulp of a
     rounding boundary, which empirically happens ~1e-3/row on
     full-precision products.
+
+    CORRUPTION POISONS, NEVER HIDES (extremes-fuzz contract): a NaN,
+    +/-Inf, or out-of-domain value (|x| >= 9e18/10^scale, where floor's
+    int64 result would saturate) makes the whole sum NaN. The previous
+    behavior silently excluded such rows (the non-ANSI decimal cast
+    nulls them) — at 100 TB that is a wrong answer with no signal;
+    DuckDB's strict cast meanwhile failed the query. NULLs are still
+    ignored per SQL.
     """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
-    return (
-        F.sum(F.floor(c * F.lit(m)).cast("decimal(38,0)")).cast("double") / F.lit(m)
+    ok = ~F.isnan(c) & (F.abs(c) < F.lit(_dsum_lim(scale)))
+    good = (
+        F.sum(F.when(ok, F.floor(c * F.lit(m))).cast("decimal(38,0)"))
+        .cast("double") / F.lit(m)
     )
+    return F.when(dsum_bad(c, scale) == 1, F.lit(float("nan"))).otherwise(good)
+
+
+# Two-level dsum: LONG leg per-row bound. Quantized magnitude below
+# 2^38 keeps a 2^24-row partition's int64 partial under 2^62; values
+# between 2^38 and the shared dsum domain route to the (rare) decimal
+# side-leg so the two-level value stays IDENTICAL to one-level dsum —
+# same poison domain, shared oracle.
+_DSUM2_LIM_Q = float(2**38)
 
 
 def dsum_partial(col: Column | str, scale: int = 2) -> Column:
-    """Partial (within-partition) leg of the TWO-LEVEL deterministic
-    sum: LONG accumulation of the same ``floor(x * 10^scale)`` terms
-    :func:`dsum` uses. Exact because a partition is bounded — with
-    maxPartitionBytes-sized splits a partition holds < 2^24 rows, so
-    any scaled magnitude below ~2^38 keeps |partial| < 2^62. Decimal
-    cost is paid only across partitions (see :func:`dsum_merge`);
-    per-row work is integer-only. Identical final value to one-level
-    dsum (both sum the same integer terms exactly), so oracles are
-    shared. Group by the aggregation keys PLUS ``spark_partition_id()``
-    when using this leg.
+    """Partial (within-partition) LONG leg of the TWO-LEVEL
+    deterministic sum: int64 accumulation of ``floor(x * 10^scale)``
+    for rows whose quantized magnitude stays below 2^38 (exact for any
+    maxPartitionBytes-bounded partition). Per-row work is integer-only;
+    decimal cost is paid only across partitions (:func:`dsum_merge`).
+    Pair with :func:`dsum_partial_big` (rare large-but-in-domain rows)
+    and :func:`dsum_partial_bad` (poison flag) in the same groupBy —
+    keys PLUS ``spark_partition_id()``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.floor(c * F.lit(float(10**scale))).cast("long"))
+    m = float(10**scale)
+    ok = ~F.isnan(c) & (F.abs(c) * F.lit(m) < F.lit(_DSUM2_LIM_Q))
+    return F.sum(F.when(ok, F.floor(c * F.lit(m))).cast("long"))
 
 
-def dsum_merge(name: str, scale: int = 2) -> Column:
-    """Final (cross-partition) leg of the two-level deterministic sum:
-    DECIMAL(38,0) accumulation of the per-partition longs — row count
-    across partitions is unbounded at 100 TB, so the merge must not
-    stay in int64."""
-    return (
-        F.sum(F.col(name).cast("decimal(38,0)")).cast("double")
-        / F.lit(float(10**scale))
+def dsum_partial_big(col: Column | str, scale: int = 2) -> Column:
+    """Decimal side-leg for rows whose quantized magnitude is >= 2^38
+    but still inside the dsum domain — rare by construction, so the
+    common path stays integer-only while the two-level total remains
+    bit-identical to one-level dsum."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    gap = (
+        ~F.isnan(c)
+        & (F.abs(c) * F.lit(m) >= F.lit(_DSUM2_LIM_Q))
+        & (F.abs(c) < F.lit(_dsum_lim(scale)))
     )
+    return F.sum(F.when(gap, F.floor(c * F.lit(m))).cast("decimal(38,0)"))
+
+
+def dsum_partial_bad(col: Column | str, scale: int = 2) -> Column:
+    """Per-partition poison flag — same domain as one-level
+    :func:`dsum_bad`, so the shared oracle sees identical semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.max(
+        F.when(
+            c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(_dsum_lim(scale)))),
+            1,
+        ).otherwise(0)
+    )
+
+
+def dsum_merge(
+    name: str, scale: int = 2, big: str | None = None, bad: str | None = None
+) -> Column:
+    """Final (cross-partition) leg of the two-level deterministic sum:
+    DECIMAL(38,0) accumulation of the per-partition longs (+ the rare
+    decimal side-leg) — row count across partitions is unbounded at
+    100 TB, so the merge must not stay in int64. Any partition's
+    ``bad`` flag poisons the merged sum to NaN."""
+    total = F.sum(F.col(name).cast("decimal(38,0)"))
+    if big is not None:
+        total = total + F.coalesce(F.sum(F.col(big)), F.lit(0).cast("decimal(38,0)"))
+    good = total.cast("double") / F.lit(float(10**scale))
+    if bad is None:
+        return good
+    return F.when(F.max(F.col(bad)) == 1, F.lit(float("nan"))).otherwise(good)
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:
@@ -233,9 +306,21 @@ def sql_ddouble(expr: str) -> str:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """Oracle-side twin of :func:`dsum`."""
+    """Oracle-side twin of :func:`dsum` (incl. the NaN-poison
+    contract; DuckDB's strict decimal cast would otherwise ERROR on
+    NaN/Inf where Spark's non-ANSI cast silently nulled)."""
     m = float(10**scale)
-    return f"(CAST(SUM(CAST(FLOOR(({expr}) * {m}) AS DECIMAL(38,0))) AS DOUBLE) / {m})"
+    lim = _dsum_lim(scale)
+    x = f"({expr})"
+    bad = (
+        f"MAX(CASE WHEN {x} IS NOT NULL AND (isnan({x}) OR abs({x}) >= {lim!r}) "
+        f"THEN 1 ELSE 0 END)"
+    )
+    good = (
+        f"CAST(SUM(CASE WHEN NOT isnan({x}) AND abs({x}) < {lim!r} "
+        f"THEN CAST(FLOOR({x} * {m}) AS DECIMAL(38,0)) END) AS DOUBLE) / {m}"
+    )
+    return f"(CASE WHEN {bad} = 1 THEN CAST('NaN' AS DOUBLE) ELSE {good} END)"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

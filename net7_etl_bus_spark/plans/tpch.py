@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from .registry import davg, dsum, dsum_merge, dsum_partial, register, sql_davg, sql_dsum
+from .registry import (davg, dsum, dsum_merge, dsum_partial, dsum_partial_bad,
+                       dsum_partial_big, register, sql_davg, sql_dsum)
 
 _Q1_ORACLE = f"""
 SELECT
@@ -54,29 +55,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both levels == identical value to one-level dsum, so the oracle
     # is unchanged. Measured ~20% off q1 wall at sf0.1 (med 0.74 s vs
     # 0.91 s); the date filter still reaches the scan (plan-tested).
+    measures = [
+        ("qty", F.col("l_quantity"), 2),
+        ("price", F.col("l_extendedprice"), 2),
+        ("disc_price", disc_price, 4),
+        ("charge", charge, 4),
+        ("disc", F.col("l_discount"), 4),
+    ]
+    partials = []
+    for name, c, s in measures:
+        partials += [
+            dsum_partial(c, s).alias(f"p_{name}"),
+            dsum_partial_big(c, s).alias(f"b_{name}"),
+            dsum_partial_bad(c, s).alias(f"x_{name}"),
+        ]
     part = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
-        .agg(
-            dsum_partial("l_quantity").alias("p_qty"),
-            dsum_partial("l_extendedprice").alias("p_price"),
-            dsum_partial(disc_price, 4).alias("p_disc_price"),
-            dsum_partial(charge, 4).alias("p_charge"),
-            dsum_partial(F.col("l_discount"), 4).alias("p_disc"),
-            F.count(F.lit(1)).alias("p_cnt"),
-        )
+        .agg(*partials, F.count(F.lit(1)).alias("p_cnt"))
     )
     cnt = F.sum("p_cnt")
+
+    def merge(name: str, s: int) -> F.Column:
+        return dsum_merge(f"p_{name}", s, big=f"b_{name}", bad=f"x_{name}")
+
     return (
         part.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum_merge("p_qty").alias("sum_qty"),
-            dsum_merge("p_price").alias("sum_base_price"),
-            dsum_merge("p_disc_price", 4).alias("sum_disc_price"),
-            dsum_merge("p_charge", 4).alias("sum_charge"),
-            (dsum_merge("p_qty") / cnt).alias("avg_qty"),
-            (dsum_merge("p_price") / cnt).alias("avg_price"),
-            (dsum_merge("p_disc", 4) / cnt).alias("avg_disc"),
+            merge("qty", 2).alias("sum_qty"),
+            merge("price", 2).alias("sum_base_price"),
+            merge("disc_price", 4).alias("sum_disc_price"),
+            merge("charge", 4).alias("sum_charge"),
+            (merge("qty", 2) / cnt).alias("avg_qty"),
+            (merge("price", 2) / cnt).alias("avg_price"),
+            (merge("disc", 4) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -126,6 +126,43 @@ def mutate_table(
             ]
             dup = dup.set_column(i, field, pa.array(mutated, type=field.type))
         t = pa.concat_tables([t, dup])
+    if mode == "extremes":
+        # Append re-keyed copies with EXTREME numerics mixed into
+        # float columns (NaN, +/-Inf, denormals, huge magnitudes) and
+        # boundary values into non-key integer columns. A single NaN
+        # in a 100 TB metric column is a statistical certainty; the
+        # engines must agree on aggregation, ordering and filtering of
+        # these rows.
+        rng = np.random.default_rng(
+            zlib.crc32(f"{os.path.basename(src)}:extremes:{seed}".encode())
+        )
+        idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
+        dup = t.take(pa.array(np.sort(idx)))
+        name = os.path.basename(src).replace(".parquet", "")
+        keys = set(_TABLE_KEYS.get(name, ()))
+        for key_col in keys:
+            i = t.schema.get_field_index(key_col)
+            maxv = pc.max(t.column(key_col)).as_py() or 0
+            fresh = pa.array(
+                np.arange(maxv + 1, maxv + 1 + len(dup)), type=t.schema.field(i).type
+            )
+            dup = dup.set_column(i, t.schema.field(i), fresh)
+        f_specials = [float("nan"), float("inf"), float("-inf"), 1e300,
+                      -1e300, 5e-324, -0.0, 1e18]
+        i_specials = [0, -1, 2**31 - 1, -(2**31), 2**53 + 1, -(2**53) - 1]
+        for i, field in enumerate(dup.schema):
+            if field.name in keys:
+                continue
+            if pa.types.is_floating(field.type):
+                vals = [f_specials[(j + seed) % len(f_specials)] for j in range(len(dup))]
+                dup = dup.set_column(i, field, pa.array(vals, type=field.type))
+            elif pa.types.is_integer(field.type) and not field.name.endswith("key"):
+                vals = [i_specials[(j + seed) % len(i_specials)] for j in range(len(dup))]
+                try:
+                    dup = dup.set_column(i, field, pa.array(vals, type=field.type))
+                except (pa.ArrowInvalid, OverflowError):
+                    pass  # narrower int type: keep original values
+        t = pa.concat_tables([t, dup])
     if mode in ("nulls", "both"):
         cols = []
         for i, field in enumerate(t.schema):
@@ -150,7 +187,7 @@ def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
-    _MODES = ("nulls", "dupes", "both", "unicode")
+    _MODES = ("nulls", "dupes", "both", "unicode", "extremes")
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03
