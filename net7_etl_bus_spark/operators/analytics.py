@@ -37,12 +37,13 @@ _H_NB = 5
            {_H_LO} + bucket * {_H_W} AS bin_lo,
            {_H_LO} + (bucket + 1) * {_H_W} AS bin_hi,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) / 100
-             AS sum_price
+           {sql_dsum('l_extendedprice')} AS sum_price
     FROM (
       SELECT l_extendedprice,
-             LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_H_LO}) / {_H_W}) AS BIGINT),
-                            0), {_H_NB - 1}) AS bucket
+             CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 1e18
+                  THEN -1
+                  ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_H_LO}) / {_H_W}) AS BIGINT),
+                             0), {_H_NB - 1}) END AS bucket
       FROM lineitem)
     GROUP BY bucket ORDER BY bucket
     """,
@@ -60,23 +61,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan a 100 TB histogram needs: all the work is in the scan.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col("l_extendedprice") - _H_LO) / _H_W).cast("bigint"),
-            F.lit(0),
-        ),
-        F.lit(_H_NB - 1),
+    # Corrupt measures are SURFACED: NaN/Inf/overflow-range values land
+    # in bucket -1 (their own row) instead of erroring (DuckDB int64
+    # cast) or silently falling into a NULL bucket (Spark non-ANSI
+    # cast); in-domain sums use the dsum poison contract.
+    x = F.col("l_extendedprice")
+    bucket = F.when(F.isnan(x) | (F.abs(x) >= F.lit(1e18)), F.lit(-1)).otherwise(
+        F.least(
+            F.greatest(F.floor((x - _H_LO) / _H_W).cast("bigint"), F.lit(0)),
+            F.lit(_H_NB - 1),
+        )
     )
     return (
         l.select(F.col("l_extendedprice"), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            (
-                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
-                .cast("double")
-                / 100
-            ).alias("sum_price"),
+            dsum("l_extendedprice").alias("sum_price"),
         )
         .select(
             "bucket",
@@ -95,22 +96,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_regr",
     oracle="""
-    WITH m AS (
+    WITH q AS (
+      SELECT l_returnflag,
+             CASE WHEN ok THEN CAST(FLOOR(l_quantity * 100) AS HUGEINT) END AS xq,
+             CASE WHEN ok THEN CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) END AS yq,
+             CASE WHEN NOT ok AND NOT ign THEN 1 ELSE 0 END AS badrow
+      FROM (SELECT *,
+              l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)
+              AND abs(l_quantity) < 1e11 AND abs(l_extendedprice) < 1e11 AS ok,
+              l_quantity IS NULL OR l_extendedprice IS NULL AS ign
+            FROM lineitem)),
+    m AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sx,
-             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sy,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
-                 * CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sxx,
-             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)
-                 * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS syy,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
-                 * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sxy
-      FROM lineitem GROUP BY l_returnflag)
+             MAX(badrow) AS bad,
+             SUM(xq) AS sx, SUM(yq) AS sy,
+             SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy, SUM(xq * yq) AS sxy
+      FROM q GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           {cov} / {varx} AS slope,
-           ({sy} / {n100}) - ({cov} / {varx}) * ({sx} / {n100}) AS intercept,
-           ({cov} * {cov}) / ({varx} * {vary}) AS r2
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE {cov} / {varx} END AS slope,
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE ({sy} / {n100}) - ({cov} / {varx}) * ({sx} / {n100}) END AS intercept,
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE ({cov} * {cov}) / ({varx} * {vary}) END AS r2
     FROM m ORDER BY l_returnflag
     """.format(
         cov=sql_ddouble("n * sxy - sx * sy"),
@@ -135,10 +142,23 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side integer partial sums, 3-row final aggregate.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    xd = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
-    yd = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    # Moment-domain guard (extremes contract): any NaN/Inf or
+    # |value| >= 1e11 (whose squared quantized moment would overflow
+    # the exact decimal(38) accumulators) poisons the group's outputs
+    # to NaN — surfaced, never silently dropped or saturated.
+    xr, yr = F.col("l_quantity"), F.col("l_extendedprice")
+    ok = (
+        xr.isNotNull() & yr.isNotNull()
+        & ~F.isnan(xr) & ~F.isnan(yr)
+        & (F.abs(xr) < F.lit(1e11)) & (F.abs(yr) < F.lit(1e11))
+    )
+    xd = F.when(ok, F.floor(xr * 100)).cast("decimal(38,0)")
+    yd = F.when(ok, F.floor(yr * 100)).cast("decimal(38,0)")
     m = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        # incomplete pairs (either side NULL) are IGNORED per SQL
+        # regr_* semantics; only corrupt COMPLETE pairs poison
+        F.max(F.when(~ok & xr.isNotNull() & yr.isNotNull(), 1).otherwise(0)).alias("bad"),
         F.sum(xd).alias("sx"),
         F.sum(yd).alias("sy"),
         F.sum(xd * xd).alias("sxx"),
@@ -152,12 +172,14 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov / varx
     mean_x = ddouble(sx) / ddouble(n * 100)
     mean_y = ddouble(sy) / ddouble(n * 100)
+    nan = F.lit(float("nan"))
+    bad = F.col("bad") == 1
     return m.select(
         "l_returnflag",
         "n",
-        slope.alias("slope"),
-        (mean_y - slope * mean_x).alias("intercept"),
-        ((cov * cov) / (varx * vary)).alias("r2"),
+        F.when(bad, nan).otherwise(slope).alias("slope"),
+        F.when(bad, nan).otherwise(mean_y - slope * mean_x).alias("intercept"),
+        F.when(bad, nan).otherwise((cov * cov) / (varx * vary)).alias("r2"),
     ).orderBy("l_returnflag")
 
 
@@ -324,17 +346,21 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT event_id, event_type, value,
-             CAST(FLOOR(value * 100) AS HUGEINT) AS v
-      FROM events),
+             CASE WHEN ok THEN CAST(FLOOR(value * 100) AS HUGEINT) END AS v,
+             ok
+      FROM (SELECT *,
+              value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e11 AS ok
+            FROM events)),
     m AS (
-      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      SELECT event_type, CAST(COUNT(v) AS HUGEINT) AS n,
              SUM(v) AS s1, SUM(v * v) AS s2
       FROM q GROUP BY event_type),
     z AS (
       SELECT q.event_id, q.event_type, q.value,
-             CAST(CAST(m.n * q.v - m.s1 AS VARCHAR) AS DOUBLE)
-               / sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS VARCHAR) AS DOUBLE))
-               AS z
+             CASE WHEN NOT q.ok AND q.value IS NOT NULL THEN CAST('NaN' AS DOUBLE)
+                  ELSE CAST(CAST(m.n * q.v - m.s1 AS VARCHAR) AS DOUBLE)
+                    / sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS VARCHAR) AS DOUBLE))
+             END AS z
       FROM q JOIN m USING (event_type))
     SELECT event_id, event_type, value, z
     FROM z WHERE abs(z) > 2.5
@@ -361,19 +387,28 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan any 100 TB scoring pass needs.
     """
     e = load_table(spark, sf_dir, "events")
+    # An anomaly detector must SURFACE corrupt measures, not average
+    # them in or drop them: NaN/Inf/out-of-domain values score z=NaN
+    # (always reported - NaN compares greater than 2.5 in both
+    # engines) while the group stats use clean rows only.
+    val = F.col("value")
+    ok = val.isNotNull() & ~F.isnan(val) & (F.abs(val) < F.lit(1e11))
     q = e.select(
         "event_id",
         "event_type",
         "value",
-        F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("v"),
+        ok.alias("ok"),
+        F.when(ok, F.floor(val * 100)).cast("decimal(38,0)").alias("v"),
     )
     m = q.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.count("v").cast("decimal(38,0)").alias("n"),
         F.sum("v").alias("s1"),
         F.sum(F.col("v") * F.col("v")).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    z = ddouble(n * F.col("v") - s1) / F.sqrt(ddouble(n * s2 - s1 * s1))
+    z = F.when(
+        ~F.col("ok") & F.col("value").isNotNull(), F.lit(float("nan"))
+    ).otherwise(ddouble(n * F.col("v") - s1) / F.sqrt(ddouble(n * s2 - s1 * s1)))
     return (
         q.join(F.broadcast(m), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
@@ -440,15 +475,24 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_weighted_avg",
     oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CASE WHEN ok THEN CAST(FLOOR(l_quantity * 100) AS HUGEINT) END AS wq,
+             CASE WHEN ok THEN CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) END AS xq,
+             CASE WHEN NOT ok AND NOT ign THEN 1 ELSE 0 END AS badrow
+      FROM (SELECT *,
+              l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)
+              AND abs(l_quantity) < 1e11 AND abs(l_extendedprice) < 1e11 AS ok,
+              l_quantity IS NULL OR l_extendedprice IS NULL AS ign
+            FROM lineitem))
     SELECT l_returnflag,
-           CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)
-                         * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT))
-                     AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT))
-                         AS VARCHAR) AS DOUBLE)
-             / 100.0 AS wavg_price,
+           CASE WHEN MAX(badrow) = 1 THEN CAST('NaN' AS DOUBLE) ELSE
+             CAST(CAST(SUM(wq * xq) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(wq) AS VARCHAR) AS DOUBLE) / 100.0
+           END AS wavg_price,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM q GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,14 +509,21 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — all work in the scan stage, like every moment sketch.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    wq = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
-    xq = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    # Same moment-domain/poison contract as agg_regr (extremes fuzz).
+    wr, xr = F.col("l_quantity"), F.col("l_extendedprice")
+    ok = (
+        wr.isNotNull() & xr.isNotNull()
+        & ~F.isnan(wr) & ~F.isnan(xr)
+        & (F.abs(wr) < F.lit(1e11)) & (F.abs(xr) < F.lit(1e11))
+    )
+    wq = F.when(ok, F.floor(wr * 100)).cast("decimal(38,0)")
+    xq = F.when(ok, F.floor(xr * 100)).cast("decimal(38,0)")
+    bad = F.max(F.when(~ok & wr.isNotNull() & xr.isNotNull(), 1).otherwise(0))
+    good = ddouble(F.sum(wq * xq)) / ddouble(F.sum(wq)) / F.lit(100.0)
     return (
         l.groupBy("l_returnflag")
         .agg(
-            (
-                ddouble(F.sum(wq * xq)) / ddouble(F.sum(wq)) / F.lit(100.0)
-            ).alias("wavg_price"),
+            F.when(bad == 1, F.lit(float("nan"))).otherwise(good).alias("wavg_price"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
         .orderBy("l_returnflag")
@@ -491,12 +542,18 @@ _DECAY_MAX_K = 8
     WITH k AS (
       SELECT o_orderpriority,
              LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K}) AS k,
-             CAST(FLOOR(o_totalprice * 100) AS HUGEINT) AS cents
-      FROM orders)
+             CASE WHEN ok THEN CAST(FLOOR(o_totalprice * 100) AS HUGEINT) END AS cents,
+             CASE WHEN NOT ok AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END AS badrow
+      FROM (SELECT *,
+              o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+              AND abs(o_totalprice) < 9e16 AS ok
+            FROM orders))
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {sql_ddouble(f"SUM(cents * (1 << ({_DECAY_MAX_K} - k)))")}
-             / {100.0 * (1 << _DECAY_MAX_K)} AS decayed_revenue
+           CASE WHEN MAX(badrow) = 1 THEN CAST('NaN' AS DOUBLE) ELSE
+             {sql_ddouble(f"SUM(cents * (1 << ({_DECAY_MAX_K} - k)))")}
+               / {100.0 * (1 << _DECAY_MAX_K)}
+           END AS decayed_revenue
     FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -518,16 +575,23 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation).
     """
     o = load_table(spark, sf_dir, "orders")
-    term = F.expr(
+    # dsum-style poison (extremes contract): NaN/Inf/out-of-domain
+    # revenue makes the group's decayed sum NaN instead of vanishing.
+    pr = F.col("o_totalprice")
+    ok = pr.isNotNull() & ~F.isnan(pr) & (F.abs(pr) < F.lit(9e16))
+    term = F.when(ok, F.expr(
         f"CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) * "
         f"CAST(shiftleft(1L, {_DECAY_MAX_K} - LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K})) AS DECIMAL(38,0))"
-    )
+    ))
+    badrow = F.when(~ok & pr.isNotNull(), 1).otherwise(0)
+    bad = F.max("badrow")
+    good = ddouble(F.sum("t")) / F.lit(100.0 * (1 << _DECAY_MAX_K))
     return (
-        o.select("o_orderpriority", term.alias("t"))
+        o.select("o_orderpriority", term.alias("t"), badrow.alias("badrow"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            (ddouble(F.sum("t")) / F.lit(100.0 * (1 << _DECAY_MAX_K))).alias(
+            F.when(bad == 1, F.lit(float("nan"))).otherwise(good).alias(
                 "decayed_revenue"
             ),
         )

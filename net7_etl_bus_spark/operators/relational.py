@@ -965,19 +965,28 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats_moments",
     oracle="""
-    WITH m AS (
+    WITH q AS (
+      SELECT l_returnflag,
+             CASE WHEN ok THEN CAST(FLOOR(l_quantity * 100) AS HUGEINT) END AS xq,
+             CASE WHEN ok THEN CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) END AS yq,
+             CASE WHEN NOT ok AND NOT ign THEN 1 ELSE 0 END AS badrow
+      FROM (SELECT *,
+              l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)
+              AND abs(l_quantity) < 1e11 AND abs(l_extendedprice) < 1e11 AS ok,
+              l_quantity IS NULL OR l_extendedprice IS NULL AS ign
+            FROM lineitem)),
+    m AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sx,
-             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sy,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT) * CAST(FLOOR(l_quantity * 100) AS HUGEINT)) AS sxx,
-             SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS syy,
-             SUM(CAST(FLOOR(l_quantity * 100) AS HUGEINT) * CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS sxy
-      FROM lineitem GROUP BY l_returnflag)
+             MAX(badrow) AS bad,
+             SUM(xq) AS sx, SUM(yq) AS sy,
+             SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy, SUM(xq * yq) AS sxy
+      FROM q GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           sqrt({varx} / {nn1}) / 100.0 AS stddev_qty,
-           sqrt({vary} / {nn1}) / 100.0 AS stddev_price,
-           {cov} / (sqrt({varx}) * sqrt({vary})) AS corr_qty_price
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE sqrt({varx} / {nn1}) / 100.0 END AS stddev_qty,
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE sqrt({vary} / {nn1}) / 100.0 END AS stddev_price,
+           CASE WHEN bad = 1 THEN CAST('NaN' AS DOUBLE) ELSE {cov} / (sqrt({varx}) * sqrt({vary})) END AS corr_qty_price
     FROM m ORDER BY l_returnflag
     """.format(
         varx=sql_ddouble("n * sxx - sx * sx"),
@@ -999,10 +1008,20 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg — the same linear shape as any one-pass moment sketch.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    xd = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
-    yd = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    # Moment-domain guard (extremes contract, same as agg_regr):
+    # corrupt complete pairs poison the group's stats to NaN;
+    # incomplete (NULL) pairs are ignored per SQL.
+    xr, yr = F.col("l_quantity"), F.col("l_extendedprice")
+    ok = (
+        xr.isNotNull() & yr.isNotNull()
+        & ~F.isnan(xr) & ~F.isnan(yr)
+        & (F.abs(xr) < F.lit(1e11)) & (F.abs(yr) < F.lit(1e11))
+    )
+    xd = F.when(ok, F.floor(xr * 100)).cast("decimal(38,0)")
+    yd = F.when(ok, F.floor(yr * 100)).cast("decimal(38,0)")
     m = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.when(~ok & xr.isNotNull() & yr.isNotNull(), 1).otherwise(0)).alias("bad"),
         F.sum(xd).alias("sx"),
         F.sum(yd).alias("sy"),
         F.sum(xd * xd).alias("sxx"),
@@ -1016,12 +1035,14 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary = ddouble(n * F.col("syy") - sy * sy)
     cov = ddouble(n * F.col("sxy") - sx * sy)
     nn1 = ddouble(n * (n - 1))
+    nan = F.lit(float("nan"))
+    bad = F.col("bad") == 1
     return m.select(
         "l_returnflag",
         "n",
-        (F.sqrt(varx / nn1) / 100.0).alias("stddev_qty"),
-        (F.sqrt(vary / nn1) / 100.0).alias("stddev_price"),
-        (cov / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
+        F.when(bad, nan).otherwise(F.sqrt(varx / nn1) / 100.0).alias("stddev_qty"),
+        F.when(bad, nan).otherwise(F.sqrt(vary / nn1) / 100.0).alias("stddev_price"),
+        F.when(bad, nan).otherwise(cov / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
