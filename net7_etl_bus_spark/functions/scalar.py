@@ -106,10 +106,14 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 50000.0) AS dev_from_50k,
            CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS price_r1,
-           CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_decile,
-           CAST(CEIL(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
-           SQRT(l_extendedprice) AS price_sqrt,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           CASE WHEN isnan(l_quantity) OR abs(l_quantity) >= 9e18 THEN NULL
+                ELSE CAST(FLOOR(l_quantity / 10.0) AS BIGINT) END AS qty_decile,
+           CASE WHEN isnan(l_discount) OR abs(l_discount) >= 9e16 THEN NULL
+                ELSE CAST(CEIL(l_discount * 100.0) AS BIGINT) END AS disc_pct_ceil,
+           CASE WHEN l_extendedprice < 0 THEN CAST('NaN' AS DOUBLE)
+                ELSE SQRT(l_extendedprice) END AS price_sqrt,
+           CASE WHEN isnan(l_quantity) OR abs(l_quantity) >= 9e18 THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) % 7 END AS qty_mod7,
            GREATEST(l_tax, l_discount) AS max_rate,
            LEAST(l_tax, l_discount) AS min_rate,
            CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
@@ -127,10 +131,23 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.abs(F.col("l_extendedprice") - 50000.0).alias("dev_from_50k"),
         F.round("l_extendedprice", 1).cast("double").alias("price_r1"),
-        F.floor(F.col("l_quantity") / 10.0).alias("qty_decile"),
-        F.ceil(F.col("l_discount") * 100.0).alias("disc_pct_ceil"),
+        # try-cast posture for double->integer paths (extremes fuzz):
+        # NaN/Inf/out-of-int64 values yield NULL explicitly — Spark's
+        # floor/ceil/cast otherwise SATURATE at +/-2^63 silently while
+        # a strict engine errors; neither is an acceptable answer.
+        F.when(
+            ~F.isnan("l_quantity") & (F.abs("l_quantity") < F.lit(9e18)),
+            F.floor(F.col("l_quantity") / 10.0),
+        ).alias("qty_decile"),
+        F.when(
+            ~F.isnan("l_discount") & (F.abs("l_discount") < F.lit(9e16)),
+            F.ceil(F.col("l_discount") * 100.0),
+        ).alias("disc_pct_ceil"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.when(
+            ~F.isnan("l_quantity") & (F.abs("l_quantity") < F.lit(9e18)),
+            F.col("l_quantity").cast("bigint") % 7,
+        ).alias("qty_mod7"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),

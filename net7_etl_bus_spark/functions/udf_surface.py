@@ -96,8 +96,14 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
-             AS total_spend,
+           CASE WHEN MAX(CASE WHEN o_totalprice IS NOT NULL AND
+                              (isnan(o_totalprice) OR abs(o_totalprice) >= 9e16)
+                         THEN 1 ELSE 0 END) = 1
+                THEN CAST('NaN' AS DOUBLE)
+                ELSE CAST(SUM(CASE WHEN NOT isnan(o_totalprice) AND abs(o_totalprice) < 9e16
+                              THEN CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0)) END)
+                          AS DOUBLE) / 100.0
+           END AS total_spend,
            MAX(o_totalprice) AS max_order
     FROM orders
     GROUP BY o_custkey
@@ -112,22 +118,48 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         # SQL aggregate semantics by hand: NULL prices are IGNORED by
-        # SUM/MAX (NaN would otherwise poison np.max, and NaN->int64
-        # casts are undefined garbage), COUNT(*) still counts the row,
-        # and an all-NULL group sums/maxes to NULL.
-        prices = pdf["o_totalprice"].dropna().to_numpy()
-        has = len(prices) > 0
-        cents = np.floor(prices * 100.0).astype("int64").sum() if has else None
+        # SUM/MAX, COUNT(*) still counts the row, an all-NULL group
+        # sums/maxes to NULL — and the dsum extremes contract applies:
+        # NaN/Inf/out-of-domain prices poison total_spend to NaN (the
+        # engine must surface corruption, not launder it), while max
+        # keeps SQL semantics (NaN ranks greatest in both engines).
+        #
+        # ARROW TRAP (fuzz-found): applyInPandas converts a nullable
+        # float64 column so that SQL NULL and real NaN are both NaN in
+        # pandas — indistinguishable inside the kernel. Any kernel that
+        # must tell them apart (this one: NULLs are ignored, NaNs
+        # poison) computes the distinction JVM-SIDE and ships it as
+        # boolean flag columns.
+        is_null = pdf["p_null"].to_numpy(dtype=bool)
+        is_bad = pdf["p_bad"].to_numpy(dtype=bool)
+        prices = pdf["o_totalprice"].to_numpy()
+        nn = ~is_null
+        has = bool(nn.any())
+        bad = bool(is_bad.any())
+        good = prices[nn & ~is_bad]
+        cents = np.floor(good * 100.0).astype("int64").sum() if len(good) else 0
+        spend = float("nan") if bad else (cents / 100.0 if has else None)
+        mx = None
+        if has:
+            real_nan = is_bad & np.isnan(prices)  # NaN specifically, not Inf/huge
+            mx = float("nan") if real_nan.any() else prices[nn].max()
         return pd.DataFrame(
             {
                 "o_custkey": [pdf["o_custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "total_spend": [cents / 100.0 if has else None],
-                "max_order": [prices.max() if has else None],
+                "total_spend": [spend],
+                "max_order": [mx],
             }
         )
 
     o = load_table(spark, sf_dir, "orders")
+    pr = F.col("o_totalprice")
+    o = o.select(
+        "o_custkey",
+        "o_totalprice",
+        pr.isNull().alias("p_null"),
+        (pr.isNotNull() & (F.isnan(pr) | (F.abs(pr) >= F.lit(9e16)))).alias("p_bad"),
+    )
     return o.groupBy("o_custkey").applyInPandas(
         stats, "o_custkey bigint, n_orders bigint, total_spend double, max_order double"
     )

@@ -671,9 +671,10 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bitmap_distinct",
     oracle="""
     WITH chunks AS (
-      SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
+      SELECT date_trunc('day', ts) AS day,
+             (user_id - ((user_id % 32) + 32) % 32) // 32 AS chunk,
              bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32 AS INT)) AS mask
-      FROM events GROUP BY date_trunc('day', ts), user_id // 32)
+      FROM events GROUP BY day, chunk)
     SELECT day,
            CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users,
            CAST(COUNT(*) AS BIGINT) AS n_chunks
@@ -731,9 +732,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bitmap_retention",
     oracle="""
     WITH chunks AS (
-      SELECT date_trunc('day', ts) AS day, user_id // 32 AS chunk,
+      SELECT date_trunc('day', ts) AS day,
+             (user_id - ((user_id % 32) + 32) % 32) // 32 AS chunk,
              bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32 AS INT)) AS mask
-      FROM events GROUP BY date_trunc('day', ts), user_id // 32),
+      FROM events GROUP BY day, chunk),
     days AS (SELECT DISTINCT day FROM chunks),
     pairs AS (
       SELECT a.day AS day, b.day AS next_day,

@@ -121,7 +121,11 @@ def synthesize_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit("application/x-fake").alias("mime"),
             (F.col("n_chars") % 1920).cast("int").alias("width"),
             (F.col("n_chars") % 1080).cast("int").alias("height"),
-            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.when(  # try-cast posture: int32 overflow -> NULL (Spark
+                # wraps silently, a strict engine errors; fuzz-found)
+                F.abs(F.col("n_chars").cast("bigint") * 10) < F.lit(2**31),
+                (F.col("n_chars").cast("bigint") * 10).cast("int"),
+            ).alias("duration_ms"),
         ).alias("meta"),
     )
 
@@ -240,7 +244,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(text || '-' || k) AS frame_sha256
     FROM (
       SELECT doc_id AS media_id, text,
-             unnest(range(0, least(greatest(1, COALESCE(CAST(n_chars * 10 AS INT), 0) // 1000), 16))) AS k
+             unnest(range(0, least(greatest(1, COALESCE(CASE WHEN abs(CAST(n_chars AS BIGINT) * 10) < 2147483648 THEN CAST(n_chars * 10 AS INT) END, 0) // 1000), 16))) AS k
       FROM documents
       WHERE doc_id % 3 = 2 AND text IS NOT NULL
     )

@@ -540,11 +540,20 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_percentile_disc",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             list(l_quantity ORDER BY l_quantity)
+               FILTER (WHERE l_quantity IS NOT NULL) AS qs,
+             COUNT(l_quantity) AS nq,
+             list(l_extendedprice ORDER BY l_extendedprice)
+               FILTER (WHERE l_extendedprice IS NOT NULL) AS ps,
+             COUNT(l_extendedprice) AS np
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           quantile_disc(l_quantity, 0.5) AS qty_median,
-           quantile_disc(l_quantity, 0.9) AS qty_p90,
-           quantile_disc(l_extendedprice, 0.5) AS price_median
-    FROM lineitem GROUP BY l_returnflag
+           qs[CAST(ceil(0.5 * nq) AS BIGINT)] AS qty_median,
+           qs[CAST(ceil(0.9 * nq) AS BIGINT)] AS qty_p90,
+           ps[CAST(ceil(0.5 * np) AS BIGINT)] AS price_median
+    FROM s
     """,
 )
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,7 +562,14 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     no interpolation arithmetic to disagree on. At 100 TB exact
     percentiles need a full sort per group; production dashboards use
     approx_percentile (t-digest) instead — exact is the correctness
-    anchor the sketch is judged against."""
+    anchor the sketch is judged against.
+
+    NaN semantics (extremes fuzz): the engine's percentile_disc ranks
+    NaN GREATEST (consistent with its sort order); DuckDB's
+    quantile_disc ranks NaN SMALLEST — inconsistent with DuckDB's own
+    ORDER BY — so the oracle indexes an explicitly sorted list
+    (1-based ceil(p*n), the percentile_disc selection rule) instead of
+    calling quantile_disc."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("qty_median"),
@@ -570,12 +586,13 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_O,
            COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
-           (CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(38,0)))
-                 FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 100.0) AS qty_O,
-           (CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(38,0)))
-                 FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 100.0) AS qty_F
+           {qty_o} AS qty_O,
+           {qty_f} AS qty_F
     FROM lineitem GROUP BY l_returnflag
-    """,
+    """.format(
+        qty_o=sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END"),
+        qty_f=sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END"),
+    ),
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide aggregation): status categories become columns.
@@ -590,12 +607,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (
-                F.sum(F.floor(F.col("l_quantity") * 100.0).cast("decimal(38,0)")).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("qty"),
+            # dsum carries the extremes poison contract into each cell
+            dsum("l_quantity").alias("qty"),
         )
     )
     return piv.select(

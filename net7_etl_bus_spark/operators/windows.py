@@ -72,13 +72,20 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_agg",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend,
+           CASE WHEN MAX(CASE WHEN o_totalprice IS NOT NULL AND
+                              (isnan(o_totalprice) OR abs(o_totalprice) >= 1e15)
+                         THEN 1 ELSE 0 END) OVER w = 1
+                THEN CAST('NaN' AS DOUBLE)
+                ELSE CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
+                                    AND abs(o_totalprice) < 1e15
+                              THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                          OVER w AS DOUBLE)
+           END AS running_spend,
            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS BIGINT)
              AS order_seq
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,14 +94,19 @@ def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Extremes poison contract over the running frame: a NaN/Inf/out-
+    # of-decimal-domain price makes every prefix sum that includes it
+    # NaN (the non-ANSI decimal cast silently dropped such rows; the
+    # strict oracle cast errored).
+    pr = F.col("o_totalprice")
+    ok = ~F.isnan(pr) & (F.abs(pr) < F.lit(1e15))
+    bad = F.max(F.when(pr.isNotNull() & ~ok, 1).otherwise(0)).over(frame)
+    good = F.sum(F.when(ok, pr).cast("decimal(18,2)")).over(frame).cast("double")
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(frame)
-        .cast("double")
-        .alias("running_spend"),
+        F.when(bad == 1, F.lit(float("nan"))).otherwise(good).alias("running_spend"),
         F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
 

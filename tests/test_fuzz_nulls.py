@@ -136,3 +136,66 @@ def test_unicode_fuzz_parity(spark, unicode_dir, unicode_duck, key):
     odf = unicode_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# The 37 keys that diverged or errored under extreme numerics (NaN,
+# +/-Inf, 1e300, denormals, int boundaries): Spark's non-ANSI decimal
+# casts silently DROPPED corrupt rows from sums and floor() saturates
+# at +/-2^63, while DuckDB's strict casts failed whole queries. Fixed
+# by the dsum poison contract (corruption -> NaN, surfaced) plus
+# per-op guards; DuckDB's quantile_disc NaN-smallest quirk and
+# truncating `//` are worked around in oracles.
+EXTREMES_REGRESSION_KEYS = [
+    "agg_bitmap_distinct", "agg_cube", "agg_decay_weighted",
+    "agg_grouping_sets", "agg_hash", "agg_histogram",
+    "agg_percentile_disc", "agg_pivot", "agg_regr", "agg_rollup",
+    "agg_rollup_time", "agg_stats_moments", "agg_weighted_avg",
+    "anomaly_zscore", "fn_math", "mm_frame_sample",
+    "q10_returned_items", "q11_important_stock", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q1_pricing_summary",
+    "q20_excess_suppliers", "q22_dormant_customers",
+    "q3_shipping_priority", "q9_product_type_profit",
+    "rfm_segmentation", "ts_gapfill_locf", "ts_interpolate_linear",
+    "ts_rolling_stats", "udaf_applyInPandas", "win_pct_change",
+    "win_running_agg", "win_session", "win_sliding", "win_tumbling",
+]
+
+
+@pytest.fixture(scope="module")
+def extremes_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("extremes_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.04,
+            SEED,
+            "extremes",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def extremes_duck(extremes_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{extremes_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EXTREMES_REGRESSION_KEYS)
+def test_extremes_fuzz_parity(spark, extremes_dir, extremes_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, extremes_dir).toPandas()
+    odf = extremes_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
