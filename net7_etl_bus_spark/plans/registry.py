@@ -214,72 +214,13 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     return F.when(dsum_bad(c, scale) == 1, F.lit(float("nan"))).otherwise(good)
 
 
-# Two-level dsum: LONG leg per-row bound. Quantized magnitude below
-# 2^38 keeps a 2^24-row partition's int64 partial under 2^62; values
-# between 2^38 and the shared dsum domain route to the (rare) decimal
-# side-leg so the two-level value stays IDENTICAL to one-level dsum —
-# same poison domain, shared oracle.
-_DSUM2_LIM_Q = float(2**38)
-
-
-def dsum_partial(col: Column | str, scale: int = 2) -> Column:
-    """Partial (within-partition) LONG leg of the TWO-LEVEL
-    deterministic sum: int64 accumulation of ``floor(x * 10^scale)``
-    for rows whose quantized magnitude stays below 2^38 (exact for any
-    maxPartitionBytes-bounded partition). Per-row work is integer-only;
-    decimal cost is paid only across partitions (:func:`dsum_merge`).
-    Pair with :func:`dsum_partial_big` (rare large-but-in-domain rows)
-    and :func:`dsum_partial_bad` (poison flag) in the same groupBy —
-    keys PLUS ``spark_partition_id()``.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    m = float(10**scale)
-    ok = ~F.isnan(c) & (F.abs(c) * F.lit(m) < F.lit(_DSUM2_LIM_Q))
-    return F.sum(F.when(ok, F.floor(c * F.lit(m))).cast("long"))
-
-
-def dsum_partial_big(col: Column | str, scale: int = 2) -> Column:
-    """Decimal side-leg for rows whose quantized magnitude is >= 2^38
-    but still inside the dsum domain — rare by construction, so the
-    common path stays integer-only while the two-level total remains
-    bit-identical to one-level dsum."""
-    c = F.col(col) if isinstance(col, str) else col
-    m = float(10**scale)
-    gap = (
-        ~F.isnan(c)
-        & (F.abs(c) * F.lit(m) >= F.lit(_DSUM2_LIM_Q))
-        & (F.abs(c) < F.lit(_dsum_lim(scale)))
-    )
-    return F.sum(F.when(gap, F.floor(c * F.lit(m))).cast("decimal(38,0)"))
-
-
-def dsum_partial_bad(col: Column | str, scale: int = 2) -> Column:
-    """Per-partition poison flag — same domain as one-level
-    :func:`dsum_bad`, so the shared oracle sees identical semantics."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.max(
-        F.when(
-            c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(_dsum_lim(scale)))),
-            1,
-        ).otherwise(0)
-    )
-
-
-def dsum_merge(
-    name: str, scale: int = 2, big: str | None = None, bad: str | None = None
-) -> Column:
-    """Final (cross-partition) leg of the two-level deterministic sum:
-    DECIMAL(38,0) accumulation of the per-partition longs (+ the rare
-    decimal side-leg) — row count across partitions is unbounded at
-    100 TB, so the merge must not stay in int64. Any partition's
-    ``bad`` flag poisons the merged sum to NaN."""
-    total = F.sum(F.col(name).cast("decimal(38,0)"))
-    if big is not None:
-        total = total + F.coalesce(F.sum(F.col(big)), F.lit(0).cast("decimal(38,0)"))
-    good = total.cast("double") / F.lit(float(10**scale))
-    if bad is None:
-        return good
-    return F.when(F.max(F.col(bad)) == 1, F.lit(float("nan"))).otherwise(good)
+# NOTE on two-level accumulation (int64 partials per partition, decimal
+# only across partitions): prototyped for q1 (VERDICT r3 item 5) and it
+# beat one-level dsum by ~20% — until the extremes poison contract made
+# each measure need three partial legs, which erased the win (measured:
+# two-level med 1.72s vs one-level 1.28s at sf0.1). The helpers were
+# removed with the q1 revert; scripts/proto_dsum2.py keeps the
+# measurement harness and plans/tpch.py q1's docstring the numbers.
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:

@@ -14,8 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from .registry import (davg, dsum, dsum_merge, dsum_partial, dsum_partial_bad,
-                       dsum_partial_big, register, sql_davg, sql_dsum)
+from .registry import davg, dsum, register, sql_davg, sql_dsum
 
 _Q1_ORACLE = f"""
 SELECT
@@ -47,49 +46,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # TWO-LEVEL deterministic sums (VERDICT r3 item 5): the per-row hot
-    # path accumulates scaled LONGs within each input partition (keyed
-    # by spark_partition_id; exact — see registry.dsum_partial), and
-    # only the tiny per-partition partials (groups x partitions rows)
-    # pay decimal accumulation. Same integer terms summed exactly at
-    # both levels == identical value to one-level dsum, so the oracle
-    # is unchanged. Measured ~20% off q1 wall at sf0.1 (med 0.74 s vs
-    # 0.91 s); the date filter still reaches the scan (plan-tested).
-    measures = [
-        ("qty", F.col("l_quantity"), 2),
-        ("price", F.col("l_extendedprice"), 2),
-        ("disc_price", disc_price, 4),
-        ("charge", charge, 4),
-        ("disc", F.col("l_discount"), 4),
-    ]
-    partials = []
-    for name, c, s in measures:
-        partials += [
-            dsum_partial(c, s).alias(f"p_{name}"),
-            dsum_partial_big(c, s).alias(f"b_{name}"),
-            dsum_partial_bad(c, s).alias(f"x_{name}"),
-        ]
-    part = (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
-        .agg(*partials, F.count(F.lit(1)).alias("p_cnt"))
-    )
-    cnt = F.sum("p_cnt")
-
-    def merge(name: str, s: int) -> F.Column:
-        return dsum_merge(f"p_{name}", s, big=f"b_{name}", bad=f"x_{name}")
-
+    # Accumulation-strategy note (VERDICT r3 item 5, measured twice):
+    # a two-level shape (int64 partials per spark_partition_id, decimal
+    # only across partitions) beat one-level dsum by ~20% BEFORE the
+    # extremes poison contract (med 0.74s vs 0.91s at sf0.1). WITH the
+    # contract each measure needs three partial legs (long + rare
+    # decimal side-leg + poison flag), and the two-level shape measured
+    # med 1.72s vs one-level's 1.28s — the extra per-row expression
+    # work erased the win, so q1 uses the simpler one-level guarded
+    # dsum. Re-evaluate if the guard ever compiles to cheaper codegen.
     return (
-        part.groupBy("l_returnflag", "l_linestatus")
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            merge("qty", 2).alias("sum_qty"),
-            merge("price", 2).alias("sum_base_price"),
-            merge("disc_price", 4).alias("sum_disc_price"),
-            merge("charge", 4).alias("sum_charge"),
-            (merge("qty", 2) / cnt).alias("avg_qty"),
-            (merge("price", 2) / cnt).alias("avg_price"),
-            (merge("disc", 4) / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 4).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
