@@ -710,6 +710,13 @@ def connected_components(
     """
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = fwd.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    # Materialize the edge relation ONCE: edges is consumed by every
+    # fixpoint round, and without this checkpoint each round re-runs
+    # the whole upstream plan that produced the pairs (for the
+    # verified-MinHash caller that is the full signature cascade —
+    # measured ~3x the composite's wall time at sf0.1). The edge
+    # relation is pair-count sized, tiny next to what builds it.
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
