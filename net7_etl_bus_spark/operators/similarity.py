@@ -474,17 +474,23 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT vec_id, embedding,
+             {bad} AS bad,
              list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
       FROM embeddings)
-    SELECT vec_id, scale,
-           array_to_string(list_transform(embedding,
-             y -> CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)), ',') AS q8,
-           list_max(list_transform(embedding,
-             y -> abs(CAST(y AS DOUBLE)
-                      - CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)
-                        * scale / 127.0))) AS max_abs_err
+    SELECT vec_id,
+           CASE WHEN bad THEN CAST('NaN' AS DOUBLE) ELSE scale END AS scale,
+           CASE WHEN bad THEN NULL ELSE
+             array_to_string(list_transform(embedding,
+               y -> CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)), ',')
+           END AS q8,
+           CASE WHEN bad THEN CAST('NaN' AS DOUBLE) ELSE
+             list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)
+                        - CAST(FLOOR(CAST(y AS DOUBLE) / scale * 127.0) AS INTEGER)
+                          * scale / 127.0)))
+           END AS max_abs_err
     FROM s ORDER BY vec_id
-    """,
+    """.format(bad="""list_bool_or(list_transform(embedding, y -> isnan(CAST(y AS DOUBLE)) OR isinf(CAST(y AS DOUBLE))))"""),
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector absmax int8 quantization of the embedding column —
@@ -501,21 +507,35 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     xd = lambda y: y.cast("double")  # noqa: E731
+    # A vector with any non-finite ELEMENT cannot be absmax-quantized
+    # (inf/absmax = NaN, NaN poisons every code) — such vectors emit
+    # NULL codes and NaN scale/error, surfaced not laundered
+    # (array-element extremes fuzz).
+    inf = F.lit(float("inf"))
+    badv = F.exists(
+        "embedding", lambda y: F.isnan(xd(y)) | (F.abs(xd(y)) == inf)
+    )
     scale = F.array_max(F.transform("embedding", lambda y: F.abs(xd(y))))
-    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    s = e.select("vec_id", "embedding", badv.alias("bad"), scale.alias("scale"))
     q = lambda y: F.floor(xd(y) / F.col("scale") * 127.0).cast("int")  # noqa: E731
+    nan = F.lit(float("nan"))
     return s.select(
         "vec_id",
-        "scale",
-        F.array_join(
-            F.transform("embedding", lambda y: q(y).cast("string")), ","
+        F.when(F.col("bad"), nan).otherwise(F.col("scale")).alias("scale"),
+        F.when(
+            ~F.col("bad"),
+            F.array_join(F.transform("embedding", lambda y: q(y).cast("string")), ","),
         ).alias("q8"),
-        F.array_max(
-            F.transform(
-                "embedding",
-                lambda y: F.abs(xd(y) - q(y).cast("double") * F.col("scale") / 127.0),
+        F.when(F.col("bad"), nan)
+        .otherwise(
+            F.array_max(
+                F.transform(
+                    "embedding",
+                    lambda y: F.abs(xd(y) - q(y).cast("double") * F.col("scale") / 127.0),
+                )
             )
-        ).alias("max_abs_err"),
+        )
+        .alias("max_abs_err"),
     )  # no orderBy: corpus-sized output, global sort would be waste
 
 
@@ -544,12 +564,16 @@ def _sql_int_dot(a: str, b: str) -> str:
 @register(
     "sim_search_bcast_index",
     oracle=f"""
-    WITH scored AS (
+    WITH fe AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND NOT list_bool_or(list_transform(embedding,
+              y -> isnan(CAST(y AS DOUBLE)) OR abs(CAST(y AS DOUBLE)) >= 4398046511104.0))),
+    scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS dot_q
-      FROM embeddings q JOIN embeddings c
-        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
-       AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL)
+      FROM fe q JOIN fe c
+        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
     SELECT query_id, neighbor_id, dot_q, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY dot_q DESC, neighbor_id) AS rk
@@ -583,8 +607,20 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id would round-trip through NaN->int64 as INT64_MIN garbage
     # in the numpy kernel (both fuzz-found). SQL comparisons drop null
     # ids implicitly; the kernel path must do it explicitly.
+    # The integer-exact kernel REQUIRES finite vectors (floor(x*2^20)
+    # of NaN/Inf is int64 garbage) — corrupt vectors are excluded like
+    # NULL ones, unlike the IEEE-path ops where NaN cosines rank
+    # identically in both engines.
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+        F.col("embedding").isNotNull()
+        & F.col("vec_id").isNotNull()
+        & ~F.exists(
+            "embedding",
+            # NaN, Inf, or beyond the quantization domain (|y| * 2^20
+            # must stay inside int64 -> |y| < 2^42)
+            lambda y: F.isnan(y.cast("double"))
+            | (F.abs(y.cast("double")) >= F.lit(float(2**42))),
+        )
     )
     qrows = (
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -745,8 +781,12 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT label, CAST(dim AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,
-           {sql_ddouble("SUM(CAST(FLOOR(v * 1000000) AS HUGEINT))")}
-             / 1000000.0 / COUNT(*) AS mean_val
+           CASE WHEN MAX(CASE WHEN v IS NOT NULL AND (isnan(v) OR abs(v) >= 1e12)
+                         THEN 1 ELSE 0 END) = 1
+                THEN CAST('NaN' AS DOUBLE)
+                ELSE {sql_ddouble("SUM(CASE WHEN NOT isnan(v) AND abs(v) < 1e12 THEN CAST(FLOOR(v * 1000000) AS HUGEINT) END)")}
+                  / 1000000.0 / COUNT(*)
+           END AS mean_val
     FROM x GROUP BY label, dim
     ORDER BY label, dim
     """,
@@ -776,12 +816,20 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         F.col("v").cast("double").alias("v"),
     )
-    s = F.sum(F.floor(F.col("v") * 1000000).cast("decimal(38,0)"))
+    # A non-finite/out-of-domain ELEMENT poisons its (label, dim)
+    # mean to NaN — drift monitoring must surface corrupt vectors,
+    # not average around them (array-element extremes fuzz).
+    v = F.col("v")
+    ok = ~F.isnan(v) & (F.abs(v) < F.lit(1e12))
+    bad = F.max(F.when(v.isNotNull() & ~ok, 1).otherwise(0))
+    s = F.sum(F.when(ok, F.floor(v * 1000000)).cast("decimal(38,0)"))
     return (
         x.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            (ddouble(s) / F.lit(1000000.0) / F.count(F.lit(1))).alias("mean_val"),
+            F.when(bad == 1, F.lit(float("nan")))
+            .otherwise(ddouble(s) / F.lit(1000000.0) / F.count(F.lit(1)))
+            .alias("mean_val"),
         )
         .orderBy("label", "dim")
     )
@@ -1128,8 +1176,12 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(dim) AS BIGINT) AS max_dim,
            MIN(l2) AS min_norm,
            MAX(l2) AS max_norm,
-           {sql_ddouble("SUM(CAST(FLOOR(l2 * 1000000) AS HUGEINT))")} / 1000000.0
-             / COUNT(l2) AS mean_norm,
+           CASE WHEN MAX(CASE WHEN l2 IS NOT NULL AND (isnan(l2) OR l2 >= 9e12)
+                         THEN 1 ELSE 0 END) = 1
+                THEN CAST('NaN' AS DOUBLE)
+                ELSE {sql_ddouble("SUM(CASE WHEN NOT isnan(l2) AND l2 < 9e12 THEN CAST(FLOOR(l2 * 1000000) AS HUGEINT) END)")} / 1000000.0
+                  / COUNT(l2)
+           END AS mean_norm,
            CAST(SUM(CASE WHEN n_zero = dim THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_vectors
     FROM n GROUP BY label ORDER BY label
@@ -1179,10 +1231,32 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dim").cast("bigint").alias("max_dim"),
             F.min("l2").alias("min_norm"),
             F.max("l2").alias("max_norm"),
-            (
-                ddouble(F.sum(F.floor(F.col("l2") * 1000000).cast("decimal(38,0)")))
+            # corrupt vectors (NaN/Inf elements -> NaN/Inf norms)
+            # poison the mean; min/max keep the engines' shared
+            # NaN-greatest ordering so they stay comparable.
+            F.when(
+                F.max(
+                    F.when(
+                        F.col("l2").isNotNull()
+                        & (F.isnan("l2") | (F.col("l2") >= F.lit(9e12))),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1,
+                F.lit(float("nan")),
+            )
+            .otherwise(
+                ddouble(
+                    F.sum(
+                        F.when(
+                            ~F.isnan("l2") & (F.col("l2") < F.lit(9e12)),
+                            F.floor(F.col("l2") * 1000000),
+                        ).cast("decimal(38,0)")
+                    )
+                )
                 / F.lit(1000000.0) / F.count("l2")
-            ).alias("mean_norm"),
+            )
+            .alias("mean_norm"),
             F.sum(F.when(F.col("all_zero"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_zero_vectors"),

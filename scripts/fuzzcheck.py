@@ -162,6 +162,21 @@ def mutate_table(
                     dup = dup.set_column(i, field, pa.array(vals, type=field.type))
                 except (pa.ArrowInvalid, OverflowError):
                     pass  # narrower int type: keep original values
+            elif pa.types.is_list(field.type) and pa.types.is_floating(
+                field.type.value_type
+            ):
+                # float arrays (embeddings): one special ELEMENT per
+                # duplicated vector — a NaN inside an otherwise-valid
+                # vector is the realistic corruption (a non-null column
+                # cell hides it from IS NULL checks entirely).
+                lists = dup.column(i).to_pylist()
+                out = []
+                for j, lv in enumerate(lists):
+                    if lv:
+                        lv = list(lv)
+                        lv[j % len(lv)] = f_specials[(j + seed) % len(f_specials)]
+                    out.append(lv)
+                dup = dup.set_column(i, field, pa.array(out, type=field.type))
         t = pa.concat_tables([t, dup])
     if mode in ("nulls", "both"):
         cols = []

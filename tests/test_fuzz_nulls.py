@@ -159,6 +159,9 @@ EXTREMES_REGRESSION_KEYS = [
     "rfm_segmentation", "ts_gapfill_locf", "ts_interpolate_linear",
     "ts_rolling_stats", "udaf_applyInPandas", "win_pct_change",
     "win_running_agg", "win_session", "win_sliding", "win_tumbling",
+    # array-ELEMENT extremes (a NaN inside an otherwise-valid vector):
+    "emb_centroid", "emb_norm_stats", "emb_quantize_int8",
+    "sim_search_bcast_index",
 ]
 
 
