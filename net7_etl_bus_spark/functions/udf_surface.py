@@ -137,8 +137,17 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         has = bool(nn.any())
         bad = bool(is_bad.any())
         good = prices[nn & ~is_bad]
-        cents = np.floor(good * 100.0).astype("int64").sum() if len(good) else 0
-        spend = float("nan") if bad else (cents / 100.0 if has else None)
+        # Accumulate in Python ints, not numpy int64: each in-domain
+        # row's cents fit int64 (|price| < 9e16 -> |cents| < 9e18 <
+        # 2^63), but a GROUP of such rows can exceed it, and numpy
+        # wraps silently instead of raising (advice r4) — while the
+        # oracle accumulates the same rows in DECIMAL(38,0). Python
+        # ints are unbounded, so the group sum is exact like the
+        # oracle's; float(cents)/100.0 then mirrors the oracle's
+        # CAST(sum AS DOUBLE)/100.0 (both correctly-rounded
+        # int->double, then one shared IEEE division).
+        cents = sum(int(v) for v in np.floor(good * 100.0)) if len(good) else 0
+        spend = float("nan") if bad else (float(cents) / 100.0 if has else None)
         mx = None
         if has:
             real_nan = is_bad & np.isnan(prices)  # NaN specifically, not Inf/huge

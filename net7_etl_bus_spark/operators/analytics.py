@@ -40,7 +40,8 @@ _H_NB = 5
            {sql_dsum('l_extendedprice')} AS sum_price
     FROM (
       SELECT l_extendedprice,
-             CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 1e18
+             CASE WHEN l_extendedprice IS NULL THEN NULL
+                  WHEN isnan(l_extendedprice) OR abs(l_extendedprice) >= 1e18
                   THEN -1
                   ELSE LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_H_LO}) / {_H_W}) AS BIGINT),
                              0), {_H_NB - 1}) END AS bucket
@@ -64,9 +65,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corrupt measures are SURFACED: NaN/Inf/overflow-range values land
     # in bucket -1 (their own row) instead of erroring (DuckDB int64
     # cast) or silently falling into a NULL bucket (Spark non-ANSI
-    # cast); in-domain sums use the dsum poison contract.
+    # cast); in-domain sums use the dsum poison contract. NULL
+    # measures get their OWN explicit NULL bucket: without the branch,
+    # floor(NULL)=NULL but greatest/least SKIP nulls in both engines,
+    # so NULL rows silently landed in bucket 0 — counted as real low
+    # values, laundering exactly the class of missing measure the
+    # histogram must surface (advice r4).
     x = F.col("l_extendedprice")
-    bucket = F.when(F.isnan(x) | (F.abs(x) >= F.lit(1e18)), F.lit(-1)).otherwise(
+    bucket = F.when(x.isNull(), F.lit(None).cast("bigint")).when(
+        F.isnan(x) | (F.abs(x) >= F.lit(1e18)), F.lit(-1)
+    ).otherwise(
         F.least(
             F.greatest(F.floor((x - _H_LO) / _H_W).cast("bigint"), F.lit(0)),
             F.lit(_H_NB - 1),

@@ -532,15 +532,17 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
         return joined.select("doc_a", "doc_b", jac.alias("jaccard"))
 
     # Mega path: three downstream branches (array verify, mixed
-    # fallback, mega-mega fallback) consume `joined` — unpersisted,
+    # fallback, mega-mega fallback) consume `joined` — unmaterialized,
     # each branch replays the whole signature cascade (measured 4x
     # wall time at sf0.1). The relation is candidate-count sized
-    # (arrays capped at 64 KB/side), so the cache is small by
-    # construction. Persisted for the lifetime of the returned lazy
-    # plan — callers running corpora with mega docs repeatedly on a
-    # long-lived session should spark.catalog.clearCache() between
-    # runs.
-    joined = joined.persist()
+    # (arrays capped at 64 KB/side), so the materialization is small
+    # by construction. localCheckpoint (same pattern as
+    # connected_components' edge checkpoint) rather than persist():
+    # the blocks are released when the DataFrame is GC'd, so repeated
+    # mega-corpus runs on a long-lived session don't accumulate cached
+    # relations and no caller ever needs a cache-nuking
+    # spark.catalog.clearCache().
+    joined = joined.localCheckpoint()
     small = (
         joined.filter(~F.col("ma") & ~F.col("mb"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -555,10 +557,12 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
         F.size(F.split(normalized_text("text"), " ")) > cap
     )
     x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
-    # persisted: consumed by the mixed join and both sides of the
+    # checkpointed: consumed by the mixed join and both sides of the
     # mega-mega join — one documents scan instead of three (and the
-    # relation is empty whenever the corpus has no mega docs).
-    hm = _shingles(mega_docs).select("doc_id", x.alias("x")).persist()
+    # relation is empty whenever the corpus has no mega docs; this
+    # branch only builds at all when has_mega fired). GC-released like
+    # `joined` above.
+    hm = _shingles(mega_docs).select("doc_id", x.alias("x")).localCheckpoint()
 
     def pair_jaccard(pairs: DataFrame, c: DataFrame) -> DataFrame:
         cval = F.coalesce(F.col("c"), F.lit(0)).cast("double")

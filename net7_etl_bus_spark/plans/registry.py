@@ -171,17 +171,24 @@ def _dsum_lim(scale: int) -> float:
     return 9e18 / float(10**scale)
 
 
+def _bad_row(c: Column, scale: int) -> Column:
+    """Per-row predicate: value dsum cannot represent — NaN, +/-Inf, or
+    magnitude outside the quantization domain (NULL is NOT bad; SQL
+    ignores it). Built ONCE per measure and referenced by BOTH dsum
+    legs so codegen subexpression elimination shares the isnan/abs
+    work (the r4 shape built two different trees — `isnan|abs>=lim`
+    for the flag, `~isnan & abs<lim` for the sum — which doubled the
+    per-row predicate cost on every deterministic sum; measured ~5%
+    of q1 steady-state at sf0.1, scripts/proto_dsum_guard.py)."""
+    return c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(_dsum_lim(scale))))
+
+
 def dsum_bad(col: Column | str, scale: int = 2) -> Column:
     """1 iff the group contains a value dsum cannot represent: NaN,
     +/-Inf, or magnitude outside the quantization domain. Aggregate
     expression (MAX of a per-row flag)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.max(
-        F.when(
-            c.isNotNull() & (F.isnan(c) | (F.abs(c) >= F.lit(_dsum_lim(scale)))),
-            1,
-        ).otherwise(0)
-    )
+    return F.max(_bad_row(c, scale).cast("int"))
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
@@ -203,15 +210,20 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     nulls them) — at 100 TB that is a wrong answer with no signal;
     DuckDB's strict cast meanwhile failed the query. NULLs are still
     ignored per SQL.
+
+    Both aggregate legs (guarded sum, poison flag) hang off the SAME
+    `_bad_row` expression tree: NULL c makes the guard predicate FALSE
+    (isNotNull & ...), so ~bad is TRUE and floor(NULL*m) stays NULL —
+    ignored by SUM exactly as SQL requires.
     """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
-    ok = ~F.isnan(c) & (F.abs(c) < F.lit(_dsum_lim(scale)))
+    bad = _bad_row(c, scale)
     good = (
-        F.sum(F.when(ok, F.floor(c * F.lit(m))).cast("decimal(38,0)"))
+        F.sum(F.when(~bad, F.floor(c * F.lit(m))).cast("decimal(38,0)"))
         .cast("double") / F.lit(m)
     )
-    return F.when(dsum_bad(c, scale) == 1, F.lit(float("nan"))).otherwise(good)
+    return F.when(F.max(bad.cast("int")) == 1, F.lit(float("nan"))).otherwise(good)
 
 
 # NOTE on two-level accumulation (int64 partials per partition, decimal

@@ -11,9 +11,15 @@ real 100 TB data has and the clean synthetic fixtures never exercise.
 Usage: python scripts/fuzzcheck.py [src_sf_dir] [mode] [rate] [seed] [query ...]
 ``mode`` is one of ``nulls`` (default), ``dupes`` (append re-keyed
 content-duplicate rows — exercises dedup ops and multiplicity),
-``both``, or ``unicode`` (append re-keyed copies with non-ASCII edge
+``both``, ``unicode`` (append re-keyed copies with non-ASCII edge
 content in string columns — case-folding expanders, combining marks,
-exotic spaces, emoji, CRLF).
+exotic spaces, emoji, CRLF), ``extremes`` (overwrite a fraction of
+numeric cells with NaN/±Inf/±huge/±tiny/zero specials, including
+float-ARRAY elements — a NaN inside a valid embedding is invisible to
+IS NULL), or ``skew`` (zipf-rekey a fraction of rows onto one hot key
+per join/group column — one key owning ~30% of rows — the distribution
+failure mode of 100× scale-ups; values are untouched, so every oracle
+must still match).
 Exit 0 iff every checked query matches on the mutated data.
 """
 

@@ -229,3 +229,79 @@ def test_results_invariant_under_shuffle_partitioning(spark):
             assert results[0] == results[1], f"{name} varies with partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_udaf_group_sum_exceeding_int64_is_exact(spark, tmp_path):
+    """ADVICE r4 (medium): the udaf_applyInPandas kernel summed cents
+    with numpy int64 — two in-domain rows (|price| < 9e16 each, so
+    per-row cents up to ~9e18) silently WRAP int64 in one group (numpy
+    does not raise), while the oracle accumulates in DECIMAL(38,0).
+    The kernel now accumulates in unbounded Python ints; this pins the
+    exact group total on a two-row group whose cent-sum exceeds 2^63,
+    cross-checked against the DuckDB oracle on the same bytes."""
+    import duckdb
+
+    from net7_etl_bus_spark.plans import registry
+
+    price = 8.9e16  # in-domain (< 9e16 bound), cents ~ 8.9e18 each
+    orders = spark.createDataFrame(
+        [(1, price), (1, price), (2, 10.25)],
+        "o_custkey long, o_totalprice double",
+    )
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    qs, oracles = registry.queries(), registry.oracles()
+    rows = {
+        r.o_custkey: r.total_spend
+        for r in qs["udaf_applyInPandas"](spark, str(tmp_path)).collect()
+    }
+    cents = int(price * 100.0)  # exact: price*100 is an exact float64 int
+    expected = float(2 * cents) / 100.0
+    assert 2 * cents > 2**63  # the case numpy int64 silently wrapped
+    assert rows[1] == expected and rows[1] > 0
+    assert rows[2] == 10.25
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    odf = con.execute(oracles["udaf_applyInPandas"]).df()
+    con.close()
+    oracle_rows = dict(zip(odf["o_custkey"], odf["total_spend"]))
+    assert oracle_rows[1] == rows[1] and oracle_rows[2] == rows[2]
+
+
+def test_histogram_null_measure_gets_its_own_bucket(spark, tmp_path):
+    """ADVICE r4: NULL measures used to land in bucket 0 — floor(NULL)
+    is NULL but greatest/least SKIP nulls in both engines, so NULL rows
+    were counted as real low values. They must now surface in their own
+    NULL bucket on BOTH engines."""
+    import duckdb
+    import math
+
+    from net7_etl_bus_spark.plans import registry
+
+    li = spark.createDataFrame(
+        [(1.0,), (None,), (None,), (30_000.0,), (float("nan"),)],
+        "l_extendedprice double",
+    )
+    li.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    qs, oracles = registry.queries(), registry.oracles()
+    got = {
+        (r.bucket if r.bucket is not None else "null"): r.n
+        for r in qs["agg_histogram"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"null": 2, -1: 1, 0: 1, 1: 1}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    odf = con.execute(oracles["agg_histogram"]).df()
+    con.close()
+    oracle = {
+        ("null" if b is None or (isinstance(b, float) and math.isnan(b)) else int(b)): int(n)
+        for b, n in zip(odf["bucket"], odf["n"])
+    }
+    assert oracle == got
