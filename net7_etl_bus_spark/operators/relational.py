@@ -302,15 +302,44 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_count_distinct_approx")  # no oracle: HLL sketches differ by engine
+@register(
+    "agg_count_distinct_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No DuckDB oracle: the
-    two engines' sketches legitimately disagree; tests assert bounded
-    relative error against the exact count instead."""
+    """approx_count_distinct (HyperLogLog++) with a driver-checkable
+    invariant (r4 verdict item 3). The raw sketch estimate is
+    engine-specific (DuckDB's HLL legitimately disagrees), so the
+    OUTPUT is the exact count plus ``within_bound`` — 1 iff the HLL++
+    estimate at rsd=0.02 lands within max(10% of exact, 4) of the
+    exact count (10% = 5 sigma at that rsd; the absolute floor covers
+    tiny groups, where the sparse-mode estimate can sit off by one or
+    two — unicode fuzz found exact=8/approx=7 failing a pure relative
+    bound), evaluated in-engine on the same aggregation pass. The
+    oracle computes the exact count and asserts the invariant as the
+    literal 1, so a sketch gone wrong hash-mismatches the driver gate
+    instead of hiding behind a rows-only check. HLL++ merge is
+    max-of-registers — order-independent, hence stable under any
+    partitioning."""
     l = load_table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey").cast("bigint")
+    approx = F.approx_count_distinct("l_partkey", 0.02).cast("double")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        exact.alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.when(
+            F.abs(approx - exact.cast("double"))
+            <= F.greatest(0.1 * exact.cast("double"), F.lit(4.0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("within_bound"),
     )
 
 

@@ -74,45 +74,42 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-4 front of the line: the keys never verified by any driver
-# sweep — i.e. absent from CORRECTNESS_r01 ∪ r02 ∪ r03 (r3 was 50/50
-# green, so no failures to re-front) — plus the newly registered
-# scd2_apply_increment (SURVEY-named, VERDICT r3 item 2). The front
-# block is EXACTLY 50 keys; the 3 that don't fit this round's budget
-# (text_html_strip, win_pct_change — trivial narrow maps, both
-# beyond-SURVEY — and the new dedup_apply_increment) queue at 51-53
-# for round 5's sweep. Keys already driver-green re-register last.
-# Keys not in the registry are ignored, so this list never breaks
-# registration.
+# Round-5 front of the line (r4 verdict items 2-3): the 3 keys never
+# verified by any driver sweep (absent from CORRECTNESS_r01 ∪ ... ∪
+# r04; everything else is cumulatively green with zero outstanding
+# failures), then the 2 keys that GAINED oracles this round (they were
+# no-oracle-by-design through r4 — agg_count_distinct_approx now
+# attests its HLL error bound, dedup_minhash_mllib its recall
+# invariant), then every key whose code or shared helpers changed this
+# round (the dsum single-tree guard touches every deterministic sum;
+# agg_histogram's NULL bucket, udaf's Python-int accumulation, the
+# verified-MinHash localCheckpoint swap) — so the driver re-attests
+# exactly the surface r5 touched. Keys not in the registry are
+# ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # new this round: incremental-==-rebuild replay (SURVEY-named key)
-    "scd2_apply_increment",
-    # never driver-checked: window / sessionization / product analytics
-    "skew_key_profile", "win_first_last", "win_running_distinct",
-    "win_gaps_islands", "event_transitions",
-    "funnel_conversion", "cohort_retention", "rfm_segmentation",
-    # never driver-checked: joins / CDC / time series / layout
-    "join_range_binned", "join_asof_forward", "join_scd2_pointintime",
-    "geo_distance_join", "stream_join_attrib",
-    "scd2_dimension", "cdc_snapshot_diff",
-    "ts_gapfill_locf", "ts_interpolate_linear", "ts_resample_ohlc",
-    "ts_rolling_stats", "zorder_cluster",
-    # never driver-checked: embeddings / similarity
-    "emb_quantize_int8", "emb_centroid", "emb_pq_quantize",
-    "sim_search_bcast_index", "sim_search_pq", "knn_classify",
-    # never driver-checked: scalar fn surfaces + plugin scan
-    "fn_try_safe", "fn_variant", "fn_bitwise", "fn_encoding",
-    "fn_regexp", "fn_conditional", "fixedwidth_scan",
-    # never driver-checked: round-3 additions
-    "sim_search_ivfpq", "dedup_span_ngram", "join_interval_overlap",
-    "text_quality_classifier", "agg_decay_weighted",
-    "mm_phash_dedup", "pipeline_curation",
-    "emb_norm_stats", "dedup_lsh_jaccard_est",
-    "join_fuzzy_levenshtein", "sim_eval_recall",
-    "agg_bitmap_distinct", "agg_bitmap_retention", "graph_common_neighbors",
-    "dedup_cc_survivors", "split_temporal",
-    # ---- 50-key budget line (the driver stops here) ----
+    # never driver-checked (queued 51-53 in r4's sweep)
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
+    # newly oracle-ized this round (were no-oracle through r4)
+    "agg_count_distinct_approx", "dedup_minhash_mllib",
+    # direct r5 code changes
+    "agg_histogram", "udaf_applyInPandas",
+    "dedup_minhash_verified", "dedup_cc_clusters", "dedup_cc_survivors",
+    "dedup_lsh_jaccard_est", "pipeline_curation", "dedup_ngram_jaccard",
+    # dsum/davg consumers (single-tree guard rewrite): headline queries
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "agg_hash", "agg_cube", "agg_rollup", "agg_grouping_sets",
+    "agg_regr", "agg_stats_moments", "agg_weighted_avg",
+    "agg_decay_weighted", "agg_rollup_time", "agg_percentile_disc",
+    "agg_pivot", "win_running_agg", "anomaly_zscore", "ts_rolling_stats",
+    "q9_product_type_profit", "q10_returned_items", "q11_important_stock",
+    "q12_priority_shipping", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "rfm_segmentation",
+    "cohort_retention", "profile_columns", "dq_audit",
+    # ---- 50-key budget line (the driver stops here) ----
 )
 
 
