@@ -184,6 +184,37 @@ def mutate_table(
                     out.append(lv)
                 dup = dup.set_column(i, field, pa.array(out, type=field.type))
         t = pa.concat_tables([t, dup])
+    if mode == "skew":
+        # Zipf-style rekey: a seeded `rate` fraction of rows in every
+        # JOIN/GROUP key column (FK-ish integer columns — never the
+        # table's primary key, whose uniqueness is the engine's
+        # documented input contract) is overwritten with that column's
+        # MIN value — one hot key owning ~rate of the table. Values
+        # are EXISTING keys, so FK joins still match and both engines
+        # see the same bytes: every oracle must still hash-match, but
+        # Spark now exercises its skew machinery (AQE skew-join
+        # splits, hot hash-agg groups, one monster order/user/part) —
+        # the distribution failure mode of a 100x scale-up, which
+        # value-corruption fuzzing never touches.
+        name = os.path.basename(src).replace(".parquet", "")
+        pks = set(_TABLE_KEYS.get(name, ()))
+        for i, field in enumerate(t.schema):
+            if field.name in pks or not pa.types.is_integer(field.type):
+                continue
+            if not (field.name.endswith("key") or field.name == "user_id"):
+                continue
+            col = t.column(i)
+            hot = pc.min(col).as_py()
+            if hot is None:
+                continue
+            rng = np.random.default_rng(
+                zlib.crc32(f"{os.path.basename(src)}:skew:{field.name}:{seed}".encode())
+            )
+            mask = pa.array(rng.random(len(t)) < rate)
+            col = pc.if_else(
+                mask, pa.scalar(hot, type=field.type), col.combine_chunks()
+            )
+            t = t.set_column(i, field, col)
     if mode in ("nulls", "both"):
         cols = []
         for i, field in enumerate(t.schema):
@@ -208,7 +239,7 @@ def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
-    _MODES = ("nulls", "dupes", "both", "unicode", "extremes")
+    _MODES = ("nulls", "dupes", "both", "unicode", "extremes", "skew")
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03

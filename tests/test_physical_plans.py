@@ -625,3 +625,105 @@ def test_fuzzy_join_blocks_to_hash_join(spark):
     plan = plan_of(spark, "join_fuzzy_levenshtein", mode="simple")
     assert "HashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+# --- unpartitioned-window guard (VERDICT r4 item 5) -------------------
+#
+# A Window.orderBy WITHOUT partitionBy funnels its whole input through
+# ONE partition's sort — fine over a dimension-sized or already-top-k
+# relation, a cluster-melter over a fact. The sites below are each
+# documented and bounded; this pair of tests makes the bound a test
+# invariant so future edits can't silently put a fact table through a
+# single-partition sort.
+
+# (file, outermost enclosing function) of every sanctioned site.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    ("windows.py", "win_ntile_percent"),       # over customer (dim)
+    ("relational.py", "sort_orderby"),         # over supplier (dim)
+    ("relational.py", "rfm_segmentation"),     # over per-customer agg
+    ("graph.py", "graph_common_neighbors"),    # over top-k limit
+    ("analytics.py", "skew_key_profile"),      # over top-20 limit
+}
+
+
+def test_unpartitioned_window_sites_are_allowlisted():
+    """Every `Window.orderBy(...)` call (i.e. orderBy directly on the
+    Window class — a partitioned spec calls it on the partitionBy
+    result instead) must appear in the reviewed allowlist."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "net7_etl_bus_spark"
+    found = set()
+    for py in root.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "orderBy"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "Window"
+                ):
+                    found.add((py.name, self.stack[0] if self.stack else "<module>"))
+                self.generic_visit(node)
+
+        V().visit(tree)
+    assert found == _GLOBAL_WINDOW_ALLOWLIST, (
+        f"unreviewed global-window sites: {found - _GLOBAL_WINDOW_ALLOWLIST}; "
+        f"stale allowlist entries: {_GLOBAL_WINDOW_ALLOWLIST - found}"
+    )
+
+
+def _window_line(plan: str) -> int:
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            return i
+    raise AssertionError(f"no Window node in plan:\n{plan}")
+
+
+def test_global_window_inputs_are_bounded(spark):
+    """For each allowlisted site's registered query, the physical plan
+    must show the documented bound BELOW the Window node (tree prints
+    parent-first): a top-k limit, a dimension-only scan, or a
+    key-collapsing aggregate."""
+    # top-k-limited inputs: a TakeOrderedAndProject/Limit under the Window
+    for name in ("graph_common_neighbors", "skew_key_profile"):
+        plan = plan_of(spark, name, mode="simple")
+        lines = plan.splitlines()
+        wi = _window_line(plan)
+        below = "\n".join(lines[wi + 1 :])
+        assert "TakeOrderedAndProject" in below or "Limit" in below, (
+            f"{name}: Window input not limit-bounded:\n{plan}"
+        )
+
+    # dimension-sized inputs: nothing fact-scale anywhere under the Window
+    for name, dim in (("win_ntile_percent", "customer"), ("sort_orderby", "supplier")):
+        plan = plan_of(spark, name, mode="simple")
+        below = "\n".join(plan.splitlines()[_window_line(plan) + 1 :])
+        assert f"{dim}.parquet" in below, f"{name}: expected {dim} scan:\n{plan}"
+        for fact in ("lineitem", "orders", "events", "documents", "embeddings"):
+            assert f"{fact}.parquet" not in below, (
+                f"{name}: fact table under a global window:\n{plan}"
+            )
+
+    # aggregate-collapsed input: rfm's windows run over the per-customer
+    # aggregate of orders, never raw orders rows
+    plan = plan_of(spark, "rfm_segmentation", mode="simple")
+    below = "\n".join(plan.splitlines()[_window_line(plan) + 1 :])
+    assert "HashAggregate" in below and "o_custkey" in below, (
+        f"rfm_segmentation: window not over the per-customer aggregate:\n{plan}"
+    )
