@@ -610,6 +610,86 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             list(x ORDER BY x) FILTER (WHERE ok) AS xs,
+             COUNT(*) FILTER (WHERE ok) AS n,
+             COUNT(*) FILTER (WHERE badrow) AS n_bad
+      FROM (SELECT l_returnflag, l_extendedprice AS x,
+                   l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+                     AND NOT isinf(l_extendedprice) AS ok,
+                   l_extendedprice IS NOT NULL AND (isnan(l_extendedprice)
+                     OR isinf(l_extendedprice)) AS badrow
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CASE WHEN n > 0 THEN xs[CAST(ceil(0.5 * n) AS BIGINT)] END AS median_exact,
+           CAST(n_bad AS BIGINT) AS n_bad,
+           1 AS within_bound
+    FROM s
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable rank sketch — the percentile a
+    100 TB dashboard actually computes; exact per-group percentiles
+    need a full sort, see agg_percentile_disc) with a driver-checkable
+    invariant, same pattern as agg_count_distinct_approx: the sketch
+    value is engine-specific, so the OUTPUT is the exact median plus
+    ``within_bound`` — 1 iff the sketch's median (accuracy 1000, rank
+    error <= 0.1%) lands between the exact 47th and 53rd percentiles,
+    evaluated in-engine in the same aggregation pass. The oracle
+    computes the exact median by sorted-list selection and asserts the
+    invariant as the literal 1.
+
+    Corruption contract: NaN/Inf measures can't poison a rank sketch
+    the way they poison a sum (no arithmetic), but they CAN'T be
+    silently dropped either — they're excluded from both engines'
+    rank domain identically and SURFACED as the exact ``n_bad`` count
+    per group (cross-engine checkable), so a corrupt 100 TB metric
+    column is visible next to its percentile. NULLs are ignored per
+    SQL; an all-NULL group has a NULL median and within_bound=1 iff
+    the sketch also returns NULL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    inf = F.lit(float("inf"))
+    ok = x.isNotNull() & ~F.isnan(x) & (F.abs(x) != inf)
+    badrow = x.isNotNull() & (F.isnan(x) | (F.abs(x) == inf))
+    prj = li.select(
+        "l_returnflag",
+        F.when(ok, x).alias("fin"),
+        F.when(badrow, 1).alias("bad"),
+    )
+    return (
+        prj.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY fin)").alias(
+                "median_exact"
+            ),
+            F.expr("percentile_disc(0.47) WITHIN GROUP (ORDER BY fin)").alias("_lo"),
+            F.expr("percentile_disc(0.53) WITHIN GROUP (ORDER BY fin)").alias("_hi"),
+            F.percentile_approx("fin", 0.5, 1000).alias("_apx"),
+            F.count("bad").cast("bigint").alias("n_bad"),
+            F.count("fin").alias("_n"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            "n_bad",
+            F.when(F.col("_n") == 0, F.col("_apx").isNull().cast("int"))
+            .otherwise(
+                (
+                    (F.col("_apx") >= F.col("_lo")) & (F.col("_apx") <= F.col("_hi"))
+                ).cast("int")
+            )
+            .alias("within_bound"),
+        )
+    )
+
+
+@register(
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -89,8 +89,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # never driver-checked (queued 51-53 in r4's sweep)
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
-    # newly oracle-ized this round (were no-oracle through r4)
+    # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
+    "agg_percentile_approx",
     # direct r5 code changes
     "agg_histogram", "udaf_applyInPandas",
     "dedup_minhash_verified", "dedup_cc_clusters", "dedup_cc_survivors",
@@ -108,7 +109,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue", "q20_excess_suppliers",
     "q22_dormant_customers", "q2_min_cost_supplier", "q4_order_priority",
     "q7_volume_shipping", "q8_market_share", "rfm_segmentation",
-    "cohort_retention", "profile_columns", "dq_audit",
+    "cohort_retention", "profile_columns",
     # ---- 50-key budget line (the driver stops here) ----
 )
 
