@@ -164,3 +164,63 @@ def test_minhash_family_is_deterministic_and_bounded(spark, values):
     m2 = {r["s"]: r["h"] for r in two}
     assert m1 == m2
     assert all(0 <= v < _MH_P for v in m1.values())
+
+
+# --- dsum poison contract vs pure-Python model -------------------------
+
+_measures = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.floats(min_value=-1e5, max_value=1e5),  # bias toward in-domain
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _dsum_model(vals, scale=2):
+    """Independent model of registry.dsum: NULLs ignored; any
+    NaN/Inf/out-of-domain value poisons the group to NaN; otherwise
+    the exact integer sum of floor(v * 10^scale), converted int->double
+    (correctly rounded) and divided once by 10^scale."""
+    import math
+
+    m = 10**scale
+    lim = 9e18 / m
+    xs = [v for v in vals if v is not None]
+    if any(math.isnan(v) or abs(v) >= lim for v in xs):
+        return float("nan")
+    if not xs:
+        return None
+    return float(sum(int(math.floor(v * m)) for v in xs)) / m
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_measures, min_size=1, max_size=6))
+def test_dsum_matches_python_model(spark, groups):
+    """One Spark job per example: every hypothesis-generated group is a
+    key in a single groupBy, so the property covers many groups per
+    run. Pins the poison contract itself (not just its cross-engine
+    parity, which the fuzz differentials cover)."""
+    import math
+
+    from net7_etl_bus_spark.plans.registry import dsum
+
+    rows = [(g, v) for g, vals in enumerate(groups) for v in vals]
+    # every group must appear even if empty -> seed with a NULL row
+    rows += [(g, None) for g in range(len(groups))]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(dsum("x").alias("s")).collect()
+    }
+    for g, vals in enumerate(groups):
+        want = _dsum_model(vals)
+        have = got[g]
+        if want is None:
+            assert have is None, (g, vals, have)
+        elif math.isnan(want):
+            assert have is not None and math.isnan(have), (g, vals, have)
+        else:
+            assert have == want, (g, vals, have, want)
