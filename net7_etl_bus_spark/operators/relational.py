@@ -10,7 +10,7 @@ at scale; tests/test_plans.py asserts the load-bearing properties
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -1192,18 +1192,20 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     them.
     """
     o = load_table(spark, sf_dir, "orders")
+
+    # A group whose elements are ALL NULL must serialize to NULL, not
+    # '': collect_list skips NULLs so the array can be empty, while the
+    # oracle's string_agg over zero non-null values is NULL per SQL.
+    def _joined(lst: Column) -> Column:
+        return F.when(
+            F.size(lst) > 0,
+            F.array_join(F.transform(lst, lambda x: x.cast("string")), ","),
+        )
+
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("o_orderkey")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("order_keys"),
-        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
-            "priorities"
-        ),
+        _joined(F.array_sort(F.collect_list("o_orderkey"))).alias("order_keys"),
+        _joined(F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
     )
 
 

@@ -971,7 +971,8 @@ JOIN part p ON p.p_partkey = c.l_partkey
 WHERE p.p_brand <> 'Brand#45'
   AND p.p_type <> 'PROMO'
   AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-  AND c.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_acctbal < 0 AND s.s_suppkey = c.l_suppkey)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """
@@ -981,7 +982,7 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q16-style supplier counts per part attribute (adapted:
     the part-supplier catalog is the distinct pairs from lineitem;
-    negative-balance suppliers stand in for the complaints NOT IN).
+    negative-balance suppliers stand in for the complaints exclusion).
 
     Scale shape: filtered part broadcasts into lineitem and the
     excluded-supplier set is a broadcast ANTI join (never a NOT IN
@@ -1043,17 +1044,29 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from ..plans.registry import _bad_row
+
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     w = Window.partitionBy("l_partkey")
     # davg("l_quantity") as a window: identical op order, so the
-    # threshold bit-matches the oracle's sql_davg.
-    avg_qty = (
-        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0)).cast("decimal(38,0)"))
+    # threshold bit-matches the oracle's sql_davg — INCLUDING the
+    # poison contract: a NaN/Inf/out-of-domain quantity anywhere in
+    # the part group makes the group's avg NaN in sql_davg, and the
+    # NaN threshold then admits every non-NaN quantity (NaN is the
+    # total-order maximum in both engines). The raw floor-sum alone
+    # would silently launder the corrupt row into a finite threshold.
+    qty = F.col("l_quantity")
+    bad_qty = _bad_row(qty, 2)
+    raw_avg = (
+        F.sum(F.when(~bad_qty, F.floor(qty * F.lit(100.0))).cast("decimal(38,0)"))
         .over(w)
         .cast("double")
         / F.lit(100.0)
     ) / F.count(F.lit(1)).over(w)
+    avg_qty = F.when(
+        F.max(bad_qty.cast("int")).over(w) == 1, F.lit(float("nan"))
+    ).otherwise(raw_avg)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .withColumn("avg_qty", avg_qty)

@@ -16,10 +16,11 @@ content in string columns — case-folding expanders, combining marks,
 exotic spaces, emoji, CRLF), ``extremes`` (overwrite a fraction of
 numeric cells with NaN/±Inf/±huge/±tiny/zero specials, including
 float-ARRAY elements — a NaN inside a valid embedding is invisible to
-IS NULL), or ``skew`` (zipf-rekey a fraction of rows onto one hot key
+IS NULL), ``skew`` (zipf-rekey a fraction of rows onto one hot key
 per join/group column — one key owning ~30% of rows — the distribution
 failure mode of 100× scale-ups; values are untouched, so every oracle
-must still match).
+must still match), or ``chaos`` (the stack: skew at the given rate,
+then extremes 3%, then nulls 3% — cross-class interactions).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -64,6 +65,31 @@ _TABLE_KEYS = {
 def mutate_table(
     src: str, dst: str, rate: float, seed: int, mode: str = "nulls"
 ) -> None:
+    if mode == "chaos":
+        # Stacked adversary: hot-key skew, then extreme numerics, then
+        # NULLs — interactions between classes (a NULL on a hot key, a
+        # NaN inside a skewed group) that no single class produces.
+        # Rates are fixed per stage (skew uses the caller's rate; the
+        # value-corruption stages use the proven per-class defaults)
+        # and seeds are derived so the stack is fully reproducible.
+        import tempfile
+
+        # Intermediate files MUST keep the table's basename: each stage
+        # derives its _TABLE_KEYS protection (and its seeded rng) from
+        # the filename, and losing it would let the extremes stage
+        # stomp primary keys with INT_MIN/0/-1 specials — violating the
+        # engine's documented key-uniqueness input contract and testing
+        # the mutation, not the engine.
+        base = os.path.basename(src)
+        with tempfile.TemporaryDirectory(prefix="chaos_") as td:
+            s1 = os.path.join(td, "s1", base)
+            s2 = os.path.join(td, "s2", base)
+            os.makedirs(os.path.dirname(s1))
+            os.makedirs(os.path.dirname(s2))
+            mutate_table(src, s1, rate, seed, "skew")
+            mutate_table(s1, s2, 0.03, seed + 1, "extremes")
+            mutate_table(s2, dst, 0.03, seed + 2, "nulls")
+        return
     t = pq.read_table(src)
     if mode in ("dupes", "both"):
         # Append a seeded sample of CONTENT duplicates with FRESH keys
@@ -239,7 +265,7 @@ def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
-    _MODES = ("nulls", "dupes", "both", "unicode", "extremes", "skew")
+    _MODES = ("nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos")
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03

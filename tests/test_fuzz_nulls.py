@@ -262,3 +262,96 @@ def test_skew_fuzz_parity(spark, skew_dir, skew_duck, key):
     odf = skew_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# Stacked adversary (chaos mode): skew 30%, then extremes 3%, then
+# nulls 3% — cross-class interactions no single class produces (a NULL
+# on a hot key, a NaN inside a skewed group, a corrupt measure behind
+# a poisoned threshold). Building the stack exposed that intermediate
+# files must keep the table basename (else _TABLE_KEYS protection is
+# lost and the extremes stage stomps primary keys — testing the
+# mutation, not the engine), and two real engine gaps: q17's window
+# davg lacked the poison contract its oracle has (a NaN quantity in a
+# Brand#23 part group poisoned the oracle's threshold but not
+# Spark's), and agg_collect_list serialized an all-NULL group to ''
+# where string_agg is NULL. This pins the keys that diverged plus the
+# most interaction-sensitive composites.
+CHAOS_REGRESSION_KEYS = [
+    "agg_collect_list", "cdc_snapshot_diff", "dedup_exact_survivors",
+    "emb_dedup_cosine_lsh", "mm_frame_sample", "pipeline_curation",
+    # seed 1: a nulled s_suppkey on a negative-balance supplier made
+    # the oracle's NOT IN vacuously false (0 rows) — rewritten as the
+    # NOT EXISTS the engine's anti join actually implements.
+    "q16_supplier_part_cnt",
+    "q17_small_quantity_revenue", "sim_eval_recall", "sim_search_lsh",
+    "sim_search_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def chaos_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("chaos_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.3,
+            SEED,
+            "chaos",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def chaos_duck(chaos_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{chaos_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", CHAOS_REGRESSION_KEYS)
+def test_chaos_fuzz_parity(spark, chaos_dir, chaos_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, chaos_dir).toPandas()
+    odf = chaos_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+def test_chaos_stack_preserves_key_uniqueness(chaos_dir):
+    """The stacked mutation must honor the engine's key-uniqueness
+    input contract at every stage (duplicate PKs are ill-defined
+    input, not a robustness target): no non-null primary key may
+    repeat in the chaos mirror."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from fuzzcheck import _TABLE_KEYS
+
+    def key_tuples(path, keys):
+        t = pq.read_table(path)
+        cols = [t.column(k).to_pylist() for k in keys]
+        return [kt for kt in zip(*cols) if None not in kt]
+
+    checked = 0
+    for tbl, keys in _TABLE_KEYS.items():
+        pristine = key_tuples(os.path.join(SF_SMALL, f"{tbl}.parquet"), keys)
+        if len(set(pristine)) != len(pristine):
+            # _TABLE_KEYS names the re-key column, which for lineitem
+            # is not unique even in pristine data — nothing to preserve.
+            continue
+        mutated = key_tuples(os.path.join(chaos_dir, f"{tbl}.parquet"), keys)
+        dup = [kt for kt, n in collections.Counter(mutated).items() if n > 1]
+        assert not dup, f"{tbl} {keys} has duplicate PKs: {dup[:5]}"
+        checked += 1
+    assert checked >= 5, "uniqueness check lost its subject tables"
