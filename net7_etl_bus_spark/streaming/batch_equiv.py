@@ -86,7 +86,7 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
-                       < INTERVAL '10 minutes'
+                       <= INTERVAL '10 minutes'
                   THEN 0 ELSE 1 END AS is_new_session
       FROM events
       WHERE ts IS NOT NULL
@@ -108,11 +108,17 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user via the built-in
-    session_window — Spark merges events whose gaps are < 10m; the
-    session end is last_event + gap. The oracle reproduces this with
-    the classic gaps-and-islands construction. In streaming mode the
-    identical expression runs with ``withWatermark`` and state-store
-    session merging."""
+    session_window — Spark merges events whose gaps are <= 10m (each
+    event's window is [ts, ts+gap) and TOUCHING windows coalesce, so
+    an event at exactly last+gap extends the session); the session end
+    is last_event + gap. The oracle reproduces this with the classic
+    gaps-and-islands construction using the matching ``<=`` — its
+    original ``<`` diverged at the exact boundary, which the
+    hypothesis model test caught and no data fuzz could (real event
+    times never land on the boundary; oracle comments are impossible
+    because the registry collapses oracle SQL to one line). In
+    streaming mode the identical expression runs with
+    ``withWatermark`` and state-store session merging."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.filter(F.col("ts").isNotNull())

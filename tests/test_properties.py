@@ -224,3 +224,142 @@ def test_dsum_matches_python_model(spark, groups):
             assert have is not None and math.isnan(have), (g, vals, have)
         else:
             assert have == want, (g, vals, have, want)
+
+
+# --- as-of join & session windows vs naive models ---------------------
+
+# Rows: (user_id or None, minute or None, is_signup). The minute grid
+# is small so equal timestamps, sub-gap bursts, and >=10-minute gaps
+# all occur; event ids are assigned by enumeration (unique, the
+# engine's key contract).
+_events = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 59)),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _events_dir(tmpdir, rows):
+    """Materialize hypothesis rows as an events.parquet a registry
+    operator can load — the property exercises the real read path."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if m is None else base + datetime.timedelta(minutes=m)
+                 for _, m, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array(
+                ["signup" if s else "click" for _, _, s in rows], pa.string()
+            ),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+@given(rows=_events)
+@settings(**{**_SETTINGS, "max_examples": 10})
+def test_asof_join_matches_naive(spark, tmp_path_factory, rows):
+    """The union+window as-of join must agree with the obvious
+    per-row model: each non-signup event gets the max signup ts <= its
+    ts for the same non-null user — across equal timestamps (a signup
+    at exactly l.ts matches), NULL users, NULL event times, and users
+    with no signups at all."""
+    from net7_etl_bus_spark.operators.windows import join_asof
+
+    d = _events_dir(str(tmp_path_factory.mktemp("asof")), rows)
+    got = {
+        r["event_id"]: r["last_signup_ts"]
+        for r in join_asof(spark, d).collect()
+    }
+    signups = [
+        (u, m) for u, m, s in rows if s and u is not None and m is not None
+    ]
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    n_left = 0
+    for eid, (u, m, s) in enumerate(rows):
+        if s:
+            assert eid not in got  # signups are not left rows
+            continue
+        n_left += 1
+        want = None
+        if u is not None and m is not None:
+            cand = [sm for su, sm in signups if su == u and sm <= m]
+            if cand:
+                want = base + datetime.timedelta(minutes=max(cand))
+        assert got.get(eid) == want, (eid, rows[eid], got.get(eid), want)
+    assert len(got) == n_left
+
+
+def _session_model(rows, gap_min=10):
+    """(user, [minutes]) -> [(start_min, end_min, n)] by the
+    gaps-and-islands rule matching Spark's session_window: touching
+    windows merge, so a new session starts only when the gap from the
+    previous event EXCEEDS gap_min; end = last event + gap_min."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, m, _ in rows:
+        if m is not None:
+            per_user[u].append(m)
+    out = set()
+    for u, ms in per_user.items():
+        ms.sort()
+        start = prev = ms[0]
+        n = 1
+        for m in ms[1:]:
+            if m - prev <= gap_min:
+                prev = m
+                n += 1
+            else:
+                out.add((u, start, prev + gap_min, n))
+                start = prev = m
+                n = 1
+        out.add((u, start, prev + gap_min, n))
+    return out
+
+
+@given(rows=_events)
+@settings(**{**_SETTINGS, "max_examples": 10})
+def test_session_window_matches_naive(spark, tmp_path_factory, rows):
+    """Spark's session_window must agree with the classic
+    gaps-and-islands model: merge while gaps are at most 10 minutes
+    (touching per-event windows coalesce — the exact-boundary case the
+    oracle originally got wrong), close at last event + 10 minutes —
+    including equal-ts bursts, singleton sessions, and the NULL-user
+    group."""
+    import datetime
+
+    from net7_etl_bus_spark.streaming.batch_equiv import win_session
+
+    d = _events_dir(str(tmp_path_factory.mktemp("sess")), rows)
+    base = datetime.datetime(2024, 1, 1)
+
+    def mins(ts):
+        return (ts - base).total_seconds() / 60.0
+
+    got = {
+        (r["user_id"], mins(r["session_start"]), mins(r["session_end"]),
+         r["n_events"])
+        for r in win_session(spark, d).collect()
+    }
+    want = {(u, float(a), float(b), n) for u, a, b, n in _session_model(rows)}
+    assert got == want, (rows, got ^ want)
