@@ -19,8 +19,17 @@ float-ARRAY elements — a NaN inside a valid embedding is invisible to
 IS NULL), ``skew`` (zipf-rekey a fraction of rows onto one hot key
 per join/group column — one key owning ~30% of rows — the distribution
 failure mode of 100× scale-ups; values are untouched, so every oracle
-must still match), or ``chaos`` (the stack: skew at the given rate,
-then extremes 3%, then nulls 3% — cross-class interactions).
+must still match), ``chaos`` (the stack: skew at the given rate,
+then extremes 3%, then nulls 3% — cross-class interactions), or
+``boundary`` (snap a fraction of cells onto the engine's own decision
+boundaries — the literal filter cutoff timestamps, BETWEEN edges,
+quantity thresholds, and the 10-minute/30-minute/1-hour event-time
+grids of the window operators. Random data never lands EXACTLY on a
+boundary, so >= vs >, [start,end) vs (start,end], and
+touching-window-coalescing divergences are invisible to every other
+mode — this one manufactures ties on purpose. Values are valid
+in-domain bytes seen identically by both engines: every oracle must
+still match).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -91,6 +100,80 @@ def mutate_table(
             mutate_table(s2, dst, 0.03, seed + 2, "nulls")
         return
     t = pq.read_table(src)
+    if mode == "boundary":
+        # Snap cells onto the engine's own decision boundaries: the
+        # literal cutoffs and grids the registered queries test
+        # against. In-place, seeded, valid in-domain values — both
+        # engines see identical bytes, so any divergence is a real
+        # >=/>, [start,end), or touching-window semantics gap. Keys
+        # untouched.
+        import datetime
+
+        name = os.path.basename(src).replace(".parquet", "")
+        _D = datetime.datetime
+        # Filter-cutoff dates appearing as literals in the TPC-H-ish
+        # plans (q1 <=, q3 </>, q5/q6 >=/<, q14/q15 month edges ...).
+        date_pool = [
+            _D(1992, 1, 1), _D(1996, 1, 1), _D(1996, 3, 1), _D(1996, 3, 15),
+            _D(1996, 4, 1), _D(1996, 7, 1), _D(1996, 10, 1), _D(1997, 1, 1),
+            _D(1998, 1, 1), _D(1998, 3, 15), _D(1998, 9, 2), _D(1999, 1, 1),
+        ]
+        # Event-time cutoffs (ttl/split/cohort literals) + the window
+        # grids: 10-min session gap, 30-min slide, 1-h tumble. Grid
+        # snapping makes exact-gap pairs and on-the-edge window starts
+        # frequent instead of measure-zero.
+        ts_pool = [
+            _D(2024, 1, 5), _D(2024, 1, 6), _D(2024, 1, 10), _D(2024, 1, 20),
+            _D(2024, 1, 22), _D(2024, 1, 27), _D(2024, 1, 29), _D(2024, 2, 2),
+        ]
+        grids_s = [600, 1800, 3600]
+        value_pools = {
+            "l_quantity": [1.0, 10.0, 20.0, 24.0, 30.0, 40.0],
+            "l_discount": [0.03, 0.05, 0.07],
+            "s_acctbal": [0.0, -0.0],
+            "c_acctbal": [0.0, -0.0],
+        }
+        for i, field in enumerate(t.schema):
+            rng = np.random.default_rng(
+                zlib.crc32(f"{name}:{field.name}:boundary:{seed}".encode())
+            )
+            mask = rng.random(len(t)) < rate
+            if pa.types.is_timestamp(field.type):
+                unit = field.type.unit
+                mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+                vals = t.column(i).to_pylist()
+                out = []
+                for j, v in enumerate(vals):
+                    if not mask[j] or v is None:
+                        out.append(v)
+                    elif field.name == "ts":
+                        if rng.random() < 0.3:
+                            out.append(ts_pool[int(rng.integers(len(ts_pool)))])
+                        else:
+                            g = grids_s[int(rng.integers(len(grids_s)))]
+                            # TZ-independent: values are naive UTC wall
+                            # times; never route through .timestamp().
+                            epoch = int((v - _D(1970, 1, 1)).total_seconds())
+                            out.append(
+                                _D(1970, 1, 1)
+                                + datetime.timedelta(seconds=epoch - epoch % g)
+                            )
+                    else:
+                        out.append(date_pool[int(rng.integers(len(date_pool)))])
+                t = t.set_column(
+                    i, field, pa.array(out, type=pa.timestamp(unit))
+                )
+                del mult
+            elif field.name in value_pools and pa.types.is_floating(field.type):
+                pool = value_pools[field.name]
+                vals = t.column(i).to_pylist()
+                out = [
+                    pool[int(rng.integers(len(pool)))] if mask[j] and v is not None else v
+                    for j, v in enumerate(vals)
+                ]
+                t = t.set_column(i, field, pa.array(out, type=field.type))
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
     if mode in ("dupes", "both"):
         # Append a seeded sample of CONTENT duplicates with FRESH keys
         # (max+1..): the real 100 TB duplication phenomenon — re-crawled
@@ -265,7 +348,10 @@ def main() -> int:
     argv = sys.argv[1:]
     src_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
-    _MODES = ("nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos")
+    _MODES = (
+        "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
+        "boundary",
+    )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest
     rate = float(rest[0]) if rest and rest[0].replace(".", "").isdigit() else 0.03

@@ -355,3 +355,82 @@ def test_chaos_stack_preserves_key_uniqueness(chaos_dir):
         assert not dup, f"{tbl} {keys} has duplicate PKs: {dup[:5]}"
         checked += 1
     assert checked >= 5, "uniqueness check lost its subject tables"
+
+
+# Boundary adversary: snap values onto the engine's own decision
+# boundaries (filter-cutoff dates, BETWEEN edges, quantity thresholds,
+# 10m/30m/1h event-time grids). Random data lands on a boundary with
+# probability ~zero, so >=/>, [start,end), and touching-window
+# semantics are invisible to every other class — this one manufactures
+# the ties. The win_session exact-gap coalescing bug (found by the
+# hypothesis session model, fixed to <= in the oracle) is the class
+# member this mode now permanently regression-covers, alongside the
+# cutoff-comparison queries.
+BOUNDARY_REGRESSION_KEYS = [
+    "win_session", "win_sliding", "win_tumbling", "stream_join_attrib",
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "q14_promo_revenue", "q15_top_supplier", "ttl_freshness_filter",
+    "split_temporal", "cohort_retention", "ts_resample_ohlc",
+    "agg_rollup_time", "join_asof", "join_interval_overlap",
+]
+
+
+@pytest.fixture(scope="module")
+def boundary_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("boundary_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.25,
+            SEED,
+            "boundary",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def boundary_duck(boundary_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{boundary_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", BOUNDARY_REGRESSION_KEYS)
+def test_boundary_fuzz_parity(spark, boundary_dir, boundary_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, boundary_dir).toPandas()
+    odf = boundary_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+def test_boundary_mode_manufactures_exact_session_gaps(boundary_dir):
+    """The mode must actually produce the measure-zero tie it exists
+    for: at least one same-user consecutive event pair at EXACTLY the
+    10-minute session gap."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(boundary_dir, "events.parquet"))
+    per_user = collections.defaultdict(list)
+    for u, ts in zip(t.column("user_id").to_pylist(), t.column("ts").to_pylist()):
+        if u is not None and ts is not None:
+            per_user[u].append(ts)
+    exact = 0
+    for ms in per_user.values():
+        ms.sort()
+        exact += sum(
+            1 for a, b in zip(ms, ms[1:]) if (b - a).total_seconds() == 600
+        )
+    assert exact >= 1, "no exact 10-minute gap produced; boundary mode is toothless"
