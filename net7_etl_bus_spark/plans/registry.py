@@ -96,6 +96,10 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_histogram", "udaf_applyInPandas",
     "dedup_minhash_verified", "dedup_cc_clusters", "dedup_cc_survivors",
     "dedup_lsh_jaccard_est", "pipeline_curation", "dedup_ngram_jaccard",
+    # r5 continuation: semantics changed by the chaos/boundary/property
+    # campaigns (session <= boundary, NOT EXISTS oracle, NULL-on-empty
+    # list serialization) — must be driver re-attested
+    "win_session", "q16_supplier_part_cnt", "agg_collect_list",
     # dsum/davg consumers (single-tree guard rewrite): headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -104,13 +108,17 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_decay_weighted", "agg_rollup_time", "agg_percentile_disc",
     "agg_pivot", "win_running_agg", "anomaly_zscore", "ts_rolling_stats",
     "q9_product_type_profit", "q10_returned_items", "q11_important_stock",
-    "q12_priority_shipping", "q14_promo_revenue", "q15_top_supplier",
+    "ttl_freshness_filter", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q22_dormant_customers", "q2_min_cost_supplier",
     "q7_volume_shipping", "q8_market_share", "rfm_segmentation",
-    "cohort_retention", "profile_columns",
+    "cohort_retention",
     # ---- 50-key budget line (the driver stops here) ----
+    # (q4_order_priority / q12_priority_shipping / profile_columns
+    # dropped below the line this round: count-based, untouched by the
+    # r5 changes, and already driver-green in r2/r3.)
+    "q4_order_priority", "q12_priority_shipping", "profile_columns",
 )
 
 
