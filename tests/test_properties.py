@@ -363,3 +363,99 @@ def test_session_window_matches_naive(spark, tmp_path_factory, rows):
     }
     want = {(u, float(a), float(b), n) for u, a, b, n in _session_model(rows)}
     assert got == want, (rows, got ^ want)
+
+
+# --- SCD2 dimension + point-in-time join vs naive model ---------------
+
+# Three event types so state changes, repeats, and purchase facts all
+# occur; the small minute grid makes a purchase land EXACTLY on a
+# version boundary (ts == valid_from of the next version, the
+# inclusive/exclusive edge) routinely instead of never.
+_scd_events = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 29)),
+        st.integers(0, 2),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+_TYPES = ["signup", "click", "purchase"]
+
+
+def _scd2_model(rows):
+    """Naive SCD2: per user (non-null user & ts) order by (ts,
+    event_id), collapse consecutive identical states, intervals
+    [valid_from, valid_to), version by change order."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, (u, m, ty) in enumerate(rows):
+        if u is not None and m is not None:
+            per_user[u].append((m, eid, _TYPES[ty]))
+    dim = defaultdict(list)
+    for u, evs in per_user.items():
+        evs.sort()
+        changes = []
+        prev = object()  # sentinel != any state
+        for m, eid, state in evs:
+            if state != prev:
+                changes.append((m, state))
+                prev = state
+        for v, (m, state) in enumerate(changes, start=1):
+            nxt = changes[v][0] if v < len(changes) else None
+            dim[u].append((state, m, nxt, v))
+    return dim
+
+
+@given(rows=_scd_events)
+@settings(**{**_SETTINGS, "max_examples": 10})
+def test_scd2_pointintime_matches_naive(spark, tmp_path_factory, rows):
+    """The temporal join must agree with the obvious model: each
+    purchase fact picks the version with valid_from <= ts < valid_to
+    (open current row matches everything from valid_from on) — and a
+    fact at EXACTLY a boundary belongs to the newer version, including
+    through zero-length [T, T) versions created by same-timestamp
+    changes."""
+    import datetime
+
+    from net7_etl_bus_spark.operators.cdc import join_scd2_pointintime
+
+    # _events_dir writes event_type from a bool; rewrite with 3 types.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path_factory.mktemp("scd2"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [None if m is None else base + datetime.timedelta(minutes=m)
+                 for _, m, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([_TYPES[ty] for _, _, ty in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    got = {
+        (r["event_id"], r["state_at_purchase"], r["version"])
+        for r in join_scd2_pointintime(spark, d).collect()
+    }
+    dim = _scd2_model(rows)
+    want = set()
+    for eid, (u, m, ty) in enumerate(rows):
+        if _TYPES[ty] != "purchase" or u is None or m is None:
+            continue
+        for state, vf, vt, version in dim.get(u, []):
+            if vf <= m and (vt is None or m < vt):
+                want.add((eid, state, version))
+    assert got == want, (rows, got ^ want)
