@@ -77,6 +77,14 @@ SCALE_QUERIES = [
     "sim_search_topk",
     "text_stats",
     "text_token_count",
+    # The flagship composites: the full curation cascade (lang ->
+    # quality -> exact dedup -> verified near-dedup -> token ledger)
+    # and LSH -> connected components -> surviving corpus. The
+    # per-copy word suffix keeps near-dup candidate counts linear in
+    # corpus size, so a superlinear exponent here would be a real
+    # cascade defect, not a replication artifact.
+    "pipeline_curation",
+    "dedup_cc_survivors",
 ]
 
 
