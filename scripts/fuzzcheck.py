@@ -29,7 +29,14 @@ boundary, so >= vs >, [start,end) vs (start,end], and
 touching-window-coalescing divergences are invisible to every other
 mode — this one manufactures ties on purpose. Values are valid
 in-domain bytes seen identically by both engines: every oracle must
-still match).
+still match), or ``reorder`` (seeded permutation of every table's ROW
+ORDER, written with small row groups — identical logical content,
+different physical layout, so Spark's scan partitioning, partial-agg
+order, and join build order all change. Any divergence is a real
+order-dependence bug: an unsorted first()/collect_list, a float sum
+that dodged dsum, a keeper without a total order. The production
+reality this models: at 100 TB, file listing order and partition
+assignment are never stable run-to-run).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -100,6 +107,19 @@ def mutate_table(
             mutate_table(s2, dst, 0.03, seed + 2, "nulls")
         return
     t = pq.read_table(src)
+    if mode == "reorder":
+        # Same rows, shuffled order, fragmented row groups (prime size
+        # so group boundaries land differently from any source
+        # layout). rate is unused: the permutation is total.
+        name = os.path.basename(src).replace(".parquet", "")
+        rng = np.random.default_rng(
+            zlib.crc32(f"{name}:reorder:{seed}".encode())
+        )
+        t = t.take(pa.array(rng.permutation(len(t))))
+        pq.write_table(
+            t, dst, row_group_size=997, use_deprecated_int96_timestamps=False
+        )
+        return
     if mode == "boundary":
         # Snap cells onto the engine's own decision boundaries: the
         # literal cutoffs and grids the registered queries test
@@ -350,7 +370,7 @@ def main() -> int:
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
-        "boundary",
+        "boundary", "reorder",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

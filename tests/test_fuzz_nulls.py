@@ -434,3 +434,58 @@ def test_boundary_mode_manufactures_exact_session_gaps(boundary_dir):
             1 for a, b in zip(ms, ms[1:]) if (b - a).total_seconds() == 600
         )
     assert exact >= 1, "no exact 10-minute gap produced; boundary mode is toothless"
+
+
+# Layout adversary (reorder mode): a seeded full permutation of every
+# table's row order, written with small row groups — identical logical
+# content, different scan partitioning, partial-agg order, and join
+# build order. At 100 TB file listing and partition assignment are
+# never stable run-to-run, so every result must be independent of
+# physical layout; the keys pinned here are the ones whose shapes are
+# most tempted by order-dependence (keepers, first/last semantics,
+# collected lists, iterative propagation, OHLC open/close).
+REORDER_REGRESSION_KEYS = [
+    "agg_collect_list", "dedup_exact_survivors", "dedup_cc_survivors",
+    "stream_dedup_first_event", "win_running_distinct",
+    "scd2_dimension", "ts_resample_ohlc", "graph_pagerank",
+    "q1_pricing_summary", "topk_per_group",
+]
+
+
+@pytest.fixture(scope="module")
+def reorder_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("reorder_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            1.0,
+            SEED,
+            "reorder",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def reorder_duck(reorder_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{reorder_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", REORDER_REGRESSION_KEYS)
+def test_reorder_fuzz_parity(spark, reorder_dir, reorder_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, reorder_dir).toPandas()
+    odf = reorder_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
