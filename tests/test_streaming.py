@@ -677,3 +677,67 @@ def test_tws_execution_surface_names_missing_protobuf(spark, tmp_path):
     with pytest.raises(ImportError) as imp:
         from google.protobuf import descriptor  # noqa: F401
     assert "protobuf" in str(imp.value) or "google" in str(imp.value)
+
+
+# --- stream == batch on ADVERSARIAL events ----------------------------
+#
+# The equality tests above run on clean events; these re-run the
+# tumbling and session equivalences on mutated mirrors, so the
+# streaming path's null/hot-key/exact-boundary handling is proven
+# equal to the (oracle-checked) batch twin — not just assumed to
+# share it. chaos = NULL ts/user on a hot key with extreme values;
+# boundary = event times snapped to the 10m/30m/1h grids, making
+# exact-gap session merges and on-the-edge window starts routine.
+
+@pytest.fixture(scope="module", params=["chaos", "boundary"])
+def adversarial_events_dir(spark, tmp_path_factory, request):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from fuzzcheck import mutate_table
+
+    mode = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"adv_events_{mode}"))
+    mutate_table(
+        os.path.join(SF_SMALL, "events.parquet"),
+        os.path.join(sf_dir, "events.parquet"),
+        0.3 if mode == "chaos" else 0.25,
+        0,
+        mode,
+    )
+    json_dir = str(tmp_path_factory.mktemp(f"adv_events_json_{mode}"))
+    _write_events_json(spark, sf_dir, json_dir)
+    return sf_dir, json_dir, mode
+
+
+def test_stream_tumbling_equals_batch_adversarial(
+    spark, adversarial_events_dir, tmp_path
+):
+    sf_dir, json_dir, mode = adversarial_events_dir
+    streamed = _run_stream_to_memory(
+        spark,
+        sw.stream_tumbling_counts(_read_events_stream(spark, json_dir)),
+        f"t_tumbling_adv_{mode}",
+        str(tmp_path / "ckpt_ta"),
+    )
+    batch = win_tumbling(spark, sf_dir)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_session_equals_batch_adversarial(
+    spark, adversarial_events_dir, tmp_path
+):
+    sf_dir, json_dir, mode = adversarial_events_dir
+    streamed = _run_stream_to_memory(
+        spark,
+        sw.stream_session_windows(_read_events_stream(spark, json_dir)),
+        f"t_session_adv_{mode}",
+        str(tmp_path / "ckpt_sa"),
+    )
+    batch = win_session(spark, sf_dir)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
