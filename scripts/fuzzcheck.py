@@ -20,7 +20,8 @@ IS NULL), ``skew`` (zipf-rekey a fraction of rows onto one hot key
 per join/group column — one key owning ~30% of rows — the distribution
 failure mode of 100× scale-ups; values are untouched, so every oracle
 must still match), ``chaos`` (the stack: skew at the given rate,
-then extremes 3%, then nulls 3% — cross-class interactions), or
+then extremes 3%, then nulls 3%, then a full row-order permutation —
+cross-class interactions under a shuffled physical layout), or
 ``boundary`` (snap a fraction of cells onto the engine's own decision
 boundaries — the literal filter cutoff timestamps, BETWEEN edges,
 quantity thresholds, and the 10-minute/30-minute/1-hour event-time
@@ -98,13 +99,20 @@ def mutate_table(
         # the mutation, not the engine.
         base = os.path.basename(src)
         with tempfile.TemporaryDirectory(prefix="chaos_") as td:
-            s1 = os.path.join(td, "s1", base)
-            s2 = os.path.join(td, "s2", base)
-            os.makedirs(os.path.dirname(s1))
-            os.makedirs(os.path.dirname(s2))
-            mutate_table(src, s1, rate, seed, "skew")
-            mutate_table(s1, s2, 0.03, seed + 1, "extremes")
-            mutate_table(s2, dst, 0.03, seed + 2, "nulls")
+            stages = []
+            for n in ("s1", "s2", "s3"):
+                p = os.path.join(td, n, base)
+                os.makedirs(os.path.dirname(p))
+                stages.append(p)
+            mutate_table(src, stages[0], rate, seed, "skew")
+            mutate_table(stages[0], stages[1], 0.03, seed + 1, "extremes")
+            mutate_table(stages[1], stages[2], 0.03, seed + 2, "nulls")
+            # Final stage: full row-order permutation + fragmented row
+            # groups. Content-neutral (oracle values unchanged), but
+            # Spark now executes the corrupted stack under a shuffled
+            # physical layout too — the closest local approximation of
+            # what a real cluster run actually sees.
+            mutate_table(stages[2], dst, 1.0, seed + 3, "reorder")
         return
     t = pq.read_table(src)
     if mode == "reorder":
