@@ -168,7 +168,6 @@ def mutate_table(
             mask = rng.random(len(t)) < rate
             if pa.types.is_timestamp(field.type):
                 unit = field.type.unit
-                mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
                 vals = t.column(i).to_pylist()
                 out = []
                 for j, v in enumerate(vals):
@@ -191,7 +190,6 @@ def mutate_table(
                 t = t.set_column(
                     i, field, pa.array(out, type=pa.timestamp(unit))
                 )
-                del mult
             elif field.name in value_pools and pa.types.is_floating(field.type):
                 pool = value_pools[field.name]
                 vals = t.column(i).to_pylist()
