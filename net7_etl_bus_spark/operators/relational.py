@@ -349,6 +349,7 @@ SELECT c_mktsegment, c_nationkey,
        {sql_dsum('c_acctbal')} AS sum_bal
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+HAVING COUNT(*) > 0
 """
 
 
@@ -367,6 +368,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nesb_customer_gs
         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
         """
+        # NOTE: the oracle carries HAVING COUNT(*) > 0 — a no-op on any
+        # non-empty input — to encode the engine's documented
+        # empty-input semantics: Spark's Expand-based grouping sets
+        # produce NO rows over an empty relation (the ANSI grand-total
+        # row over emptiness is suppressed). Found by the single-
+        # empty-table differential (scripts/emptycheck.py one).
     )
 
 
@@ -375,6 +382,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust, {sql_dsum('c_acctbal')} AS sum_bal
     FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +398,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
            {sql_dsum('o_totalprice')} AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +870,7 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY ROLLUP (date_trunc('year', ts), date_trunc('month', ts),
                      date_trunc('day', ts))
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
