@@ -89,6 +89,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # never driver-checked (queued 51-53 in r4's sweep)
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
+    # new this round: physical-layout scan surfaces
+    "scan_hive_partitioned", "scan_schema_evolution",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",
@@ -163,6 +165,7 @@ def _load_all() -> None:
     from ..operators import relational  # noqa: F401  (subqueries + dq_audit unverified)
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401
+    from ..sources import layouts  # noqa: F401
 
     _LOADED = True
 
