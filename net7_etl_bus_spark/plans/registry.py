@@ -91,6 +91,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
     # new this round: physical-layout scan surfaces
     "scan_hive_partitioned", "scan_schema_evolution",
+    "text_pack_sequences",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",
@@ -166,6 +167,7 @@ def _load_all() -> None:
     from ..functions import scalar, udf_surface  # noqa: F401
     from ..operators import dedup, enrich, multimodal  # noqa: F401
     from ..sources import layouts  # noqa: F401
+    from ..operators import packing  # noqa: F401
 
     _LOADED = True
 

@@ -1,0 +1,45 @@
+"""Sequence packing (`operators/packing.py`): the concat-and-chunk
+ledger must conserve tokens, fill every non-final sequence exactly,
+and match the single-node oracle — while the engine computes the
+global running sum as a two-level distributed prefix sum (the plan
+shape is pinned in test_physical_plans.py's global-window guard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.operators.packing import _L, text_pack_sequences
+from net7_etl_bus_spark.plans import registry
+from scripts.diffcheck import compare
+
+from .conftest import SF_SMALL
+
+
+def test_differential(spark, duck):
+    key = "text_pack_sequences"
+    sdf = registry.queries()[key](spark, SF_SMALL).toPandas()
+    odf = duck.execute(registry.oracles()[key]).df()
+    assert not compare(key, sdf, odf)
+
+
+def test_packing_invariants(spark):
+    out = text_pack_sequences(spark, SF_SMALL).toPandas()
+    out = out.sort_values("seq_id").reset_index(drop=True)
+    # contiguous sequence ids from 0
+    assert list(out["seq_id"]) == list(range(len(out)))
+    # every sequence but the last holds exactly L tokens; the last at
+    # most L; every sequence touches at least one document
+    assert (out["n_tokens"][:-1] == _L).all()
+    assert 0 < out["n_tokens"].iloc[-1] <= _L
+    assert (out["n_docs"] >= 1).all()
+    # token conservation: ledger total == sum of per-doc estimates
+    # over the packable population (NULL/empty text dropped)
+    from net7_etl_bus_spark.data import load_table
+
+    total = (
+        load_table(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id").isNotNull() & (F.length("text") > 0))
+        .select(F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert int(out["n_tokens"].sum()) == int(total)

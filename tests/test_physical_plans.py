@@ -643,6 +643,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("relational.py", "rfm_segmentation"),     # over per-customer agg
     ("graph.py", "graph_common_neighbors"),    # over top-k limit
     ("analytics.py", "skew_key_profile"),      # over top-20 limit
+    ("packing.py", "text_pack_sequences"),     # over super-bucket totals (docs/2^32 rows)
 }
 
 
@@ -726,4 +727,26 @@ def test_global_window_inputs_are_bounded(spark):
     below = "\n".join(plan.splitlines()[_window_line(plan) + 1 :])
     assert "HashAggregate" in below and "o_custkey" in below, (
         f"rfm_segmentation: window not over the per-customer aggregate:\n{plan}"
+    )
+
+    # two-level prefix sum: text_pack_sequences' only GLOBAL window (a
+    # partition-less spec starts straight with the sort column) must sit
+    # directly over the super-bucket aggregate (keys=[b2]) — i.e. the
+    # document stream was collapsed twice before the single-partition
+    # sort ever sees a row.
+    import re
+
+    plan = plan_of(spark, "text_pack_sequences", mode="simple")
+    lines = plan.splitlines()
+    gw = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(b2#\d+L? ASC", ln)
+    ]
+    assert len(gw) == 1, f"expected exactly one global window:\n{plan}"
+    first_agg = next(
+        ln for ln in lines[gw[0] + 1 :] if "HashAggregate" in ln
+    )
+    assert "keys=[b2" in first_agg, (
+        f"global window not over the b2 aggregate:\n{plan}"
     )
