@@ -275,3 +275,97 @@ def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return e.select("event_id", "user_id", split.alias("split"))
+
+
+# --- epoch-weighted source mixture ------------------------------------
+
+def _sql_u24_of(col: str) -> str:
+    """The `_SQL_U24` hex→int fold re-targeted at another md5 column."""
+    return _SQL_U24.replace("(h,", f"({col},")
+
+
+# The per-source epoch weight, held in 2^-24 fixed point so every step
+# is integer-exact in both engines: W = w * 2^24 = 2^22 + 2*u24(source)
+# ⇒ w ∈ [0.25, 2.25). floor(w) full copies plus one more iff the doc's
+# own 24-bit draw falls below frac(w)·2^24.
+_MIX_SQL = f"""
+WITH src AS (
+  SELECT doc_id, source,
+         md5(source) AS hs,
+         md5(CAST(doc_id AS VARCHAR) || '_mix') AS hd
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+u AS (
+  SELECT doc_id, source,
+         CAST({_sql_u24_of('hs')} AS BIGINT) AS us,
+         CAST({_sql_u24_of('hd')} AS BIGINT) AS ud
+  FROM src),
+n AS (
+  SELECT doc_id, source,
+         CAST(((4194304 + 2*us) // 16777216)
+              + CASE WHEN ud < ((4194304 + 2*us) % 16777216)
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM u)
+SELECT doc_id, source, CAST(g.copy_idx AS BIGINT) AS copy_idx
+FROM n, LATERAL (SELECT UNNEST(generate_series(CAST(0 AS BIGINT),
+                  n_copies - 1)) AS copy_idx) g
+"""
+
+
+@register("sample_mixture_epochs", oracle=_MIX_SQL)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted source mixture — the pretraining-mix step that
+    upsamples high-value sources (>1 epoch) and downsamples the rest
+    (<1 epoch), emitting the replicated corpus `(doc_id, source,
+    copy_idx)` a trainer would consume.
+
+    Every decision is a pure integer function of (source, doc_id):
+    the source's epoch weight lives in 2^-24 fixed point (w ∈
+    [0.25, 2.25), derived here from md5(source) so the op needs no
+    config table; a production mix would broadcast-join one), a doc
+    gets floor(w) guaranteed copies, and the fractional remainder is
+    resolved per-doc by comparing an independent 24-bit md5 draw
+    against frac(w)·2^24 — so realized epochs converge to w per
+    source, membership is reproducible across runs/partitionings/
+    engines, and no float ever enters the path. Rows with a NULL
+    doc_id or source have no deterministic draw/weight and are
+    excluded by contract (same rule as sample_weighted).
+
+    Scale shape: narrow map + explode bounded by 3 copies — zero
+    shuffle, no per-row Python, fused into the scan stage. The same
+    fixed-point construction extends to any weight range by widening
+    the integer, never by introducing doubles.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("source").cast("binary")).alias("hs"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_mix")).cast("binary")
+        ).alias("hd"),
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        F.expr(_sql_u24_of("hs")).cast("bigint").alias("us"),
+        F.expr(_sql_u24_of("hd")).cast("bigint").alias("ud"),
+    )
+    w24 = F.lit(4194304) + F.lit(2) * F.col("us")
+    n = (
+        F.expr("(4194304 + 2*us) div 16777216")
+        + (F.col("ud") < w24 % F.lit(16777216)).cast("bigint")
+    ).cast("bigint")
+    d = d.withColumn("n_copies", n)
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("n_copies") > 0,
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1),
+            )
+        ).alias("copy_idx"),
+    )

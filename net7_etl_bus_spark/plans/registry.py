@@ -91,7 +91,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
     # new this round: physical-layout scan surfaces
     "scan_hive_partitioned", "scan_schema_evolution",
-    "text_pack_sequences",
+    "text_pack_sequences", "sample_mixture_epochs",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

@@ -134,3 +134,44 @@ def test_sample_weighted_rate_and_membership_purity(spark):
         ).collect()
     }
     assert keys_half == keys_full
+
+
+def test_mixture_epochs_realized_rate_and_determinism(spark):
+    """Per-source realized copy counts must track the fixed-point
+    weight w = (2^22 + 2*u24(md5(source))) / 2^24: every doc gets
+    floor(w) or ceil(w) copies, and across a source the mean converges
+    to w. Membership is a pure function of (source, doc_id), so two
+    runs agree row-for-row."""
+    import hashlib
+
+    from net7_etl_bus_spark.operators.sampling import sample_mixture_epochs
+
+    out = sample_mixture_epochs(spark, SF_SMALL).toPandas()
+    per_doc = out.groupby(["source", "doc_id"]).size()
+    for (src, _doc), n in per_doc.items():
+        u24 = int(hashlib.md5(src.encode()).hexdigest()[:6], 16)
+        w = (4194304 + 2 * u24) / 16777216.0
+        assert n in (int(w), int(w) + 1), (src, n, w)
+    # realized epochs per source within a loose Bernoulli bound —
+    # divide by the INPUT's doc count (0-copy docs are absent from the
+    # output, so out-based denominators are biased upward)
+    from net7_etl_bus_spark.data import load_table
+
+    n_docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .toPandas()
+        .groupby("source")["doc_id"]
+        .count()
+    )
+    per_src = out.groupby("source")["doc_id"].count()
+    for src in per_src.index:
+        u24 = int(hashlib.md5(src.encode()).hexdigest()[:6], 16)
+        w = (4194304 + 2 * u24) / 16777216.0
+        realized = per_src[src] / n_docs[src]
+        assert abs(realized - w) < 0.5, (src, realized, w)
+    # determinism: a second run is identical
+    again = sample_mixture_epochs(spark, SF_SMALL).toPandas()
+    key = ["source", "doc_id", "copy_idx"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
