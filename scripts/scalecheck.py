@@ -85,6 +85,12 @@ SCALE_QUERIES = [
     # cascade defect, not a replication artifact.
     "pipeline_curation",
     "dedup_cc_survivors",
+    # Round-5 additions: the packing ledger's two-level prefix sum
+    # (cost must stay linear in documents — a superlinear exponent
+    # would mean the global window is seeing corpus-sized input) and
+    # the integer fixed-point mixture replicator (pure narrow map).
+    "text_pack_sequences",
+    "sample_mixture_epochs",
 ]
 
 

@@ -35,7 +35,8 @@ FUZZ_REGRESSION_KEYS = [
     "fn_regexp", "fn_string", "join_asof", "join_asof_forward",
     "join_asof_pandas", "join_fuzzy_levenshtein", "join_scd2_pointintime",
     "mm_features", "mm_frame_sample", "mm_phash_dedup", "pipeline_curation",
-    "sample_weighted", "scd2_apply_increment", "scd2_dimension",
+    "sample_mixture_epochs", "sample_weighted", "scan_schema_evolution",
+    "scd2_apply_increment", "scd2_dimension",
     "sim_search_bcast_index", "sim_search_ivfpq", "sim_search_pq",
     "stream_dedup_first_event", "text_lang_id", "text_quality",
     "text_stats", "text_token_count", "ts_resample_ohlc",
@@ -43,6 +44,7 @@ FUZZ_REGRESSION_KEYS = [
     "win_gaps_islands", "win_lag_lead", "win_ntile_percent",
     "win_pct_change", "win_running_agg", "win_running_distinct",
     "win_session", "win_sliding", "win_tumbling",
+    "text_pack_sequences",
 ]
 
 
@@ -449,6 +451,7 @@ REORDER_REGRESSION_KEYS = [
     "stream_dedup_first_event", "win_running_distinct",
     "scd2_dimension", "ts_resample_ohlc", "graph_pagerank",
     "q1_pricing_summary", "topk_per_group",
+    "text_pack_sequences", "scan_hive_partitioned", "scan_schema_evolution",
 ]
 
 
