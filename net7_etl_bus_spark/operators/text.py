@@ -10,7 +10,7 @@ oracle-hashable without rounding tricks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import FIXTURES_DIR, load_table
@@ -892,4 +892,84 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count(html, F.lit("<[^>]+>")).cast("bigint").alias("n_tags"),
         clean.alias("clean_text"),
+    )
+
+
+# --- corpus-quantile quality gate -------------------------------------
+
+_QG_LO, _QG_HI = -32768, 32767  # clamped histogram domain (2^16 bins)
+
+
+@register(
+    "text_quality_quantile_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(([{", ".join(str(w) for w in _CLF_W)}])
+                 [(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                   % {_CLF_D}) + 1]) + {_CLF_BIAS} AS BIGINT) AS raw_score
+      FROM toks GROUP BY doc_id),
+    b AS (SELECT doc_id, raw_score,
+                 GREATEST({_QG_LO}, LEAST({_QG_HI}, raw_score)) AS sb
+          FROM scored),
+    hist AS (SELECT sb, COUNT(*) AS n FROM b GROUP BY sb),
+    cum AS (SELECT sb, CAST(SUM(n) OVER (ORDER BY sb) AS BIGINT) AS cum
+            FROM hist),
+    tot AS (SELECT COUNT(*) AS total FROM b),
+    thr AS (SELECT MIN(sb) AS p40_threshold
+            FROM cum, tot WHERE cum >= (2*total + 4) // 5)
+    SELECT doc_id, raw_score, p40_threshold
+    FROM b, thr WHERE sb >= p40_threshold
+    """,
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quantile quality gate: keep documents whose classifier
+    score is at or above the corpus's exact 40th percentile — "drop
+    the worst 40%", the relative-threshold companion to the absolute
+    sign gate in `text_quality_classifier`.
+
+    The global order statistic is the scale hazard: sorting 100 TB of
+    scores (or feeding them to a percentile aggregate that buffers
+    values) is the wrong plan. Here the threshold comes from a BOUNDED
+    integer histogram: scores clamp to the {_QG_HI - _QG_LO + 1}-value
+    domain, the histogram is a map-side-combining groupBy (<= 2^16
+    rows regardless of corpus size), the cumulative count runs over
+    that bounded relation (the one global window — allowlisted and
+    plan-guarded), and the threshold broadcasts back for the gate
+    join. Exact — not approximate — within the clamped domain: ties at
+    the threshold are kept, so the dropped fraction is the largest one
+    strictly below 40%. Everything is integer arithmetic; both engines
+    compute the identical threshold.
+
+    Two corpus passes (score+histogram, then gate) — the same shape as
+    every global-statistic filter; at 100 TB pass one's shuffle is
+    (doc_id, score) pairs only, never text.
+    """
+    scores = text_quality_classifier(spark, sf_dir).select(
+        "doc_id",
+        "raw_score",
+        F.greatest(F.lit(_QG_LO), F.least(F.lit(_QG_HI), F.col("raw_score"))).alias(
+            "sb"
+        ),
+    )
+    hist = scores.groupBy("sb").agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = scores.agg(F.count(F.lit(1)).alias("total"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(2*total + 4) div 5"))
+        .agg(F.min("sb").alias("p40_threshold"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .where(F.col("sb") >= F.col("p40_threshold"))
+        .select("doc_id", "raw_score", "p40_threshold")
     )

@@ -644,6 +644,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("graph.py", "graph_common_neighbors"),    # over top-k limit
     ("analytics.py", "skew_key_profile"),      # over top-20 limit
     ("packing.py", "text_pack_sequences"),     # over super-bucket totals (docs/2^32 rows)
+    ("text.py", "text_quality_quantile_gate"), # over <=2^16-bin score histogram
 }
 
 
@@ -749,4 +750,20 @@ def test_global_window_inputs_are_bounded(spark):
     )
     assert "keys=[b2" in first_agg, (
         f"global window not over the b2 aggregate:\n{plan}"
+    )
+
+    # text_quality_quantile_gate's global cumulative-count window must
+    # run over the clamped-score histogram aggregate (keys=[sb],
+    # <= 2^16 rows by construction), never over per-document scores.
+    plan = plan_of(spark, "text_quality_quantile_gate", mode="simple")
+    lines = plan.splitlines()
+    gw = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(sb#\d+L? ASC", ln)
+    ]
+    assert len(gw) == 1, f"expected exactly one global window:\n{plan}"
+    first_agg = next(ln for ln in lines[gw[0] + 1 :] if "HashAggregate" in ln)
+    assert "keys=[sb" in first_agg, (
+        f"global window not over the histogram aggregate:\n{plan}"
     )
