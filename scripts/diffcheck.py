@@ -92,9 +92,11 @@ def main() -> int:
     spark = get_spark("diffcheck", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # a table may be a single file or a directory of part files
+        # (the `split` fuzz mode / any real lake layout)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failed, passed, skipped = [], [], []
     for name in sorted(qs):

@@ -37,7 +37,12 @@ order, and join build order all change. Any divergence is a real
 order-dependence bug: an unsorted first()/collect_list, a float sum
 that dodged dsum, a keeper without a total order. The production
 reality this models: at 100 TB, file listing order and partition
-assignment are never stable run-to-run).
+assignment are never stable run-to-run), or ``split`` (same rows,
+same order, but every table becomes a DIRECTORY of part files with
+seeded uneven boundaries, mixed row-group sizes, and one EMPTY part
+file — the multi-file steady state of any lake table; rate = number
+of parts. Catches operators that assume one input file or choke on
+zero-row fragments).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -115,6 +120,42 @@ def mutate_table(
             mutate_table(stages[2], dst, 1.0, seed + 3, "reorder")
         return
     t = pq.read_table(src)
+    if mode == "split":
+        # Same rows, same order — but the table becomes a DIRECTORY of
+        # part files with seeded uneven slice boundaries, mixed row-
+        # group sizes, and one deliberately EMPTY part file. This is
+        # the steady state of every lake table (a table is never one
+        # file at 100 TB; empty fragments are routine after filters or
+        # compaction), so every operator must be invariant to the
+        # file-fragmentation of its input. rate = number of parts.
+        name = os.path.basename(src).replace(".parquet", "")
+        rng = np.random.default_rng(zlib.crc32(f"{name}:split:{seed}".encode()))
+        n_parts = max(2, int(rate))
+        os.makedirs(dst, exist_ok=True)
+        cuts = sorted(
+            int(v) for v in rng.integers(0, max(1, len(t)) + 1, n_parts - 1)
+        )
+        bounds = [0, *cuts, len(t)]
+        empty_at = int(rng.integers(n_parts + 1))
+        part_no = 0
+        for k in range(n_parts):
+            if k == empty_at:
+                pq.write_table(
+                    t.slice(0, 0), os.path.join(dst, f"part-{part_no:03d}.parquet")
+                )
+                part_no += 1
+            pq.write_table(
+                t.slice(bounds[k], bounds[k + 1] - bounds[k]),
+                os.path.join(dst, f"part-{part_no:03d}.parquet"),
+                row_group_size=int(rng.choice([97, 997, 10007])),
+                use_deprecated_int96_timestamps=False,
+            )
+            part_no += 1
+        if empty_at == n_parts:
+            pq.write_table(
+                t.slice(0, 0), os.path.join(dst, f"part-{part_no:03d}.parquet")
+            )
+        return
     if mode == "reorder":
         # Same rows, shuffled order, fragmented row groups (prime size
         # so group boundaries land differently from any source
@@ -376,7 +417,7 @@ def main() -> int:
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
-        "boundary", "reorder",
+        "boundary", "reorder", "split",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

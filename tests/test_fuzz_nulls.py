@@ -492,3 +492,82 @@ def test_reorder_fuzz_parity(spark, reorder_dir, reorder_duck, key):
     odf = reorder_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# --- split (multi-file layout) class ----------------------------------
+#
+# Every table becomes a directory of part files with seeded uneven
+# boundaries, mixed row-group sizes, and one EMPTY part file — the
+# multi-file steady state of any lake table. Pinned keys: ordered/
+# keeper semantics that must not depend on file boundaries, the
+# layout-derived scans (whose content-addressed builders must hash a
+# directory source), the prefix-sum packer, and representative scans/
+# aggs/joins.
+SPLIT_REGRESSION_KEYS = [
+    "q1_pricing_summary", "topk_per_group", "agg_collect_list",
+    "win_session", "join_asof", "dedup_exact_survivors",
+    "stream_dedup_first_event", "ts_resample_ohlc",
+    "text_pack_sequences", "scan_hive_partitioned",
+    "scan_schema_evolution", "sample_mixture_epochs",
+    "text_quality_quantile_gate", "pipeline_curation",
+]
+
+
+@pytest.fixture(scope="module")
+def split_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("split_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            4,
+            SEED,
+            "split",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def split_duck(split_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{split_dir}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_split_mirror_is_fragmented(split_dir):
+    """Sharpness: the mirror must actually be multi-file with an empty
+    fragment somewhere (else the class degenerates to a plain copy)."""
+    import pyarrow.parquet as pq
+
+    n_files, n_empty = 0, 0
+    for t in TESTDATA_TABLES:
+        d = os.path.join(split_dir, f"{t}.parquet")
+        assert os.path.isdir(d)
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) >= 3  # >= n_parts(4)-1 slices + the empty one
+        n_files += len(parts)
+        n_empty += sum(
+            1
+            for f in parts
+            if pq.ParquetFile(os.path.join(d, f)).metadata.num_rows == 0
+        )
+    assert n_empty >= len(TESTDATA_TABLES)  # one empty fragment per table
+
+
+@pytest.mark.parametrize("key", SPLIT_REGRESSION_KEYS)
+def test_split_fuzz_parity(spark, split_dir, split_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, split_dir).toPandas()
+    odf = split_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
