@@ -973,3 +973,71 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sb") >= F.col("p40_threshold"))
         .select("doc_id", "raw_score", "p40_threshold")
     )
+
+
+# --- overlapping chunking (RAG / retrieval prep) ----------------------
+
+_CH_SIZE = 512    # chars per chunk
+_CH_STRIDE = 384  # chunk stride (overlap = 128)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS len
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND LENGTH(text) > 0),
+    ex AS (
+      SELECT doc_id, text, CAST(g.k AS BIGINT) AS chunk_idx
+      FROM d, LATERAL (SELECT UNNEST(generate_series(CAST(0 AS BIGINT),
+                        (len - 1) // {_CH_STRIDE})) AS k) g)
+    SELECT doc_id, chunk_idx,
+           CAST(LENGTH(substring(text,
+                CAST(1 + chunk_idx*{_CH_STRIDE} AS INT), {_CH_SIZE}))
+             AS BIGINT) AS chunk_len,
+           md5(substring(text,
+                CAST(1 + chunk_idx*{_CH_STRIDE} AS INT), {_CH_SIZE}))
+             AS chunk_md5
+    FROM ex
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the retrieval-side prep step
+    (RAG indexing, embedding-window generation): each document splits
+    into {_CH_SIZE}-char windows every {_CH_STRIDE} chars (128-char
+    overlap so no boundary-straddling passage is lost). Emits the
+    chunk ledger (index, length, content md5) rather than the chunk
+    text, so the differential value-checks every chunk's exact bytes
+    without shipping the corpus twice.
+
+    Contract: NULL doc_id / NULL or empty text rows produce no chunks;
+    a doc of len chars produces floor((len-1)/{_CH_STRIDE})+1 chunks
+    (the last one short). Character positions are code points in both
+    engines (unicode-fuzz-checked).
+
+    Scale shape: one narrow map + a bounded explode (len/stride chunks
+    per doc), no shuffle at all — chunking is embarrassingly parallel
+    and fuses into the scan stage. Downstream embedding is a
+    mapInPandas over these spans; the md5 doubles as the chunk-level
+    exact-dedup key.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.length("text") > 0)
+    )
+    d = d.withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(length(text) - 1) div {_CH_STRIDE}").cast("bigint"),
+            )
+        ),
+    )
+    chunk = F.expr(f"substring(text, int(1 + chunk_idx*{_CH_STRIDE}), {_CH_SIZE})")
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_md5"),
+    )

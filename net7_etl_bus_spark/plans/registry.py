@@ -92,7 +92,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     # new this round: physical-layout scan surfaces
     "scan_hive_partitioned", "scan_schema_evolution",
     "text_pack_sequences", "sample_mixture_epochs",
-    "text_quality_quantile_gate",
+    "text_quality_quantile_gate", "text_chunk_overlap",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

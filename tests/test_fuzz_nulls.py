@@ -44,7 +44,7 @@ FUZZ_REGRESSION_KEYS = [
     "win_gaps_islands", "win_lag_lead", "win_ntile_percent",
     "win_pct_change", "win_running_agg", "win_running_distinct",
     "win_session", "win_sliding", "win_tumbling",
-    "text_pack_sequences",
+    "text_pack_sequences", "text_chunk_overlap",
 ]
 
 
@@ -92,6 +92,7 @@ def test_null_fuzz_parity(spark, fuzz_dir, fuzz_duck, key):
 # Spark's is lenient. Fixed by the ASCII-only case-fold engine spec
 # (operators/dedup.py _NORM) and json_valid() oracle guards.
 UNICODE_REGRESSION_KEYS = [
+    "text_chunk_overlap",
     "agg_pivot", "dedup_apply_increment", "dedup_exact",
     "dedup_lsh_jaccard_est", "dedup_minhash_signature", "dedup_simhash",
     "fn_array_hof", "fn_json", "fn_json_typed", "fn_string",

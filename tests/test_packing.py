@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from net7_etl_bus_spark.data import load_table
+
 from net7_etl_bus_spark.operators.packing import _L, text_pack_sequences
 from net7_etl_bus_spark.plans import registry
 from scripts.diffcheck import compare
@@ -43,3 +45,32 @@ def test_packing_invariants(spark):
         .collect()[0][0]
     )
     assert int(out["n_tokens"].sum()) == int(total)
+
+
+def test_chunk_overlap_tiling(spark):
+    """text_chunk_overlap: chunk count and lengths must tile each doc
+    exactly — floor((len-1)/stride)+1 chunks, every chunk full-size
+    except a possibly short final one of len - stride*(n-1) chars."""
+    from net7_etl_bus_spark.operators.text import (
+        _CH_SIZE,
+        _CH_STRIDE,
+        text_chunk_overlap,
+    )
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.length("text").alias("len"))
+        .toPandas()
+        .set_index("doc_id")["len"]
+    )
+    out = text_chunk_overlap(spark, SF_SMALL).toPandas()
+    for doc_id, grp in out.groupby("doc_id"):
+        n = len(grp)
+        L = int(docs[doc_id])
+        assert n == (L - 1) // _CH_STRIDE + 1
+        grp = grp.sort_values("chunk_idx")
+        assert list(grp["chunk_idx"]) == list(range(n))
+        body, last = grp["chunk_len"].iloc[:-1], int(grp["chunk_len"].iloc[-1])
+        assert (body == _CH_SIZE).all() or L < _CH_SIZE
+        assert last == min(_CH_SIZE, L - _CH_STRIDE * (n - 1))
