@@ -165,3 +165,89 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "reason")
     )
+
+
+# --- RAG-prep composite: chunk -> chunk-dedup -> per-source ledger ----
+
+_RAG_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, text, CAST(LENGTH(text) AS BIGINT) AS len
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND text IS NOT NULL AND LENGTH(text) > 0),
+chunks AS (
+  SELECT doc_id, source, CAST(g.k AS BIGINT) AS chunk_idx,
+         md5(substring(text, CAST(1 + g.k*384 AS INT), 512)) AS chunk_md5
+  FROM d, LATERAL (SELECT UNNEST(generate_series(CAST(0 AS BIGINT),
+                    (len - 1) // 384)) AS k) g),
+keepers AS (
+  SELECT chunk_md5,
+         MIN(ROW(doc_id, chunk_idx)) AS keep
+  FROM chunks GROUP BY chunk_md5),
+flagged AS (
+  SELECT c.source,
+         CASE WHEN ROW(c.doc_id, c.chunk_idx) = k.keep THEN 1 ELSE 0 END
+           AS is_keeper
+  FROM chunks c JOIN keepers k USING (chunk_md5))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(is_keeper) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - SUM(is_keeper) AS BIGINT) AS n_dup_dropped
+FROM flagged GROUP BY source
+"""
+
+
+@register("pipeline_rag_prep", oracle=_RAG_ORACLE)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-indexing prep composite, one lazy plan: overlapping
+    512/384 chunking (`text_chunk_overlap` semantics) -> chunk-level
+    exact dedup (keep the lexicographically-first (doc_id, chunk_idx)
+    owner of each content md5 — a total order, so the keeper set is
+    deterministic under any partitioning) -> the per-source chunk
+    ledger (total / unique / duplicate-dropped) a retrieval team
+    reviews before building an index.
+
+    Scale shape: chunking is a narrow bounded explode fused into the
+    scan; the dedup stage shuffles (md5, doc_id, chunk_idx) triples —
+    never chunk text; the keeper decision is one min_by-style
+    aggregate per md5; the ledger is a two-column groupBy. The only
+    corpus-sized shuffle carries 16-byte hashes.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+        & (F.length("text") > 0)
+    )
+    chunks = d.withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("(length(text) - 1) div 384").cast("bigint"),
+            )
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.md5(
+            F.expr("substring(text, int(1 + chunk_idx*384), 512)").cast("binary")
+        ).alias("chunk_md5"),
+    )
+    keepers = chunks.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("keep")
+    )
+    flagged = chunks.join(keepers, "chunk_md5").select(
+        "source",
+        (
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("chunk_idx") == F.col("keep.chunk_idx"))
+        )
+        .cast("bigint")
+        .alias("is_keeper"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_keeper").alias("n_unique"),
+        (F.count(F.lit(1)) - F.sum("is_keeper")).alias("n_dup_dropped"),
+    )

@@ -89,10 +89,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # never driver-checked (queued 51-53 in r4's sweep)
     "text_html_strip", "win_pct_change", "dedup_apply_increment",
-    # new this round: physical-layout scan surfaces
+    # new this round (never driver-checked): layout scans, packing,
+    # mixture, quantile gate, chunking, and the RAG-prep composite
     "scan_hive_partitioned", "scan_schema_evolution",
     "text_pack_sequences", "sample_mixture_epochs",
-    "text_quality_quantile_gate", "text_chunk_overlap",
+    "text_quality_quantile_gate", "text_chunk_overlap", "pipeline_rag_prep",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

@@ -74,3 +74,36 @@ def test_chunk_overlap_tiling(spark):
         body, last = grp["chunk_len"].iloc[:-1], int(grp["chunk_len"].iloc[-1])
         assert (body == _CH_SIZE).all() or L < _CH_SIZE
         assert last == min(_CH_SIZE, L - _CH_STRIDE * (n - 1))
+
+
+def test_rag_prep_ledger_consistency(spark):
+    """pipeline_rag_prep's ledger must reconcile exactly with the raw
+    chunk relation: per source, n_chunks equals the chunker's output
+    count and n_unique equals the number of distinct chunk_md5 values
+    whose first (doc_id, chunk_idx) owner lives in that source."""
+    from net7_etl_bus_spark.operators.curation import pipeline_rag_prep
+    from net7_etl_bus_spark.operators.text import text_chunk_overlap
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source")
+        .toPandas()
+        .set_index("doc_id")["source"]
+    )
+    chunks = text_chunk_overlap(spark, SF_SMALL).toPandas()
+    chunks = chunks[chunks["doc_id"].map(docs).notna()]
+    chunks["source"] = chunks["doc_id"].map(docs)
+    out = (
+        pipeline_rag_prep(spark, SF_SMALL)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out["n_chunks"].to_dict() == chunks.groupby("source").size().to_dict()
+    firsts = (
+        chunks.sort_values(["doc_id", "chunk_idx"])
+        .groupby("chunk_md5")
+        .first()
+    )
+    assert out["n_unique"].to_dict() == firsts.groupby("source").size().to_dict()
+    assert (out["n_chunks"] - out["n_unique"] == out["n_dup_dropped"]).all()
