@@ -800,3 +800,104 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("bc").cast("bigint").alias("n_retained"))
         .orderBy("day")
     )
+
+
+# --- exact global median by iterative histogram refinement ------------
+
+_MED_BINS = 4096      # refinement fan-out per pass
+_MED_COLLECT = 65536  # candidate count at which exact driver sort takes over
+_MED_MAX_ITERS = 64   # ulp-scale convergence bound (range shrinks 4096x/pass)
+
+
+@register(
+    "agg_median_iterative",
+    oracle="""
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND NOT isnan(l_extendedprice) AND NOT isinf(l_extendedprice)),
+    s AS (SELECT list(x ORDER BY x) AS xs, COUNT(*) AS n FROM v),
+    b AS (SELECT COUNT(*) AS n_bad FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND (isnan(l_extendedprice) OR isinf(l_extendedprice)))
+    SELECT CASE WHEN n = 0 THEN NULL
+                ELSE xs[CAST(ceil(0.5 * n) AS BIGINT)] END AS median_price,
+           CAST(n AS BIGINT) AS n_finite,
+           CAST(b.n_bad AS BIGINT) AS n_bad
+    FROM s, b
+    """,
+)
+def agg_median_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of an unbounded double column, computed the
+    way it has to be at 100 TB: iterative histogram refinement, never
+    a global sort and never a value-buffering percentile aggregate.
+
+    Each pass histograms the surviving candidates into 4096
+    equal-width bins (a map-side-combining groupBy; only 4096 counter
+    rows ever reach the driver), locates the bin holding the target
+    rank, and descends into it — the candidate range shrinks 4096x per
+    pass, so even a full double range needs ~6 passes to reach
+    ulp-scale. When fewer than 65536 candidates remain (or the range
+    collapses to a single value — the mass-tie case), the driver sorts
+    the final sliver exactly. The answer is the ceil(n/2)-th order
+    statistic — selection by RANK, with the rank bookkeeping read from
+    the same binning expression the next pass filters on, so float
+    rounding in bin edges can never misplace the result.
+
+    Contract (matches agg_percentile_disc/_approx): NULLs are ignored;
+    NaN/Inf are corruption, excluded from the statistic and SURFACED
+    as n_bad. Driver work is bounded (4096-row histograms, one
+    <=65536-value final sort) — the bounded-collect policy every
+    iterative op in this repo follows (cf. connected components).
+    """
+    # Spark has no isinf(); the abs-compare is its idiom for it.
+    finite = (
+        "l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) "
+        "AND abs(l_extendedprice) != double('Infinity')"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.count(F.when(F.expr(finite), 1)).alias("n"),
+        F.count(
+            F.when(
+                F.col("l_extendedprice").isNotNull() & ~F.expr(finite), 1
+            )
+        ).alias("n_bad"),
+    ).collect()[0]
+    n, n_bad = int(st["n"]), int(st["n_bad"])
+    out_schema = "median_price double, n_finite bigint, n_bad bigint"
+    if n == 0:
+        return spark.createDataFrame([(None, 0, n_bad)], out_schema)
+
+    k = (n + 1) // 2  # ceil(0.5*n), the percentile_disc selection rank
+    cur = li.where(F.expr(finite)).select(F.col("l_extendedprice").alias("x"))
+    for _ in range(_MED_MAX_ITERS):
+        mm = cur.agg(
+            F.count(F.lit(1)).alias("m"), F.min("x").alias("lo"), F.max("x").alias("hi")
+        ).collect()[0]
+        m, lo, hi = int(mm["m"]), float(mm["lo"]), float(mm["hi"])
+        if m <= _MED_COLLECT or lo == hi:
+            break
+        width = (hi - lo) / _MED_BINS
+        if not (width > 0.0):  # subnormal-range underflow: treat as tied
+            break
+        binc = F.greatest(
+            F.lit(0),
+            F.least(F.lit(_MED_BINS - 1), F.floor((F.col("x") - lo) / width)),
+        ).cast("int")
+        hist = dict(
+            (r["b"], r["cnt"])
+            for r in cur.groupBy(binc.alias("b")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        )
+        cum = 0
+        for b in range(_MED_BINS):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                k -= cum
+                cur = cur.where(binc == b)
+                break
+            cum += c
+    vals = sorted(r["x"] for r in cur.collect())
+    return spark.createDataFrame([(vals[k - 1], n, n_bad)], out_schema)

@@ -6,6 +6,8 @@ shape is pinned in test_physical_plans.py's global-window guard)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from net7_etl_bus_spark.data import load_table
@@ -107,3 +109,38 @@ def test_rag_prep_ledger_consistency(spark):
     )
     assert out["n_unique"].to_dict() == firsts.groupby("source").size().to_dict()
     assert (out["n_chunks"] - out["n_unique"] == out["n_dup_dropped"]).all()
+
+
+def test_median_iterative_refinement_path(spark, monkeypatch, tmp_path):
+    """Force the histogram-refinement loop (tiny collect threshold and
+    fan-out) and check the result still equals the exact sorted
+    median; then the mass-ties range-collapse path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from net7_etl_bus_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "_MED_COLLECT", 8)
+    monkeypatch.setattr(analytics, "_MED_BINS", 4)
+    out = analytics.agg_median_iterative(spark, SF_SMALL).toPandas()
+    xs = sorted(
+        load_table(spark, SF_SMALL, "lineitem")
+        .where("l_extendedprice IS NOT NULL")
+        .toPandas()["l_extendedprice"]
+    )
+    k = (len(xs) + 1) // 2
+    assert float(out["median_price"][0]) == xs[k - 1]
+    assert int(out["n_finite"][0]) == len(xs)
+
+    # mass ties: every price identical -> lo == hi break, exact answer
+    mirror = str(tmp_path / "ties")
+    os.makedirs(mirror)
+    src = pq.read_table(os.path.join(SF_SMALL, "lineitem.parquet"))
+    i = src.column_names.index("l_extendedprice")
+    const = pa.array([42.5] * len(src), pa.float64())
+    pq.write_table(
+        src.set_column(i, src.field(i), const),
+        os.path.join(mirror, "lineitem.parquet"),
+    )
+    out = analytics.agg_median_iterative(spark, mirror).toPandas()
+    assert float(out["median_price"][0]) == 42.5
