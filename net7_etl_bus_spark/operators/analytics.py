@@ -876,10 +876,19 @@ def agg_median_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("m"), F.min("x").alias("lo"), F.max("x").alias("hi")
         ).collect()[0]
         m, lo, hi = int(mm["m"]), float(mm["lo"]), float(mm["hi"])
-        if m <= _MED_COLLECT or lo == hi:
+        if lo == hi:
+            # range collapsed: every candidate IS the answer — return
+            # it without collecting (mass ties can leave m corpus-sized
+            # here; a collect would ship them all to the driver).
+            return spark.createDataFrame([(lo, n, n_bad)], out_schema)
+        if m <= _MED_COLLECT:
             break
         width = (hi - lo) / _MED_BINS
-        if not (width > 0.0):  # subnormal-range underflow: treat as tied
+        if not (width > 0.0):
+            # subnormal-range underflow (hi - lo too small to split):
+            # at most a few thousand representable doubles remain in
+            # [lo, hi], so the grouped finisher below is exact and
+            # bounded even if the ROW count is corpus-sized.
             break
         binc = F.greatest(
             F.lit(0),
@@ -899,5 +908,15 @@ def agg_median_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cur = cur.where(binc == b)
                 break
             cum += c
-    vals = sorted(r["x"] for r in cur.collect())
-    return spark.createDataFrame([(vals[k - 1], n, n_bad)], out_schema)
+    # Grouped finisher: ship (value, count) pairs, not rows — bounded
+    # by distinct candidate values, exact under arbitrary tie mass.
+    pairs = sorted(
+        (float(r["x"]), int(r["cnt"]))
+        for r in cur.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    cum = 0
+    for x, c in pairs:
+        cum += c
+        if cum >= k:
+            return spark.createDataFrame([(x, n, n_bad)], out_schema)
+    raise AssertionError("rank bookkeeping exhausted candidates")
