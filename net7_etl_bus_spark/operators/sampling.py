@@ -24,7 +24,7 @@ in full), so sampling is a capability the 100 TB target adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -368,4 +368,47 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1),
             )
         ).alias("copy_idx"),
+    )
+
+
+# --- exact-K deterministic stratified sample --------------------------
+
+_EXACT_K = 10  # rows kept per stratum
+
+
+@register(
+    "sample_exact_k_stratified",
+    oracle=f"""
+    SELECT doc_id, source, k_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS BIGINT) AS k_rank
+      FROM documents WHERE doc_id IS NOT NULL) r
+    WHERE k_rank <= {_EXACT_K}
+    """,
+)
+def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY min(K, n) documents per source, chosen deterministically
+    — the eval-set / spot-check carving op where a rate-based sample
+    (`sample_stratified`) is the wrong tool because the contract is a
+    COUNT, not a probability. The per-stratum order is md5(doc_id)
+    (uniform, content-independent) with doc_id as total tiebreak, so
+    the selection is a pure function of the keys: stable across runs,
+    partitionings, engines, and appends of non-selected rows. NULL
+    doc_id rows have no deterministic draw and are excluded; a NULL
+    source forms its own stratum (same grouping rule both engines).
+
+    Scale shape: the rank filter compiles to WindowGroupLimit
+    (plan-pinned) — each input partition keeps only its local top-K
+    per stratum BEFORE the shuffle, so the exchange carries at most
+    K * strata * partitions rows, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("k_rank"))
+        .where(F.col("k_rank") <= _EXACT_K)
+        .select("doc_id", "source", F.col("k_rank").cast("bigint").alias("k_rank"))
     )

@@ -175,3 +175,37 @@ def test_mixture_epochs_realized_rate_and_determinism(spark):
     assert sorted(map(tuple, out[key].values.tolist())) == sorted(
         map(tuple, again[key].values.tolist())
     )
+
+
+def test_exact_k_stratified_counts_and_plan(spark):
+    """Exactly min(K, n) rows per stratum, deterministic across runs,
+    and the rank filter must compile to WindowGroupLimit twice
+    (partial per-input-partition top-K BEFORE the shuffle, final
+    after) — the plan property that keeps the exchange at K rows per
+    stratum per partition instead of the corpus."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.sampling import (
+        _EXACT_K,
+        sample_exact_k_stratified,
+    )
+
+    out = sample_exact_k_stratified(spark, SF_SMALL).toPandas()
+    per_src = (
+        load_table(spark, SF_SMALL, "documents")
+        .where("doc_id IS NOT NULL")
+        .toPandas()
+        .groupby("source", dropna=False)["doc_id"]
+        .count()
+    )
+    got = out.groupby("source", dropna=False)["doc_id"].count()
+    for src, n in per_src.items():
+        assert got.get(src, 0) == min(_EXACT_K, n)
+    again = sample_exact_k_stratified(spark, SF_SMALL).toPandas()
+    key = ["source", "doc_id", "k_rank"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
+
+    df = sample_exact_k_stratified(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
