@@ -1519,3 +1519,107 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distance",
         )
     )
+
+
+# --- explicit bloom-prefiltered semi join -----------------------------
+
+_BLOOM_WORDS = 4096             # bitmap = 4096 longs = 2^18 bits
+_BLOOM_BITS = _BLOOM_WORDS * 64
+_BLOOM_SEEDS = (1, 2, 3, 4)     # k = 4 hash probes
+
+
+def _bloom_positions(key) -> list:
+    """The k bit positions for a key column: pmod(xxhash64(key, seed),
+    M). Identical expression on build and probe sides."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(s)), F.lit(_BLOOM_BITS)) for s in _BLOOM_SEEDS
+    ]
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an EXPLICIT bloom prefilter on the probe side —
+    the hand-built version of Spark's InjectRuntimeFilter, for the
+    cases the optimizer can't inject one (a streaming probe side, a
+    build side produced outside this query, a reusable persisted
+    filter). Spark doesn't expose bloom_filter_agg as a SQL function,
+    so the sketch is built from built-ins: each build key sets k=4
+    bits (seeded xxhash64 -> pmod) in a 2^18-bit bitmap aggregated as
+    bit_or over 64-bit words — at most {_BLOOM_WORDS} counter rows
+    reach the driver, and the bitmap ships back as a plan literal
+    (~32 KB, i.e. broadcast). The probe side tests all 4 bits JVM-side
+    (element_at + shiftright, fused into the scan) BEFORE the join's
+    exchange, and the exact semi join then removes the bloom's false
+    positives — so the result EXACTLY equals the plain semi join the
+    oracle states; the bloom can only change bytes moved, never the
+    answer. At 100 TB the pre-shuffle drop is the difference between
+    exchanging the corpus and exchanging the ~few-% that can match.
+    Conservativeness (bloom pass-count >= true match count) and the
+    realized false-positive rate are pinned in tests."""
+    pre, o = bloom_prefiltered_probe(spark, sf_dir)
+    return pre.join(
+        o.select("o_orderkey"),
+        pre["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def bloom_prefiltered_probe(spark: SparkSession, sf_dir: str):
+    """The two stages of join_bloom_prefilter before the exact join:
+    (bloom-prefiltered lineitem, filtered orders build side) — exposed
+    so tests can measure the pass-set directly."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    word_rows = (
+        o.select(F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # SQL shiftleft takes a column shift amount; the Python
+            # helper F.shiftleft requires a literal int
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in word_rows:
+        words[int(r["w"])] = int(r["bits"])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    if not word_rows:
+        pre = li.where(F.lit(False))  # empty build side: nothing can match
+    else:
+        arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+        tests = []
+        for pos in _bloom_positions(F.col("l_orderkey")):
+            word = F.element_at(arr, (pos / 64).cast("int") + 1)
+            # call_function: SQL shiftright takes a COLUMN shift amount
+            # (the Python helper F.shiftright only takes a literal int)
+            tests.append(
+                (
+                    F.call_function(
+                        "shiftright", word, (pos % 64).cast("int")
+                    ).bitwiseAND(F.lit(1))
+                )
+                == 1
+            )
+        keep = tests[0]
+        for t in tests[1:]:
+            keep = keep & t
+        pre = li.where(F.col("l_orderkey").isNotNull() & keep)
+    return pre, o

@@ -94,7 +94,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "scan_hive_partitioned", "scan_schema_evolution",
     "text_pack_sequences", "sample_mixture_epochs",
     "text_quality_quantile_gate", "text_chunk_overlap", "pipeline_rag_prep",
-    "agg_median_iterative", "sample_exact_k_stratified",
+    "agg_median_iterative", "sample_exact_k_stratified", "join_bloom_prefilter",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

@@ -144,3 +144,29 @@ def test_median_iterative_refinement_path(spark, monkeypatch, tmp_path):
     )
     out = analytics.agg_median_iterative(spark, mirror).toPandas()
     assert float(out["median_price"][0]) == 42.5
+
+
+def test_bloom_prefilter_conservative_and_selective(spark):
+    """The bloom stage must (a) never drop a true match — pass-count
+    >= exact match count — and (b) actually prune: the pass-set stays
+    well under the full probe side at fixture scale (false-positive
+    rate bounded), while the final answer equals the plain semi join
+    exactly (that part is the oracle's job; here we probe the stages)."""
+    from net7_etl_bus_spark.operators.relational import (
+        bloom_prefiltered_probe,
+        join_bloom_prefilter,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    o = load_table(spark, SF_SMALL, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    exact = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi").count()
+    pre, _ = bloom_prefiltered_probe(spark, SF_SMALL)
+    n_pass, n_all = pre.count(), li.count()
+    assert n_pass >= exact  # conservative: no true match ever dropped
+    # pruning actually happened, and false positives stay bounded:
+    # true-match fraction ~20% + designed ~3% fp, with slack
+    assert n_pass <= 0.40 * n_all, (n_pass, n_all)
+    out = join_bloom_prefilter(spark, SF_SMALL).toPandas()
+    assert int(out["n_lines"][0]) == exact  # bloom never changes the answer
