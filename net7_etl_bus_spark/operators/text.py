@@ -1041,3 +1041,217 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk.cast("binary")).alias("chunk_md5"),
     )
+
+
+# --- TF-IDF / BM25 retrieval scoring ----------------------------------
+#
+# Both rankers replace the logarithmic idf with its monotone rational
+# argument so every score is a ratio of exact integers: ln() is only
+# ~1-ulp-accurate and NOT guaranteed bit-identical across engines,
+# while integer products and a single integer floor-division are.
+# Scores are quantized to 1e-6 by that division, summed (BM25) as
+# exact BIGINTs, so the driver's value-hash matches bit-for-bit.
+
+_TFIDF_Q = 1_000_000  # score quantum: 1e-6
+_TFIDF_TOPK = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_W}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST((t.tf * {_TFIDF_Q} * (SELECT n FROM n)) // d.df AS BIGINT)
+               AS score_q
+      FROM tf t JOIN df d USING (term)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score_q DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score_q
+    FROM ranked WHERE rk <= {_TFIDF_TOPK}
+    ORDER BY doc_id, score_q DESC, term
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf — the keyword
+    extractor behind topic labeling, near-duplicate triage, and
+    per-domain vocabulary drift monitoring on a training corpus.
+
+    idf uses the rational form N/df (monotone in the usual
+    ln(N/df), identical ranking per document since N is constant);
+    score_q = (tf * 1e6 * N) div df is one integer floor-division on
+    exact BIGINT products — bit-identical across engines. Domain:
+    tf*N*1e6 must fit int64 (tf*N < 9.2e12); beyond that production
+    drops to a 1e3 quantum or DECIMAL(38,0) products — same plan.
+
+    Scale shape: one token explode feeding TWO hash aggregates (tf by
+    (doc,term), df by term), a term-keyed join of tf against df (df is
+    corpus-vocabulary-sized — orders smaller than the token stream),
+    the 1-row corpus count broadcast in by crossJoin, and the per-doc
+    top-5 as a rank window partitioned by doc_id — WindowGroupLimit
+    caps each partition's exchange rows at k. No global sort, no
+    driver data, shuffles carry (doc_id, term, small ints) only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"(tf * {_TFIDF_Q} * n) div df").cast("bigint").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .drop("rk")
+        .orderBy("doc_id", F.col("score_q").desc(), "term")
+    )
+
+
+# BM25 with k1 = 6/5, b = 3/4 (the textbook defaults as exact
+# rationals). Clearing denominators, with N docs, T total tokens,
+# dl the document token count and avgdl = T/N:
+#
+#   score(term) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#               = (2N - 2df + 1) * 22*tf*T
+#                 / [ (2df + 1) * (10*tf*T + 3*T + 9*dl*N) ]
+#
+# (idf's rational argument (N - df + 0.5)/(df + 0.5) scaled by 2 —
+# every factor an exact integer). Per-term score quantized by one
+# integer floor-division, per-(query, doc) totals are exact BIGINT
+# sums. Queries ship as a literal inline table (broadcast side).
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "data"), (1, "query"),
+    (2, "spark"), (2, "join"), (2, "fast"),
+    (3, "window"), (3, "stream"),
+    (4, "hash"), (4, "table"), (4, "scan"),
+    (5, "slow"), (5, "filter"),
+)
+_BM25_TOPK = 10
+_SQL_BM25_Q = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS term" for qid, t in _BM25_QUERIES
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q AS ({_SQL_BM25_Q}),
+    tok AS (
+      SELECT doc_id, unnest({_SQL_W}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    g AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+             CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS t),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(({_TFIDF_Q} * (2*g.n - 2*df.df + 1) * 22 * tf.tf * g.t)
+                  // ((2*df.df + 1)
+                      * (10*tf.tf*g.t + 3*g.t + 9*dl.dl*g.n)) AS BIGINT)
+               AS sq
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN g),
+    totals AS (
+      SELECT query_id, doc_id, CAST(SUM(sq) AS BIGINT) AS score_q
+      FROM scored GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rk
+      FROM totals)
+    SELECT query_id, doc_id, score_q, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_BM25_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: top-10 documents per query for a
+    broadcast query set — the lexical-search half of RAG retrieval
+    (the dense half is sim_search_*), and the relevance scorer for
+    corpus-quality audits ("which documents dominate query X").
+
+    k1=1.2, b=0.75 as exact rationals with denominators cleared, so
+    each term's score is ONE integer floor-division of exact BIGINT
+    products and per-(query, doc) totals are exact integer sums —
+    bit-identical across engines with no ln() in the path (see the
+    derivation above; domain note: products must fit int64, which
+    holds while N*T*tf*22e6 < 9.2e18 — production upgrades the same
+    expressions to DECIMAL(38,0)).
+
+    Scale shape: the query table is a literal inline relation joined
+    broadcast against tf on term — the corpus-sized tf relation never
+    reshuffles for it; df and dl are term- and doc-keyed hash
+    aggregates of tf itself; N and T ride in as a broadcast 1-row
+    relation. Only candidate (query, doc) pairs — documents actually
+    containing a query term — survive past the join, and the final
+    top-10 per query is a rank window over that candidate set
+    (WindowGroupLimit bounds the exchange). Zero Python, zero global
+    sort, zero driver data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, term string")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    g = d.agg(F.count(F.lit(1)).cast("bigint").alias("n")).crossJoin(
+        tf.agg(F.sum("tf").cast("bigint").alias("t"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"({_TFIDF_Q} * (2*n - 2*df + 1) * 22 * tf * t)"
+                f" div ((2*df + 1) * (10*tf*t + 3*t + 9*dl*n))"
+            ).cast("bigint").alias("sq"),
+        )
+    )
+    totals = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("sq").cast("bigint").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), "doc_id")
+    return (
+        totals.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .orderBy("query_id", "rk")
+    )

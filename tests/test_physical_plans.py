@@ -767,3 +767,38 @@ def test_global_window_inputs_are_bounded(spark):
     assert "keys=[sb" in first_agg, (
         f"global window not over the histogram aggregate:\n{plan}"
     )
+
+
+def test_text_tfidf_topk_windowgrouplimit_no_cartesian(spark):
+    """text_tfidf_topk: the per-doc top-5 must run as WindowGroupLimit
+    (k rows per doc per partition cross the exchange), the df join
+    must be a hash join, and the only nested-loop is the 1-row corpus
+    count broadcast."""
+    plan = plan_of(spark, "text_tfidf_topk", mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_text_bm25_search_broadcast_queries(spark):
+    """text_bm25_search: the literal query table joins BROADCAST onto
+    tf (the corpus-sized relation never reshuffles for it), candidates
+    rank via WindowGroupLimit, and the only nested-loops are 1-row
+    broadcasts (N x T assembling the global-stats row, then that row
+    onto the candidates)."""
+    plan = plan_of(spark, "text_bm25_search", mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_graph_triangle_count_equi_joins_only(spark):
+    """graph_triangle_count: every join — co-occurrence, degree
+    decoration, wedge, closing edge — must be a hash/merge EQUI join
+    (inequalities ride as residuals); a nested-loop anywhere here is
+    the O(V^2) failure mode."""
+    plan = plan_of(spark, "graph_triangle_count", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
