@@ -1341,3 +1341,169 @@ def sim_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- k-means training (Lloyd's algorithm, integer-exact) --------------
+#
+# The coarse-quantizer trainer sim_search_ivf/_ivfpq document as their
+# production input ("k-means centroids from a sampled training pass").
+# Three unrolled Lloyd iterations over the corpus, bit-identical
+# across engines because every step is integer arithmetic:
+#
+#   * vectors quantize ONCE to xq[d] = floor(x * 2^14) (power-of-two
+#     scale: the multiply is float-exact, floor is exact);
+#   * distances are exact integer sums  sum_d (xq[d] - cq[d])^2 —
+#     order-independent, so partial aggregation order cannot matter;
+#   * new centroids are integer means at the same scale via a
+#     sign-safe offset floor-division (truncation == floor once the
+#     numerator is made non-negative; Spark `div` truncates while
+#     DuckDB `//` floors, so negative sums would otherwise diverge —
+#     the same trap agg_bitmap_distinct's chunking hit in r4);
+#   * a cluster that loses all members drops out of the next round in
+#     BOTH engines (its mean row simply doesn't group).
+#
+# Domain (int64 headroom): |element| < 2^10 keeps xq in 2^24, squared
+# diffs in 2^50, the 64-dim distance sum in 2^56 and per-(cid, dim)
+# coordinate sums safe for corpora to ~2^33 vectors; production
+# upgrades the two sums to DECIMAL(38,0) unchanged. Vectors with a
+# NaN / Inf / out-of-domain ELEMENT are excluded whole, like NULL
+# vectors (the sim_search_bcast_index finite-vector contract —
+# floor() of NaN is int64 garbage, a silent wrong cluster).
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = float(2**14)
+_KM_DOM = 1024.0  # |element| bound: 2^10
+_KM_OFF = 2**25   # makes every mean numerator non-negative
+_KM_DIM = 64
+
+
+def _km_sql_iter(i: int) -> str:
+    """One Lloyd round: assign to nearest centroid (integer distance,
+    (dist, cid) tiebreak), then per-(cid, dim) integer mean."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, xq, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      FROM (
+        SELECT e.vec_id, e.xq, c.cid,
+               list_sum(list_transform(generate_series(1, {_KM_DIM}),
+                 j -> (e.xq[j] - c.cq[j]) * (e.xq[j] - c.cq[j]))) AS dist
+        FROM eq e CROSS JOIN c{i - 1} c) t),
+    m{i} AS (
+      SELECT cid, d,
+             CAST((SUM(xq[d]) + COUNT(*) * {_KM_OFF}) // COUNT(*)
+                  - {_KM_OFF} AS BIGINT) AS cq1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{i} CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS d) dims
+      WHERE rk = 1
+      GROUP BY cid, d),
+    c{i} AS (
+      SELECT cid, list(cq1 ORDER BY d) AS cq, MAX(n) AS n
+      FROM m{i} GROUP BY cid)
+    """
+
+
+@register(
+    "emb_kmeans_train",
+    oracle=f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               y -> CAST(FLOOR(CAST(y AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS xq
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {_KM_DIM}
+        AND NOT list_bool_or(list_transform(embedding,
+              y -> isnan(CAST(y AS DOUBLE))
+                   OR abs(CAST(y AS DOUBLE)) >= {_KM_DOM!r}))),
+    c0 AS (
+      SELECT vec_id AS cid, xq AS cq FROM eq WHERE vec_id < {_KM_K}),
+    {", ".join(_km_sql_iter(i) for i in range(1, _KM_ITERS + 1))}
+    SELECT c.cid, dims.d, c.cq[dims.d] AS c_q, c.n AS n_members
+    FROM c{_KM_ITERS} c
+    CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS d) dims
+    ORDER BY c.cid, dims.d
+    """,
+)
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (Lloyd's): 3 unrolled iterations of
+    assign-to-nearest + per-cluster integer mean over the embedding
+    corpus, emitting each surviving centroid's 64 quantized
+    coordinates and member count — the training pass that feeds
+    sim_search_ivf / sim_search_ivfpq their coarse quantizer.
+
+    Every iteration is ONE broadcast join of the corpus against the
+    K-row centroid relation (the corpus never shuffles for
+    assignment), a per-vector argmin via a (dist, cid)-ordered rank
+    window partitioned by vec_id, then a posexplode + (cid, dim) hash
+    aggregate — 64*K cells — whose integer means become the next
+    round's centroid relation. The iterative-numeric determinism
+    story is graph_pagerank's, upgraded: distances AND centroids stay
+    exact integers end-to-end (see the derivation above), so three
+    rounds of floating-point-free Lloyd's hash-match the oracle's
+    unrolled CTEs bit-for-bit.
+
+    Scale shape: per round, corpus-linear narrow work + one exchange
+    of |corpus| (vec_id, cid) assignments into a 64*K-cell aggregate;
+    centroids are always a broadcast literal-sized relation. At
+    production K (~sqrt(corpus)), swap the crossJoin argmin for the
+    IVF probe cascade — the update side is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _KM_DIM)
+        & ~F.exists(
+            "embedding",
+            lambda y: F.isnan(y.cast("double"))
+            | (F.abs(y.cast("double")) >= F.lit(_KM_DOM)),
+        )
+    )
+    eq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.floor(y.cast("double") * F.lit(_KM_Q)).cast("long"),
+        ).alias("xq"),
+    )
+    cent = eq.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    for _ in range(_KM_ITERS):
+        dist = F.aggregate(
+            F.zip_with("xq", "cq", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            eq.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        cells = (
+            assigned.select("cid", F.posexplode("xq").alias("d0", "x"))
+            .groupBy("cid", F.col("d0"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                "cid",
+                (F.col("d0") + 1).alias("d"),
+                F.expr(f"(s + n * {_KM_OFF}) div n - {_KM_OFF}")
+                .cast("long")
+                .alias("cq1"),
+                "n",
+            )
+        )
+        cent = cells.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cq1"))),
+                lambda st: st.cq1,
+            ).alias("cq"),
+            F.max("n").alias("n"),
+        )
+    return cent.select(
+        "cid", F.posexplode("cq").alias("d0", "c_q"), F.col("n").alias("n_members")
+    ).select(
+        "cid", (F.col("d0") + 1).cast("bigint").alias("d"), "c_q", "n_members"
+    ).orderBy("cid", "d")

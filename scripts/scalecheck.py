@@ -91,6 +91,15 @@ SCALE_QUERIES = [
     # the integer fixed-point mixture replicator (pure narrow map).
     "text_pack_sequences",
     "sample_mixture_epochs",
+    # Retrieval scoring: tf/df aggregates + broadcast query join must
+    # stay token-linear; the per-doc/per-query top-k is WindowGroupLimit
+    # so the rank cost cannot grow past k rows per partition.
+    "text_tfidf_topk",
+    "text_bm25_search",
+    # Triangle counting: key-shifted copies are disjoint subgraphs, so
+    # edges AND triangles scale linearly by construction — a
+    # superlinear exponent means the wedge join is degenerating.
+    "graph_triangle_count",
 ]
 
 

@@ -802,3 +802,16 @@ def test_graph_triangle_count_equi_joins_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_emb_kmeans_train_bounded_plan(spark):
+    """emb_kmeans_train: per Lloyd round, ONE K-row broadcast
+    nested-loop (the centroid relation — bounded by K, never
+    corpus-sized), the argmin as WindowGroupLimit (rk==1 caps each
+    vec_id partition at one row pre-exchange), and a hash aggregate
+    for the 64*K mean cells. No cartesian of corpus-sized sides."""
+    plan = plan_of(spark, "emb_kmeans_train", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan
