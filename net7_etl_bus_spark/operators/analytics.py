@@ -920,3 +920,135 @@ def agg_median_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cum >= k:
             return spark.createDataFrame([(x, n, n_bad)], out_schema)
     raise AssertionError("rank bookkeeping exhausted candidates")
+
+
+# --- count-min sketch (mergeable heavy-hitter counter) ----------------
+#
+# The frequency-estimation half of the mergeable-sketch family (HLL
+# covers distinct counting, test_sketches.py): DEPTH seeded hash rows
+# over a WIDTH-cell counter array; a key's estimate is the MIN of its
+# DEPTH cells, which can only OVER-estimate (collisions add, never
+# subtract). Hashes are hex digits of one md5 per key folded to ints
+# with the instr() idiom (operators/sampling.py _SQL_U24) — fully
+# cross-engine, so the sketch cells AND the estimates hash-match the
+# oracle exactly. WIDTH=256 is deliberately small for the part-key
+# domain (~2k keys at sf0.01): collisions are REAL and the
+# overestimate column is a live differential surface, not a column of
+# zeros; production sizes WIDTH ~ e/eps.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # 2 hex digits per row
+_CMS_TOPK = 20
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_col_sql(r: int) -> str:
+    """Row r's column index: hex chars 2r+1, 2r+2 of md5(key)."""
+    return (
+        f"((instr('{_CMS_HEX}', substring(h, {2 * r + 1}, 1)) - 1) * 16"
+        f" + (instr('{_CMS_HEX}', substring(h, {2 * r + 2}, 1)) - 1))"
+    )
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_cms_col_sql(r)} AS col, h FROM hashed"
+    for r in range(_CMS_DEPTH)
+)
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS h
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    cells AS (
+      SELECT r, col, CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM ({_CMS_ROWS_SQL}) rows
+      GROUP BY r, col),
+    exact AS (
+      SELECT l_partkey, h, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM hashed GROUP BY l_partkey, h
+      ORDER BY exact_n DESC, l_partkey LIMIT {_CMS_TOPK}),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT l_partkey, exact_n, {r} AS r, {_cms_col_sql(r)} AS col FROM exact"
+        for r in range(_CMS_DEPTH))}),
+    est AS (
+      SELECT p.l_partkey, p.exact_n, CAST(MIN(c.cell_n) AS BIGINT) AS est_n
+      FROM probes p JOIN cells c ON c.r = p.r AND c.col = p.col
+      GROUP BY p.l_partkey, p.exact_n)
+    SELECT l_partkey, exact_n, est_n, est_n - exact_n AS overestimate
+    FROM est ORDER BY exact_n DESC, l_partkey
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the part-key frequency stream, evaluated
+    on the exact top-20 heavy hitters: builds the DEPTHxWIDTH counter
+    sketch in one pass, then reports each heavy hitter's exact count,
+    CMS estimate (min over its DEPTH cells), and the collision
+    overestimate — the mergeable-counter pattern for "approximate
+    per-key counts across shards without shuffling raw keys"
+    (per-shard sketches ADD cell-wise, exactly like the per-day HLL
+    union in test_sketches.py).
+
+    Scale shape: the build explodes each row into DEPTH (r, col)
+    cells, but the aggregate's key space is DEPTH*WIDTH = 1024 cells,
+    so map-side partial aggregation collapses everything before ONE
+    tiny exchange — raw keys never shuffle, which is the entire point
+    of sketching a 100 TB stream. The probe side is TOPK*DEPTH rows
+    broadcast against the 1024-cell relation. The estimate's
+    one-sided error (est >= exact, always) is visible in-result.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    hashed = l.select(
+        "l_partkey", F.md5(F.col("l_partkey").cast("string")).alias("h")
+    )
+
+    def col_expr(r: int):
+        return (
+            (F.instr(F.lit(_CMS_HEX), F.substring("h", 2 * r + 1, 1)) - 1) * 16
+            + (F.instr(F.lit(_CMS_HEX), F.substring("h", 2 * r + 2, 1)) - 1)
+        )
+
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).alias("r"), col_expr(r).alias("col"))
+                    for r in range(_CMS_DEPTH)
+                ])
+            ).alias("rc")
+        )
+        .select("rc.r", "rc.col")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+    )
+    exact = (
+        hashed.groupBy("l_partkey", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "l_partkey",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), col_expr(r).alias("col"))
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("rc"),
+    ).select("l_partkey", "exact_n", "rc.r", "rc.col")
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "col"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("cell_n").cast("bigint").alias("est_n"))
+        .select(
+            "l_partkey",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+    )

@@ -1507,3 +1507,124 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cid", (F.col("d0") + 1).cast("bigint").alias("d"), "c_q", "n_members"
     ).orderBy("cid", "d")
+
+
+# --- SemDeDup: embedding-cluster-scoped near-duplicate removal --------
+
+_SD_TAU = 0.3  # near-dup cosine threshold. The synthetic embeddings
+# are near-orthogonal (max pairwise cosine ~0.51, p99 ~0.29 at
+# sf0.01), so real-corpus thresholds like 0.85 would never fire and
+# the drop branch would go untested; 0.3 drops a real few-percent
+# tail in every cluster while keeping most of the corpus.
+
+
+@register(
+    "emb_semdedup",
+    oracle=f"""
+    WITH fe AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND NOT list_bool_or(list_transform(embedding,
+              y -> isnan(CAST(y AS DOUBLE)) OR isinf(CAST(y AS DOUBLE))))
+        AND {_sql_norm("embedding")} > 0),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cent_emb FROM fe
+      WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}),
+    ranked AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rkc
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cos("e.embedding", "c.cent_emb")} AS cos_c
+        FROM fe e CROSS JOIN cent c) t),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM ranked WHERE rkc = 1),
+    dropped AS (
+      SELECT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND {_sql_cos("a.embedding", "b.embedding")} >= {_SD_TAU}
+      GROUP BY b.vec_id)
+    SELECT s.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+    FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    GROUP BY s.cid ORDER BY s.cid
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    corpus is partitioned into embedding clusters, near-duplicate
+    pairs (cosine >= tau) are searched ONLY within a cluster, and
+    each duplicate group keeps its lowest vec_id — emitting the
+    per-cluster members/kept/dropped ledger. This is the scalable
+    recipe for embedding-level dedup at corpus scale: clustering cuts
+    the pair search from O(n^2) to sum-over-clusters O(n_c^2).
+
+    Cluster assignment reuses sim_search_ivf's deterministic seed
+    centroids (production swaps in emb_kmeans_train output without
+    changing any plan shape — the assignment sub-plan is identical).
+    A vector with a NaN/Inf element or zero norm is excluded like a
+    NULL vector: its cosine is NaN, which the two engines ORDER
+    DIFFERENTLY around a threshold (Spark: comparisons with NaN are
+    false; DuckDB: NaN sorts greatest) — exclusion is the one
+    cross-engine-stable contract.
+
+    Scale shape: assignment is one K-row broadcast join + per-vector
+    argmin (WindowGroupLimit); the dedup join is an equi-join on cid
+    whose fan-out is bounded by cluster size (with trained, balanced
+    centroids: ~(n/K)^2 per cluster, the SemDeDup trade); the
+    drop-side survivor test is a cid-local pair emission aggregated
+    to distinct losers, and the ledger is a 16-row aggregate. The
+    corpus shuffles once, on cid.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists(
+            "embedding",
+            lambda y: F.isnan(y.cast("double"))
+            | (F.abs(y.cast("double")) == F.lit(float("inf"))),
+        )
+    )
+    norm2 = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    fe = e.filter(norm2 > 0).select("vec_id", "embedding")
+    cent = fe.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    ac = fe.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    assign = (
+        ac.withColumn("rkc", F.row_number().over(w))
+        .filter(F.col("rkc") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    dropped = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine(F.col("emb_a"), F.col("emb_b")) >= _SD_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count(F.when(F.col("is_dup").isNull(), 1)).cast("bigint").alias("n_kept"),
+            F.count("is_dup").cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )

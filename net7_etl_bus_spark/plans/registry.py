@@ -96,7 +96,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_quality_quantile_gate", "text_chunk_overlap", "pipeline_rag_prep",
     "agg_median_iterative", "sample_exact_k_stratified", "join_bloom_prefilter",
     "text_tfidf_topk", "text_bm25_search", "graph_triangle_count",
-    "emb_kmeans_train",
+    "emb_kmeans_train", "emb_semdedup", "agg_cms_heavy_hitters",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

@@ -815,3 +815,30 @@ def test_emb_kmeans_train_bounded_plan(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_emb_semdedup_cluster_scoped_pairs(spark):
+    """emb_semdedup: the dedup pair join must be an EQUI join on cid
+    (cluster-scoped — the whole point of SemDeDup), assignment via
+    WindowGroupLimit, and the only nested-loops the K-row centroid
+    broadcast (one per reference to the assignment subplan: ledger
+    base + both pair sides)."""
+    plan = plan_of(spark, "emb_semdedup", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_agg_cms_sketch_tiny_keyspace_aggregate(spark):
+    """agg_cms_heavy_hitters: the sketch build must be a two-phase
+    hash aggregate over the 1024-cell key space (map-side collapse
+    before ONE tiny exchange), the heavy-hitter cut
+    TakeOrderedAndProject, and the probe join broadcast."""
+    plan = plan_of(spark, "agg_cms_heavy_hitters", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
