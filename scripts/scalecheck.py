@@ -100,6 +100,10 @@ SCALE_QUERIES = [
     # edges AND triangles scale linearly by construction — a
     # superlinear exponent means the wedge join is degenerating.
     "graph_triangle_count",
+    # k-means: per-round cost is corpus x K narrow work + a 64*K-cell
+    # aggregate — linear in vectors regardless of their values (so,
+    # unlike the near-dup ops, replicated embeddings are fine here).
+    "emb_kmeans_train",
 ]
 
 

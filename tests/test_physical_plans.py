@@ -842,3 +842,41 @@ def test_agg_cms_sketch_tiny_keyspace_aggregate(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining a year-partitioned fact to a
+    FILTERED dim must inject a runtime `dynamicpruningexpression` into
+    the fact scan's PartitionFilters — Spark prunes fact partitions
+    from the dim filter's result at execution time, without a literal
+    year predicate on the fact. At 100 TB this is the difference
+    between scanning one year and scanning the decade when the cut
+    only exists on the dimension side.
+
+    The dim filter must NOT be expressible on the join key itself — a
+    literal `d_year = 1995` gets constant-folded through the equi-join
+    into a static partition filter (verified: Catalyst does this), so
+    the dim is cut on an aggregate-derived column only the runtime can
+    evaluate."""
+    from net7_etl_bus_spark.data import load_table
+
+    path = str(tmp_path / "orders_part")
+    (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year").parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.year("o_orderdate").alias("d_year"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 100)
+    )
+    j = fact.join(dim, fact["o_year"] == dim["d_year"]).select(
+        "o_orderkey", "o_totalprice", "o_year"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    assert "dynamicpruningexpression" in plan, (
+        f"no dynamic partition pruning in plan:\n{plan}"
+    )
