@@ -1255,3 +1255,133 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BM25_TOPK)
         .orderBy("query_id", "rk")
     )
+
+
+# --- BPE vocabulary induction (iterative merge training) --------------
+#
+# text_bpe_pairs counts ONE round's candidate pairs; this trains the
+# actual merge list: N rounds of (count adjacent symbol pairs) ->
+# (pick the most frequent pair) -> (merge it corpus-wide), the inner
+# loop of BPE tokenizer induction. The scalable shape is that training
+# runs on the DISTINCT-WORD frequency table (|vocab| rows, one corpus
+# pass to build), never the token stream — exactly how production BPE
+# trainers work.
+#
+# Words are carried as space-delimited symbol strings (' h e l l o ')
+# and a merge is ONE literal replace(' x y ' -> ' xy '): both engines'
+# replace() is the same left-to-right non-overlapping scan that
+# resumes AFTER the inserted text (verified: ' a a a a ' -> ' aa a a '
+# in both), so the merge is bit-identical cross-engine. On runs of
+# 3+ identical symbols this differs from strict leftmost-greedy BPE
+# (which would give ' aa aa '); the engine contract is the shared
+# replace() semantics, and the tiebreak (count desc, pair asc) makes
+# every round's winner total-ordered.
+_BPE_ROUNDS = 3
+
+
+def _bpe_sql_round(i: int) -> str:
+    return f"""
+    p{i} AS (
+      SELECT s[j] AS x, s[j + 1] AS y, CAST(SUM(cnt) AS BIGINT) AS pair_n
+      FROM (SELECT string_split(trim(w), ' ') AS s, cnt FROM w{i - 1}) t
+      CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS j) js
+      WHERE j < len(s)
+      GROUP BY s[j], s[j + 1]),
+    top{i} AS (
+      SELECT {i} AS round, x, y, pair_n FROM p{i}
+      ORDER BY pair_n DESC, x, y LIMIT 1),
+    w{i} AS (
+      SELECT replace(w, ' ' || t.x || ' ' || t.y || ' ',
+                     ' ' || t.x || t.y || ' ') AS w, cnt
+      FROM w{i - 1} CROSS JOIN top{i} t)
+    """
+
+
+@register(
+    "text_bpe_train",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({_SQL_W}) AS word FROM documents) t
+      WHERE word <> '' AND length(word) <= 32
+      GROUP BY word),
+    w0 AS (
+      SELECT ' ' || array_to_string(list_transform(
+               generate_series(1, length(word)),
+               i -> substring(word, i, 1)), ' ') || ' ' AS w, cnt
+      FROM words),
+    {", ".join(_bpe_sql_round(i) for i in range(1, _BPE_ROUNDS + 1))}
+    SELECT round, x, y, pair_n FROM (
+      {" UNION ALL ".join(f"SELECT * FROM top{i}" for i in range(1, _BPE_ROUNDS + 1))}
+    ) m ORDER BY round
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction: 3 unrolled merge rounds,
+    emitting the learned merge list (round, x, y, pair_count) — the
+    artifact a tokenizer trainer actually produces. Each round counts
+    adjacent symbol pairs over the word-frequency table, picks the
+    winner under a total order, and applies the merge with one
+    cross-engine-identical literal replace (contract note above).
+
+    Scale shape: the corpus is touched ONCE (word counts — explode +
+    hash aggregate, Zipf-collapsed map-side); every round after that
+    is |vocab|-sized: a bounded explode (symbols per word <= 32 chars,
+    the cap applied at intake like production trainers cap word
+    length), a pair-count hash aggregate, a 1-row
+    TakeOrderedAndProject winner broadcast back by crossJoin, and a
+    narrow replace map. Round depth is compile-time (real trainers run
+    10k+ rounds off-corpus on the pair-count table; the DISTRIBUTED
+    part — building word counts and applying merges corpus-wide — is
+    exactly what's shown here).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(normalized_text("text"), " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= 32))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = words.select(
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1)), ' '), ' ')"
+        ).alias("w"),
+        "cnt",
+    )
+    tops = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        syms = w.select(F.split(F.trim(F.col("w")), " ").alias("s"), "cnt")
+        pairs = (
+            syms.select(
+                F.posexplode(F.expr("slice(s, 1, size(s) - 1)")).alias("j0", "x"),
+                F.expr("s").alias("s"),
+                "cnt",
+            )
+            .select(
+                F.col("x"),
+                F.expr("s[j0 + 1]").alias("y"),
+                "cnt",
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_n"))
+        )
+        top = (
+            pairs.orderBy(F.col("pair_n").desc(), "x", "y")
+            .limit(1)
+            .select(F.lit(i).cast("int").alias("round"), "x", "y", "pair_n")
+        )
+        tops.append(top)
+        t = top.select(F.col("x").alias("_x"), F.col("y").alias("_y"))
+        w = w.crossJoin(F.broadcast(t)).select(
+            F.replace(
+                "w",
+                F.concat(F.lit(" "), F.col("_x"), F.lit(" "), F.col("_y"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_x"), F.col("_y"), F.lit(" ")),
+            ).alias("w"),
+            "cnt",
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("round")

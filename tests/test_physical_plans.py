@@ -880,3 +880,17 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruningexpression" in plan, (
         f"no dynamic partition pruning in plan:\n{plan}"
     )
+
+
+def test_text_bpe_train_winner_cut_no_global_sort(spark):
+    """text_bpe_train: each round's winning pair must be a 1-row
+    TakeOrderedAndProject broadcast back by nested-loop (1-row build
+    side), never a global sort of the pair table or a rank window;
+    pair counting is hash aggregation (Catalyst re-derives earlier
+    rounds' subplans inside later rounds — lazy-plan recomputation,
+    each still vocabulary-bounded)."""
+    plan = plan_of(spark, "text_bpe_train", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
+    assert "Window" not in plan, plan
