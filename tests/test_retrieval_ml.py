@@ -1,0 +1,116 @@
+"""Invariant tests for the retrieval / training-ML operators (round 5,
+fifth session) — properties the oracle differential can't state
+directly: monotonicity across iterations, one-sided sketch error,
+ledger conservation, top-k shape. Oracle value-parity itself runs in
+test_oracle_parity.py like every registered key.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from net7_etl_bus_spark.plans import registry
+
+from .conftest import SF_SMALL
+
+Q = registry.queries()
+
+
+def test_tfidf_topk_shape(spark):
+    rows = Q["text_tfidf_topk"](spark, SF_SMALL).collect()
+    per_doc = Counter(r.doc_id for r in rows)
+    assert max(per_doc.values()) <= 5
+    # within a doc, scores are emitted non-increasing
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.score_q)
+    for doc, scores in by_doc.items():
+        assert scores == sorted(scores, reverse=True), doc
+
+
+def test_bm25_ranks_are_dense_and_unique_per_query(spark):
+    rows = Q["text_bm25_search"](spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.score_q))
+    for qid, rs in by_q.items():
+        rks = [rk for rk, _ in sorted(rs)]
+        assert rks == list(range(1, len(rks) + 1)), (qid, rks)
+        scores = [s for _, s in sorted(rs)]
+        assert scores == sorted(scores, reverse=True), (qid, scores)
+        assert len(rs) <= 10
+
+
+def test_bpe_train_winner_counts_non_increasing(spark):
+    """A merge can only create pairs whose count is bounded by the
+    merged pair's count, so each round's winning frequency is <= the
+    previous round's — the convergence signal a tokenizer trainer
+    watches."""
+    rows = sorted(Q["text_bpe_train"](spark, SF_SMALL).collect(),
+                  key=lambda r: r.round)
+    assert [r.round for r in rows] == [1, 2, 3]
+    counts = [r.pair_n for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    for r in rows:
+        assert r.x and r.y and r.pair_n > 0
+
+
+def test_kmeans_inertia_non_increasing_across_rounds(spark):
+    """Lloyd's decreases total within-cluster distance every round
+    (exactly, up to the documented 2^-14 centroid quantization — allow
+    that slack scaled by corpus size). Recompute assignments/inertia
+    for round-1 (seed) and round-3 (trained) centroids."""
+    import numpy as np
+
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.similarity import _KM_DIM, _KM_K, _KM_Q
+
+    e = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    vecs = np.array(
+        [r.embedding for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    xq = np.floor(vecs * _KM_Q).astype(np.int64)
+    ids = [r.vec_id for r in e.select("vec_id").collect()]
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    seed_mat = np.stack([xq[id_to_row[v]] for v in range(_KM_K)])
+
+    trained = Q["emb_kmeans_train"](spark, SF_SMALL).collect()
+    by_cid = {}
+    for r in trained:
+        by_cid.setdefault(r.cid, [0] * _KM_DIM)[r.d - 1] = r.c_q
+    trained_mat = np.stack([np.array(v) for _, v in sorted(by_cid.items())])
+
+    def inertia(cent):
+        d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    i0, i3 = inertia(seed_mat), inertia(trained_mat)
+    slack = xq.shape[0] * _KM_DIM * 4  # quantized-mean rounding headroom
+    assert i3 <= i0 + slack, (i0, i3)
+
+
+def test_semdedup_ledger_conserves_members(spark):
+    rows = Q["emb_semdedup"](spark, SF_SMALL).collect()
+    assert rows, "no clusters"
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_members, r
+        assert r.n_kept >= 1, r  # every cluster keeps a representative
+
+
+def test_cms_estimate_is_one_sided(spark):
+    rows = Q["agg_cms_heavy_hitters"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.exact_n, r
+        assert r.overestimate == r.est_n - r.exact_n, r
+
+
+def test_triangle_counts_sum_divisible_by_three(spark):
+    rows = Q["graph_triangle_count"](spark, SF_SMALL).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0, total
+    assert all(r.n_triangles >= 1 for r in rows)
