@@ -47,3 +47,51 @@ def test_hll_merge_is_incremental_for_late_partitions(spark):
     ).first()["est"]
     # merging partials must equal sketching the whole stream
     assert merged == whole, (merged, whole)
+
+
+def test_cms_sketches_merge_cellwise(spark):
+    """Count-min sketches MERGE by cell-wise addition: building one
+    sketch per o_orderdate-year shard and summing cells must equal the
+    whole-stream sketch exactly (counts are exact integers — unlike
+    HLL there is no merge error). This is the property that lets
+    100 TB of shards keep per-shard frequency sketches and answer
+    global heavy-hitter queries without ever reshuffling raw keys."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.analytics import _CMS_DEPTH, _CMS_HEX
+
+    l = load_table(spark, SF_SMALL, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
+    hashed = l.select(
+        "l_partkey",
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.md5(F.col("l_partkey").cast("string")).alias("h"),
+    )
+
+    def col_expr(r):
+        return (
+            (F.instr(F.lit(_CMS_HEX), F.substring("h", 2 * r + 1, 1)) - 1) * 16
+            + (F.instr(F.lit(_CMS_HEX), F.substring("h", 2 * r + 2, 1)) - 1)
+        )
+
+    cells = hashed.select(
+        "shard",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), col_expr(r).alias("col"))
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("rc"),
+    ).select("shard", "rc.r", "rc.col")
+
+    global_sketch = {
+        (r.r, r.col): r.n
+        for r in cells.groupBy("r", "col").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_shard = cells.groupBy("shard", "r", "col").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    merged = {}
+    for row in per_shard:
+        merged[(row.r, row.col)] = merged.get((row.r, row.col), 0) + row.n
+    assert merged == global_sketch
