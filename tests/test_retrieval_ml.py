@@ -114,3 +114,47 @@ def test_triangle_counts_sum_divisible_by_three(spark):
     total = sum(r.n_triangles for r in rows)
     assert total % 3 == 0, total
     assert all(r.n_triangles >= 1 for r in rows)
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    """Pin the documented production swap: cluster assignment under
+    emb_kmeans_train's TRAINED centroids (reshaped long->array, scaled
+    back from the 2^14 quantization) uses the identical broadcast-join
+    + argmin machinery and yields a complete, conservation-correct
+    partition of the corpus — no plan shape changes, only the centroid
+    relation's provenance."""
+    from pyspark.sql import Window
+
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.similarity import _KM_Q, _cosine
+
+    trained = (
+        Q["emb_kmeans_train"](spark, SF_SMALL)
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c_q"))),
+                lambda s: s.c_q.cast("double") / F.lit(_KM_Q),
+            ).alias("cent_emb")
+        )
+    )
+    e = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda y: F.isnan(y.cast("double")))
+    )
+    ac = e.crossJoin(F.broadcast(trained)).withColumn(
+        "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    assign = ac.withColumn("rkc", F.row_number().over(w)).filter(
+        F.col("rkc") == 1
+    )
+    n_corpus = e.count()
+    n_assigned = assign.count()
+    assert n_assigned == n_corpus, (n_assigned, n_corpus)
+    # plan shape: same broadcast nested-loop (K-row build) + WindowGroupLimit
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        assign._jdf.queryExecution(), "simple"
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
