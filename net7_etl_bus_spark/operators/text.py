@@ -1385,3 +1385,89 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionAll(t)
     return out.orderBy("round")
+
+
+# --- bigram language-model counts -------------------------------------
+
+_LM_TOPK = 100
+_LM_Q = 1_000_000
+
+
+@register(
+    "text_ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_W} AS t FROM documents),
+    bg AS (
+      SELECT t[j] AS w1, t[j + 1] AS w2
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 255)) AS j) js
+      WHERE j < len(t) AND t[j] <> '' AND t[j + 1] <> ''),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM bg GROUP BY w1, w2),
+    c1 AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
+    SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+           CAST((c12.n12 * {_LM_Q}) // c1.n1 AS BIGINT) AS cond_q
+    FROM c12 JOIN c1 ON c1.w1 = c12.w1
+    ORDER BY c12.n12 DESC, c12.w1, c12.w2 LIMIT {_LM_TOPK}
+    """,
+)
+def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: the (w1, w2) -> count table
+    plus each bigram's integer-quantized conditional probability
+    P(w2|w1) = n12/n1 — the count statistics a KenLM-style n-gram LM
+    (and every LM-perplexity quality filter derived from one) is
+    trained on. Top-100 bigrams by frequency with a total tiebreak.
+
+    cond_q = (n12 * 1e6) div n1 is one integer floor-division on exact
+    BIGINT counts — bit-identical across engines; n1 is defined as
+    bigram-start occurrences (sum of n12 over w2), so the conditional
+    distribution sums to ~1e6 per w1 by construction.
+
+    Scale shape: in-document adjacency never crosses a partition —
+    bigrams come from a bounded positional explode fused into the
+    scan (docs capped at 256 tokens here; production shards longer
+    docs with a 1-token overlap, same plan); two stacked hash
+    aggregates (bigram, then first-word marginals as an aggregate OF
+    the bigram table — never a second corpus pass); the final cut is
+    TakeOrderedAndProject. Zipf skew collapses map-side exactly like
+    every counting op here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(normalized_text("text"), " ").alias("t"))
+    bg = (
+        toks.select(
+            # w1 positions j = 1 .. min(size-1, 255): identical to the
+            # oracle's generate_series(1, 255) ∩ j < len(t) bound — a
+            # `least(size, 255) - 1` shape would silently drop the
+            # 255th bigram of >255-token docs relative to the oracle.
+            F.posexplode(F.expr("slice(t, 1, least(size(t) - 1, 255))")).alias(
+                "j0", "w1"
+            ),
+            F.col("t"),
+        )
+        .select("w1", F.expr("t[j0 + 1]").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    # Materialize the bigram table once: lazily, Catalyst would
+    # re-derive c12 from a SECOND corpus scan for the marginal branch
+    # (verified in the plan). The checkpointed relation is
+    # vocabulary²-bounded — the same localCheckpoint pattern as the
+    # dedup cascade's edge relation (operators/dedup.py).
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    ).localCheckpoint()
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            F.expr(f"(n12 * {_LM_Q}) div n1").cast("bigint").alias("cond_q"),
+        )
+        .orderBy(F.col("n12").desc(), "w1", "w2")
+        .limit(_LM_TOPK)
+    )

@@ -97,7 +97,7 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "agg_median_iterative", "sample_exact_k_stratified", "join_bloom_prefilter",
     "text_tfidf_topk", "text_bm25_search", "graph_triangle_count",
     "emb_kmeans_train", "emb_semdedup", "agg_cms_heavy_hitters",
-    "text_bpe_train",
+    "text_bpe_train", "text_ngram_lm_counts",
     # newly oracle-ized / newly registered this round
     "agg_count_distinct_approx", "dedup_minhash_mllib",
     "agg_percentile_approx",

@@ -894,3 +894,19 @@ def test_text_bpe_train_winner_cut_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
     assert "Window" not in plan, plan
+
+
+def test_text_ngram_lm_counts_stacked_aggregates(spark):
+    """text_ngram_lm_counts: the first-word marginal must be an
+    aggregate OF the materialized bigram table — ZERO parquet scans in
+    the final plan (the one corpus pass lives inside the bigram
+    localCheckpoint; lazily Catalyst re-derived c12 from a second
+    corpus scan for the marginal branch) — the join back a hash join,
+    and the top-100 TakeOrderedAndProject."""
+    plan = plan_of(spark, "text_ngram_lm_counts", mode="simple")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
