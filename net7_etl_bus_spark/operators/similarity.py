@@ -1557,9 +1557,15 @@ _SD_TAU = 0.3  # near-dup cosine threshold. The synthetic embeddings
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     corpus is partitioned into embedding clusters, near-duplicate
-    pairs (cosine >= tau) are searched ONLY within a cluster, and
-    each duplicate group keeps its lowest vec_id — emitting the
-    per-cluster members/kept/dropped ledger. This is the scalable
+    pairs (cosine >= tau) are searched ONLY within a cluster, and a
+    vector b is dropped iff SOME a < b in its cluster has
+    cos(a, b) >= tau — emitting the per-cluster members/kept/dropped
+    ledger. Note this is the pairwise-drop rule, not
+    one-representative-per-connected-group: in a chain 1~2, 2~3
+    (1!~3), vector 3 is dropped because of neighbor 2 even though 2
+    was itself dropped (chain-collapse). That matches SemDeDup's
+    within-cluster filtering and is cheaper than a transitive-closure
+    pass; the CC-based alternative is dedup_cc_survivors. This is the scalable
     recipe for embedding-level dedup at corpus scale: clustering cuts
     the pair search from O(n^2) to sum-over-clusters O(n_c^2).
 

@@ -1086,8 +1086,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor behind topic labeling, near-duplicate triage, and
     per-domain vocabulary drift monitoring on a training corpus.
 
-    idf uses the rational form N/df (monotone in the usual
-    ln(N/df), identical ranking per document since N is constant);
+    idf uses the rational form N/df — a deliberate deterministic
+    variant: the op ranks by tf*N/df, which is NOT rank-equivalent to
+    tf*ln(N/df) once multiplied by tf (e.g. tf=1, N/df=7 outranks
+    tf=3, N/df=2 rationally but not under ln); rank-equivalence holds
+    only among terms with equal tf. Both sides of the oracle compute
+    the same formula, so parity is exact, and the variant still
+    surfaces rare-in-corpus/frequent-in-doc terms.
     score_q = (tf * 1e6 * N) div df is one integer floor-division on
     exact BIGINT products — bit-identical across engines. Domain:
     tf*N*1e6 must fit int64 (tf*N < 9.2e12); beyond that production
@@ -1173,9 +1178,11 @@ _SQL_BM25_Q = " UNION ALL ".join(
              CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS t),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-             CAST(({_TFIDF_Q} * (2*g.n - 2*df.df + 1) * 22 * tf.tf * g.t)
-                  // ((2*df.df + 1)
-                      * (10*tf.tf*g.t + 3*g.t + 9*dl.dl*g.n)) AS BIGINT)
+             CAST((CAST({_TFIDF_Q} AS HUGEINT)
+                   * (2*g.n - 2*df.df + 1) * 22 * tf.tf * g.t)
+                  // (CAST(2*df.df + 1 AS HUGEINT)
+                      * (CAST(10 AS HUGEINT)*tf.tf*g.t + 3*g.t + 9*dl.dl*g.n))
+                  AS BIGINT)
                AS sq
       FROM q
       JOIN tf ON tf.term = q.term
@@ -1201,12 +1208,18 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-quality audits ("which documents dominate query X").
 
     k1=1.2, b=0.75 as exact rationals with denominators cleared, so
-    each term's score is ONE integer floor-division of exact BIGINT
-    products and per-(query, doc) totals are exact integer sums —
-    bit-identical across engines with no ln() in the path (see the
-    derivation above; domain note: products must fit int64, which
-    holds while N*T*tf*22e6 < 9.2e18 — production upgrades the same
-    expressions to DECIMAL(38,0)).
+    each term's score is ONE integer floor-division of exact products
+    and per-(query, doc) totals are exact BIGINT sums — bit-identical
+    across engines with no ln() in the path (see the derivation
+    above). The products are computed in DECIMAL(38,0) on the Spark
+    side and HUGEINT (int128) in the oracle: the int64 numerator
+    bound (~4.4e7 * N * tf * T, counting the 2x idf scaling and the
+    1e6 quantum) would already wrap at N~2e4, T~2e6, tf>=6 — sizes
+    the scalecheck battery reaches — and Spark's non-ANSI int64
+    wraps silently where DuckDB errors. DECIMAL(38,0) holds until
+    products exceed 1e38 (N*tf*T < ~2.3e30), far past any corpus;
+    the floor-division quotient (a quantized score <= ~1e8) returns
+    to BIGINT.
 
     Scale shape: the query table is a literal inline relation joined
     broadcast against tf on term — the corpus-sized tf relation never
@@ -1241,8 +1254,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             F.expr(
-                f"({_TFIDF_Q} * (2*n - 2*df + 1) * 22 * tf * t)"
-                f" div ((2*df + 1) * (10*tf*t + 3*t + 9*dl*n))"
+                f"(CAST({_TFIDF_Q} AS DECIMAL(38,0))"
+                f" * (2*n - 2*df + 1) * 22 * tf * t)"
+                f" div (CAST(2*df + 1 AS DECIMAL(38,0))"
+                f" * (CAST(10 AS DECIMAL(38,0))*tf*t + 3*t + 9*dl*n))"
             ).cast("bigint").alias("sq"),
         )
     )
@@ -1271,11 +1286,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and a merge is ONE literal replace(' x y ' -> ' xy '): both engines'
 # replace() is the same left-to-right non-overlapping scan that
 # resumes AFTER the inserted text (verified: ' a a a a ' -> ' aa a a '
-# in both), so the merge is bit-identical cross-engine. On runs of
-# 3+ identical symbols this differs from strict leftmost-greedy BPE
-# (which would give ' aa aa '); the engine contract is the shared
-# replace() semantics, and the tiebreak (count desc, pair asc) makes
-# every round's winner total-ordered.
+# in both), so the merge is bit-identical cross-engine. Because the
+# pattern ' x y ' shares its delimiter space with the next occurrence,
+# this deviates from strict leftmost-greedy BPE on ANY back-to-back
+# repeat of the winning pair, not just runs of identical symbols:
+# ' a a a a ' -> ' aa a a ' (greedy: ' aa aa '), and for pair (x, y)
+# ' x y x y ' -> ' xy x y ' (greedy: ' xy xy ') — the trailing space
+# of the first match is consumed, so the adjacent repeat is skipped,
+# and round-(i+1) pair counts inherit that encoding. The engine
+# contract is the shared replace() semantics, and the tiebreak
+# (count desc, pair asc) makes every round's winner total-ordered.
 _BPE_ROUNDS = 3
 
 
@@ -1455,9 +1475,16 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified in the plan). The checkpointed relation is
     # vocabulary²-bounded — the same localCheckpoint pattern as the
     # dedup cascade's edge relation (operators/dedup.py).
+    # eager=False keeps plan CONSTRUCTION side-effect-free: every
+    # other registered key stays lazy until executed, and an eager
+    # checkpoint here would run a Spark job (and pin executor blocks)
+    # the moment the harness merely builds the DataFrame. The
+    # truncation still happens on first action; note that once
+    # materialized the checkpointed RDD has no lineage fallback if an
+    # executor is lost — acceptable for a vocabulary²-bounded table.
     c12 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n12")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
     return (
         c12.join(c1, "w1")

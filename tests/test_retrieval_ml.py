@@ -43,6 +43,47 @@ def test_bm25_ranks_are_dense_and_unique_per_query(spark):
         assert len(rs) <= 10
 
 
+def test_bm25_score_survives_int64_overflow_regime(spark):
+    """The BM25 numerator (~4.4e7 * N * tf * T) wraps int64 at sizes
+    the scalecheck battery reaches (N~2e4, T~2e6, tf>=6). The score
+    expression computes in DECIMAL(38,0), so it must equal Python's
+    arbitrary-precision floor division at exactly that regime — a
+    wrapped int64 would come out negative or wildly off."""
+    from net7_etl_bus_spark.operators.text import _TFIDF_Q
+
+    cases = [
+        # (tf, df, dl, n, t) — first is the documented wrap point
+        (6, 5, 100, 20_000, 2_000_000),
+        (10, 5, 100, 20_000, 2_000_000),
+        (1_000, 37, 5_000, 100_000, 50_000_000),
+        (1, 1, 1, 2, 2),
+    ]
+    df = spark.createDataFrame(
+        cases, "tf bigint, df bigint, dl bigint, n bigint, t bigint"
+    )
+    got = [
+        r.sq
+        for r in df.select(
+            F.expr(
+                f"(CAST({_TFIDF_Q} AS DECIMAL(38,0))"
+                f" * (2*n - 2*df + 1) * 22 * tf * t)"
+                f" div (CAST(2*df + 1 AS DECIMAL(38,0))"
+                f" * (CAST(10 AS DECIMAL(38,0))*tf*t + 3*t + 9*dl*n))"
+            ).cast("bigint").alias("sq")
+        ).collect()
+    ]
+    want = [
+        (_TFIDF_Q * (2 * n - 2 * d + 1) * 22 * tf * t)
+        // ((2 * d + 1) * (10 * tf * t + 3 * t + 9 * dl * n))
+        for tf, d, dl, n, t in cases
+    ]
+    assert got == want
+    assert all(s > 0 for s in got)
+    # and the first case genuinely overflows int64 without the decimal
+    tf, d, dl, n, t = cases[0]
+    assert _TFIDF_Q * (2 * n - 2 * d + 1) * 22 * tf * t > 2**63 - 1
+
+
 def test_bpe_train_winner_counts_non_increasing(spark):
     """A merge can only create pairs whose count is bounded by the
     merged pair's count, so each round's winning frequency is <= the
