@@ -63,6 +63,19 @@ COMPOSITE_QUERIES = [
     "dedup_cc_survivors",
 ]
 
+# Extended headline block (r5 verdict item 8): the LLM-pipeline ops
+# promoted into the per-round series so their plans get the same
+# round-over-round pressure as the frozen 16 — retrieval scoring
+# (tf explode + double hash agg + rank window), sequence packing
+# (two-level distributed prefix sum), and the IVF coarse-quantizer
+# trainer (broadcast-centroid Lloyd's rounds). Reported separately so
+# the comparable 16-query total stays frozen.
+EXTENDED_QUERIES = [
+    "text_tfidf_topk",
+    "text_pack_sequences",
+    "emb_kmeans_train",
+]
+
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -110,6 +123,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        med, ts = run_median(spark, qs[name], sf_dir)
+        extended[name] = round(med, 3)
+        print(
+            f"# [extended] {name}: med {extended[name]:.3f}s  runs {[round(t, 3) for t in ts]}",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +142,8 @@ def main() -> None:
                 "queries": timings,
                 "composites": composites,
                 "composites_total": round(sum(composites.values()), 3),
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "protocol": f"median-of-{REPS}",
                 "sf": sf,
             }

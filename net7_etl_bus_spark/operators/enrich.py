@@ -16,6 +16,14 @@ Spark-first redesign:
   so cluster-wide external-API pressure = num_tasks x N and can be
   budgeted: at 1000 executors set maxFilesPerTrigger /
   maxOffsetsPerTrigger and N so tasks x N <= the API rate budget.
+* The budget itself is ENFORCED, not just documented: a per-task
+  :class:`TokenBucket` (rate = global budget / expected concurrent
+  tasks, :func:`per_task_rate`) gates every outbound call, so even if
+  the scheduler runs more batches per task than planned, aggregate
+  pressure stays <= budget. The limiter is injected like the client
+  (``rate_limiter_factory``) — there is no cross-executor coordination
+  to depend on, which is exactly why the per-task quotient is the
+  right mechanism on a shared-nothing cluster (SURVEY.md §7.4.5).
 * Arrow batches in/out — Python cost is per-batch, not per-row.
 * The client is injected (callable factory) — production wires an
   HTTP client; tests and the golden pipeline use the deterministic
@@ -110,6 +118,105 @@ class DeterministicMockClient:
         return self._f(zipcode)[3]
 
 
+class TokenBucket:
+    """Thread-safe token-bucket rate limiter: ``rate`` tokens/sec refill
+    up to ``capacity`` (burst size, default 1 — strict pacing after the
+    first call). :meth:`acquire` blocks until a token is available, so
+    N pool threads sharing one bucket collectively never exceed
+    ``rate`` sustained calls/sec no matter how wide the pool is.
+
+    Deployment contract (the T4 budget): give every task
+    ``rate = per_task_rate(global_budget, expected_tasks)``; aggregate
+    external-API pressure is then <= global_budget regardless of batch
+    sizes or how many Arrow batches the scheduler feeds each task —
+    enforcement replaces the knob arithmetic the docstring used to
+    merely document. Clock and sleeper are injectable so unit tests
+    run on a fake timeline (no real sleeping, no flake)."""
+
+    def __init__(
+        self,
+        rate: float,
+        capacity: float = 1.0,
+        clock=None,
+        sleeper=None,
+    ) -> None:
+        import threading
+        import time
+
+        if rate <= 0:
+            raise ValueError(f"rate must be > 0, got {rate}")
+        self.rate = float(rate)
+        self.capacity = float(max(capacity, 1.0))
+        self._clock = clock if clock is not None else time.monotonic
+        self._sleep = sleeper if sleeper is not None else time.sleep
+        self._lock = threading.Lock()
+        self._tokens = self.capacity
+        self._last = self._clock()
+        self.acquired = 0  # total tokens handed out (observability)
+
+    def _refill_locked(self) -> None:
+        now = self._clock()
+        self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+
+    # Tolerance against float residue: refilling `wait * rate` tokens
+    # can land at 0.999...8 instead of 1.0, making the next computed
+    # wait ~2e-17 — too small to advance ANY clock (fake clocks hang,
+    # real clocks spin hot). Accept a token within _EPS and never
+    # sleep less than a microsecond.
+    _EPS = 1e-9
+    _MIN_SLEEP = 1e-6
+
+    def acquire(self, n: float = 1.0) -> None:
+        """Block until ``n`` tokens are available, then take them."""
+        while True:
+            with self._lock:
+                self._refill_locked()
+                if self._tokens + self._EPS >= n:
+                    self._tokens = max(0.0, self._tokens - n)
+                    self.acquired += 1
+                    return
+                wait = max((n - self._tokens) / self.rate, self._MIN_SLEEP)
+            # sleep OUTSIDE the lock so other threads can refill/take
+            self._sleep(wait)
+
+
+def per_task_rate(global_budget_per_sec: float, expected_tasks: int) -> float:
+    """The per-task quotient of a cluster-wide API budget: each of the
+    ``expected_tasks`` concurrently-running enrichment tasks gets an
+    equal share, so the aggregate sustained rate is <= the budget with
+    zero cross-executor coordination. Size ``expected_tasks`` to the
+    MAX concurrent tasks the job can schedule (cores, or
+    maxFilesPerTrigger-bounded for streaming) — overestimating wastes
+    quota, underestimating overshoots by the ratio."""
+    if expected_tasks <= 0:
+        raise ValueError(f"expected_tasks must be > 0, got {expected_tasks}")
+    return float(global_budget_per_sec) / float(expected_tasks)
+
+
+class RateLimitedClient:
+    """Decorator client: acquires one token per outbound call before
+    delegating, so the 3-call chain (geocode -> elevation + timezone)
+    costs up to 3 tokens per row — the unit the API quota is actually
+    denominated in (requests, not rows)."""
+
+    def __init__(self, inner, bucket: TokenBucket) -> None:
+        self._inner = inner
+        self._bucket = bucket
+
+    def geocode(self, zipcode):
+        self._bucket.acquire()
+        return self._inner.geocode(zipcode)
+
+    def elevation(self, zipcode, lat, lng):
+        self._bucket.acquire()
+        return self._inner.elevation(zipcode, lat, lng)
+
+    def timezone(self, zipcode, lat, lng):
+        self._bucket.acquire()
+        return self._inner.timezone(zipcode, lat, lng)
+
+
 def retrying(call, attempts: int = 3, base_delay: float = 0.1, sleeper=None):
     """Retry a zero-arg call with exponential backoff + deterministic
     jitter (hash of the attempt count — no RNG, so tests and reruns
@@ -173,14 +280,21 @@ def enrich_dataframe(
     attempts: int = 1,
     with_error_column: bool = False,
     sleeper=None,
+    rate_limiter_factory: Callable[[], TokenBucket] | None = None,
 ) -> DataFrame:
     """Append Latitude/Longitude/Elevation/Timezone via bounded-parallel
     per-row enrichment (mapInPandas + per-task thread pool).
 
     The pool size is the reference's TransformMaxDegreeOfParallelism
     (Constants.cs:21 default 5) — but per task: total external-call
-    parallelism is numActiveTasks x max_concurrency, which is the knob
-    a 1000-executor deployment budgets against the API quota.
+    parallelism is numActiveTasks x max_concurrency. The RATE budget is
+    enforced, not inferred from the pool: pass
+    ``rate_limiter_factory=lambda: TokenBucket(per_task_rate(budget,
+    tasks))`` and every outbound call on every pool thread acquires a
+    token first, capping each task's sustained call rate at its share
+    of the cluster-wide API quota (tasks x share <= budget). Built
+    once per task like the client, so there is no serialized shared
+    state and no cross-executor coordination.
 
     ``attempts`` > 1 retries each call with backoff+jitter;
     ``with_error_column=True`` appends EnrichmentError (null on
@@ -202,6 +316,8 @@ def enrich_dataframe(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()  # one client per task (per connection pool)
+        if rate_limiter_factory is not None:
+            client = RateLimitedClient(client, rate_limiter_factory())
         with concurrent.futures.ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
                 results = list(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .functions.scalar import composite_key
 from .operators.enrich import DeterministicMockClient, enrich_dataframe
 from .plans.reference_ops import read_zip_csv
+from .schemas import STATUS_COMPLETE
 from .sources import sinks
 from .sources.batch import file_checksum
 
@@ -57,7 +58,23 @@ def evaluate_run_gate(
 ) -> bool:
     """F1 (reference DataflowProcessor.cs:86-99): skip when a control
     row with the same checksum is active, or started within TTL and
-    finished. The control table is tiny — this collects one boolean."""
+    finished SUCCESSFULLY. The control table is tiny — this collects
+    one boolean.
+
+    DELIBERATE DEVIATION: the reference's finished-arm is
+    ``EndDateTimeUtc != null`` with no status check
+    (DataflowProcessor.cs:88), and it stamps EndDateTimeUtc on Error
+    too (SetImportRecordCompleteAsync, DataflowProcessor.cs:292-301 via
+    ServiceBusWorker.cs:146) — so one failed run blocks every retry of
+    the same file for TTL days. Harmless under the reference's
+    at-most-once queue (a failed message is never redelivered), but
+    fatal to this engine's at-least-once -> idempotent-replay contract
+    (streaming/trigger.py:17-22): a crash mid-run marks the control
+    row Error, and the checkpoint-replayed trigger message would be
+    gated out by its own failed attempt. The finished-arm therefore
+    counts only Status='Complete' rows; an errored run never blocks.
+    Pinned by the errored-run-retries gate test and the
+    kill-mid-foreachBatch recovery test (tests/test_streaming.py)."""
     if force_run:
         return True
     cutoff = now - timedelta(days=ttl_days)
@@ -66,7 +83,11 @@ def evaluate_run_gate(
         (F.col("FileChecksum") == checksum)
         & (
             F.col("IsActive")
-            | ((F.col("ImportStartTimeUtc") > F.lit(cutoff)) & F.col("EndDateTimeUtc").isNotNull())
+            | (
+                (F.col("ImportStartTimeUtc") > F.lit(cutoff))
+                & F.col("EndDateTimeUtc").isNotNull()
+                & (F.col("Status") == STATUS_COMPLETE)
+            )
         )
     )
     return blocking.limit(1).count() == 0
@@ -234,10 +255,15 @@ def run_etl(
             True, "complete", run_id, rows_incoming, rows_to_process, rows_to_process
         )
     except Exception:
-        # C2 run-level error channel: mark Error, rethrow. The queue
-        # layer still acknowledges the message (at-most-once, matching
-        # ServiceBusWorker.cs:150-155) — but because the upsert is a
-        # keyed MERGE, a manual or forced re-run converges (idempotent).
+        # C2 run-level error channel: mark Error, rethrow. An errored
+        # control row does NOT block the gate (see evaluate_run_gate's
+        # deviation note), so the streaming layer's checkpoint replay
+        # of the trigger message re-runs this file WITHOUT force and
+        # converges through the keyed MERGE (idempotent) — the
+        # at-least-once -> idempotent-replay contract. The reference
+        # instead acknowledges the message and strands the failed file
+        # behind its own Error row for TTL days
+        # (ServiceBusWorker.cs:140-155).
         sinks.control_finalize(spark, control_path, run_id, False, now)
         raise
 

@@ -325,7 +325,7 @@ _GATE_CANDIDATES = [
     ("aa" * 32, False),  # active run with same checksum -> skip
     ("bb" * 32, False),  # completed fresh -> skip
     ("cc" * 32, False),  # completed stale -> run
-    ("dd" * 32, False),  # errored (not active, ended) fresh -> skip per predicate
+    ("dd" * 32, False),  # errored fresh -> RUN (retry allowed; see deviation)
     ("ee" * 32, False),  # unknown checksum -> run
     ("bb" * 32, True),   # forceRun bypasses the gate -> run
 ]
@@ -343,18 +343,22 @@ _SQL_GATE_CANDIDATES = ", ".join(
              SELECT 1 FROM {_SQL_IMPORTS} i
              WHERE i.FileChecksum = c.checksum
                AND (i.IsActive OR (i.ImportStartTimeUtc > TIMESTAMP '{TTL_CUTOFF}'
-                                   AND i.EndDateTimeUtc IS NOT NULL))
+                                   AND i.EndDateTimeUtc IS NOT NULL
+                                   AND i.Status = 'Complete'))
            ) AS should_run
     FROM cand c
     """,
 )
 def run_gate_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: duplicate-run gate. Skip when a control row has the same
-    checksum AND (still active OR (started within TTL AND finished));
-    forceRun bypasses. Reference: DataflowProcessor.cs:86-99, TTL
-    ProcessingSettings.cs:7. Evaluated as a broadcast join against the
-    (tiny) control table — the driver-side decision in the live
-    pipeline collects this one boolean."""
+    checksum AND (still active OR (started within TTL AND finished
+    with Status='Complete')); forceRun bypasses. Reference:
+    DataflowProcessor.cs:86-99, TTL ProcessingSettings.cs:7 — with the
+    deliberate deviation that errored runs do NOT block (the reference
+    stamps EndDateTimeUtc on Error and would strand the file for TTL
+    days; see pipeline.evaluate_run_gate). Evaluated as a broadcast
+    join against the (tiny) control table — the driver-side decision
+    in the live pipeline collects this one boolean."""
     cand = spark.createDataFrame(_GATE_CANDIDATES, "checksum string, force_run boolean")
     imports = spark.read.parquet(ETL_IMPORTS_PATH)
     blocking = imports.filter(
@@ -362,6 +366,7 @@ def run_gate_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (
             (F.col("ImportStartTimeUtc") > F.lit(TTL_CUTOFF).cast("timestamp"))
             & F.col("EndDateTimeUtc").isNotNull()
+            & (F.col("Status") == "Complete")
         )
     ).select(F.col("FileChecksum").alias("checksum"), F.lit(True).alias("blocked"))
     return (

@@ -74,60 +74,55 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-5 front of the line (r4 verdict items 2-3): the 3 keys never
-# verified by any driver sweep (absent from CORRECTNESS_r01 ∪ ... ∪
-# r04; everything else is cumulatively green with zero outstanding
-# failures), then the 2 keys that GAINED oracles this round (they were
-# no-oracle-by-design through r4 — agg_count_distinct_approx now
-# attests its HLL error bound, dedup_minhash_mllib its recall
-# invariant), then every key whose code or shared helpers changed this
-# round (the dsum single-tree guard touches every deterministic sum;
-# agg_histogram's NULL bucket, udaf's Python-int accumulation, the
-# verified-MinHash localCheckpoint swap) — so the driver re-attests
-# exactly the surface r5 touched. Keys not in the registry are
-# ignored, so this list never breaks registration.
+# Round-6 front of the line (r5 verdict item 1): rotate to VERDICT
+# FRESHNESS. After r5, every one of the 218 keys is cumulatively green,
+# but 80 keys' LATEST driver verdict predates the r4 fuzz hardening and
+# the r4-r5 shared-helper rewrites (dsum single-tree guard, session
+# conf re-assertion): 36 keys last attested in r1 and 44 in r2
+# (computed from CORRECTNESS_r01..r05.json). The first 50 below are
+# drawn entirely from that stale set — all 36 r1 keys, then the 14 r2
+# keys most exposed to the shared-helper rewrites (dsum consumers,
+# the end-to-end ETL snapshot, the as-of joins, the similarity and
+# text surfaces). The remaining 30 r2 keys queue immediately after so
+# r7's sweep finishes the rotation; behind them, the keys whose code
+# r6 itself touched (BM25 decimal arithmetic, lazy ngram-LM
+# checkpoint — all locally diffcheck-green, r5-driver-green). Keys not
+# in the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (queued 51-53 in r4's sweep)
-    "text_html_strip", "win_pct_change", "dedup_apply_increment",
-    # new this round (never driver-checked): layout scans, packing,
-    # mixture, quantile gate, chunking, and the RAG-prep composite
-    "scan_hive_partitioned", "scan_schema_evolution",
-    "text_pack_sequences", "sample_mixture_epochs",
-    "text_quality_quantile_gate", "text_chunk_overlap", "pipeline_rag_prep",
-    "agg_median_iterative", "sample_exact_k_stratified", "join_bloom_prefilter",
-    "text_tfidf_topk", "text_bm25_search", "graph_triangle_count",
-    "emb_kmeans_train", "emb_semdedup", "agg_cms_heavy_hitters",
-    "text_bpe_train", "text_ngram_lm_counts",
-    # newly oracle-ized / newly registered this round
-    "agg_count_distinct_approx", "dedup_minhash_mllib",
-    "agg_percentile_approx",
-    # direct r5 code changes
-    "agg_histogram", "udaf_applyInPandas",
-    "dedup_minhash_verified", "dedup_cc_clusters", "dedup_cc_survivors",
-    "dedup_lsh_jaccard_est", "pipeline_curation", "dedup_ngram_jaccard",
-    # r5 continuation: semantics changed by the chaos/boundary/property
-    # campaigns (session <= boundary, NOT EXISTS oracle, NULL-on-empty
-    # list serialization) — must be driver re-attested
-    "win_session", "q16_supplier_part_cnt", "agg_collect_list",
-    # dsum/davg consumers (single-tree guard rewrite): headline queries
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "agg_hash", "agg_cube", "agg_rollup", "agg_grouping_sets",
-    "agg_regr", "agg_stats_moments", "agg_weighted_avg",
-    "agg_decay_weighted", "agg_rollup_time", "agg_percentile_disc",
-    "agg_pivot", "win_running_agg", "anomaly_zscore", "ts_rolling_stats",
-    "q9_product_type_profit", "q10_returned_items", "q11_important_stock",
-    "ttl_freshness_filter", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q22_dormant_customers", "q2_min_cost_supplier",
-    "q7_volume_shipping", "q8_market_share", "rfm_segmentation",
-    "cohort_retention",
+    # --- last driver verdict: r1 (36 keys) ---
+    "agg_distinct", "checksum_sha256", "dedup_exact",
+    "dedup_exact_survivors", "dedup_minhash_lsh",
+    "dedup_minhash_signature", "dedup_simhash", "filter_pred",
+    "fn_array", "fn_array_hof", "fn_date", "fn_math", "fn_string",
+    "http_enrichment_mock", "join_anti", "join_broadcast",
+    "join_full_outer", "join_inner_hash", "join_left_outer",
+    "join_right_outer", "join_semi", "join_skew_salted",
+    "join_theta_range", "limit_n", "mm_features", "mm_frame_sample",
+    "parquet_scan", "project_expr", "set_except", "set_intersect",
+    "set_union_all", "sort_orderby", "topk_per_group",
+    "udf_pandas_vectorized", "udf_scalar", "udtf_surface",
+    # --- last driver verdict: r2, highest shared-helper exposure
+    # (14 keys -> positions 37-50) ---
+    "win_running_agg", "q10_returned_items", "q14_promo_revenue",
+    "ttl_freshness_filter", "etl_run_snapshot", "join_asof",
+    "join_asof_pandas", "sim_search_topk", "sim_search_ivf",
+    "sim_search_lsh", "emb_dedup_cosine", "emb_dedup_cosine_lsh",
+    "text_stats", "text_token_count",
     # ---- 50-key budget line (the driver stops here) ----
-    # (q4_order_priority / q12_priority_shipping / profile_columns
-    # dropped below the line this round: count-based, untouched by the
-    # r5 changes, and already driver-green in r2/r3.)
-    "q4_order_priority", "q12_priority_shipping", "profile_columns",
+    # --- last driver verdict: r2, remainder (30 keys, r7 sweep) ---
+    "anti_join_processed", "audit_timestamps", "completeness_filter",
+    "count_agg", "csv_scan", "dedup_by_key", "derive_composite_key",
+    "exists_agg", "file_checksum", "fn_json", "fn_json_typed",
+    "fn_map", "json_scan", "lookup_by_id", "orc_scan",
+    "project_widen", "run_gate_predicate", "semi_join_incoming",
+    "stream_dedup_first_event", "stream_dedup_keys",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "win_lag_lead", "win_ntile_percent", "win_range_frame",
+    "win_rank_dense_rownum", "win_sliding", "win_tumbling",
+    "xml_scan",
+    # --- code touched in r6 (r5-driver-green; local diffcheck green) ---
+    "text_bm25_search", "text_tfidf_topk", "text_bpe_train",
+    "text_ngram_lm_counts", "emb_semdedup",
 )
 
 

@@ -150,3 +150,102 @@ def test_quarantine_split(spark):
     assert "EnrichmentError" not in clean.columns
     bad = quarantined.collect()[0]
     assert bad["ZipCode"] == "22222" and bad["EnrichmentError"].startswith("geocode:")
+
+
+# --- global API rate budget (T4 deployment contract) -------------------
+
+
+def test_token_bucket_paces_on_fake_clock():
+    """Strict pacing, deterministically: with capacity 1 and rate 10/s,
+    each acquire after the first must wait exactly 0.1 fake seconds."""
+    from net7_etl_bus_spark.operators.enrich import TokenBucket
+
+    t = [0.0]
+    sleeps = []
+
+    def clock():
+        return t[0]
+
+    def sleeper(dt):
+        sleeps.append(round(dt, 9))
+        t[0] += dt
+
+    b = TokenBucket(rate=10.0, capacity=1.0, clock=clock, sleeper=sleeper)
+    for _ in range(5):
+        b.acquire()
+    # first call burst-free, then 4 sleeps of exactly 1/rate
+    assert sleeps == [0.1, 0.1, 0.1, 0.1]
+    assert b.acquired == 5
+
+
+def test_aggregate_rate_under_concurrent_tasks_stays_within_budget():
+    """The SURVEY §7.4.5 hard part: 4 concurrent 'tasks' (threads),
+    each with its per_task_rate share of a global budget, hammering
+    as fast as they can on wide pools — the measured SUSTAINED
+    aggregate call rate (burst tokens excluded) must stay <= budget."""
+    import concurrent.futures
+    import time
+
+    from net7_etl_bus_spark.operators.enrich import (
+        DeterministicMockClient,
+        RateLimitedClient,
+        TokenBucket,
+        per_task_rate,
+    )
+
+    budget = 200.0  # global calls/sec
+    n_tasks = 4
+    calls_per_task = 40
+    share = per_task_rate(budget, n_tasks)
+    assert share == 50.0
+
+    stamps: list[float] = []
+    lock = threading.Lock()
+
+    class Recording(DeterministicMockClient):
+        def geocode(self, z):
+            with lock:
+                stamps.append(time.monotonic())
+            return super().geocode(z)
+
+    def task():
+        # each task builds its own bucket — exactly how enrich_dataframe
+        # wires rate_limiter_factory per mapInPandas task
+        client = RateLimitedClient(Recording(), TokenBucket(rate=share, capacity=1.0))
+        # wide pool INSIDE the task: the bucket, not the pool, is the cap
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda i: client.geocode(str(10000 + i)), range(calls_per_task)))
+
+    threads = [threading.Thread(target=task) for _ in range(n_tasks)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    total = len(stamps)
+    assert total == n_tasks * calls_per_task
+    span = max(stamps) - min(stamps)
+    # one burst token per task is rate-free; everything else is paced
+    sustained = (total - n_tasks) / span
+    assert sustained <= budget * 1.05, (sustained, span)
+    # and the limiter is not pathologically slow either (>= half budget)
+    assert sustained >= budget * 0.5, (sustained, span)
+
+
+def test_enrich_dataframe_with_rate_limiter_same_results(spark):
+    """Wiring check: rate_limiter_factory changes timing only — the
+    enriched values are identical to the unlimited run, and the chain
+    costs 3 tokens per fully-enriched row."""
+    from net7_etl_bus_spark.operators.enrich import TokenBucket
+
+    zips = ["35004", "75074", "10001", "60601"]
+    base = enrich_dataframe(_zip_df(spark, zips)).orderBy("ZipCode").collect()
+    limited = (
+        enrich_dataframe(
+            _zip_df(spark, zips).coalesce(1),
+            rate_limiter_factory=lambda: TokenBucket(rate=1e9),
+        )
+        .orderBy("ZipCode")
+        .collect()
+    )
+    assert [r.asDict() for r in base] == [r.asDict() for r in limited]

@@ -338,3 +338,42 @@ def test_config_driven_run_matches_direct_call(spark, paths, tmp_path):
         run_etl_from_config(spark, {**cfg, "BatchRecordSaveCount": 50}, now=NOW)
     with _pytest.raises(ValueError, match="Paths"):
         run_etl_from_config(spark, {"ValidRecordDaysTtl": 30}, now=NOW)
+
+
+def test_errored_run_does_not_block_retry(spark, paths, monkeypatch):
+    """Deliberate deviation from the reference, pinned: a crashed run
+    leaves a control row with Status='Error' AND EndDateTimeUtc stamped
+    (exactly like the reference, DataflowProcessor.cs:292-301), but our
+    gate's finished-arm counts only Status='Complete' — so the SAME
+    file retries WITHOUT force within TTL and converges. Under the
+    reference's predicate (DataflowProcessor.cs:88) the failed file
+    would be stranded behind its own Error row for TTL days."""
+    from net7_etl_bus_spark.sources import sinks
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before MERGE")
+
+    real = sinks.upsert_parquet
+    monkeypatch.setattr(sinks, "upsert_parquet", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_etl(spark, ZIP_CSV_PATH, paths["target"], paths["control"], now=NOW)
+    monkeypatch.setattr(sinks, "upsert_parquet", real)
+
+    row = spark.read.parquet(paths["control"]).collect()[0]
+    assert row["Status"] == "Error"
+    assert row["EndDateTimeUtc"] is not None  # the arm that used to block
+    assert not row["IsActive"]
+
+    res = run_etl(
+        spark,
+        ZIP_CSV_PATH,
+        paths["target"],
+        paths["control"],
+        now=NOW + timedelta(hours=1),  # well within TTL, no force
+    )
+    assert res.should_run and res.reason == "complete"
+    assert spark.read.parquet(paths["target"]).count() == 254
+    statuses = {
+        r["Id"]: r["Status"] for r in spark.read.parquet(paths["control"]).collect()
+    }
+    assert statuses == {1: "Error", 2: "Complete"}

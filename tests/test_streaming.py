@@ -14,6 +14,7 @@ from net7_etl_bus_spark.data import ZIP_CSV_PATH, load_table
 from net7_etl_bus_spark.schemas import EVENTS_SCHEMA
 from net7_etl_bus_spark.streaming import windows as sw
 from net7_etl_bus_spark.streaming.batch_equiv import win_session, win_tumbling
+from net7_etl_bus_spark.pipeline import run_etl
 from net7_etl_bus_spark.streaming.trigger import (
     process_triggers_available_now,
     send_trigger,
@@ -741,3 +742,108 @@ def test_stream_session_equals_batch_adversarial(
     batch = win_session(spark, sf_dir)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_kill_mid_foreachbatch_replays_and_converges(spark, tmp_path, monkeypatch):
+    """Crash-recovery soak (r5 verdict item 6): inject a failure INSIDE
+    the foreachBatch run body AFTER the quarantine write and BEFORE the
+    MERGE, then restart the stream on the same checkpoint. Contract
+    chain under test (streaming/trigger.py:17-22):
+
+    1. the failed batch is NOT committed — the checkpoint replays the
+       trigger message on restart (at-least-once);
+    2. the replayed run is NOT gated out by its own Error control row
+       (evaluate_run_gate's deliberate deviation);
+    3. the keyed MERGE is idempotent, so the bucketed target converges
+       to exactly the values a never-crashed run produces (modulo
+       ImportId, which records true run lineage: the replay IS run 2);
+    4. the append-only quarantine shows the at-least-once artifact —
+       one row per ATTEMPT, distinguishable by ImportId — which is the
+       documented triage semantics, not a bug.
+    """
+    from net7_etl_bus_spark.operators.enrich import DeterministicMockClient
+    from net7_etl_bus_spark.sources import sinks
+
+    queue = str(tmp_path / "queue")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target.parquet")
+    control = str(tmp_path / "control.parquet")
+    quarantine = str(tmp_path / "quarantine.parquet")
+
+    def factory():
+        return DeterministicMockClient(fail_elevation={"35004"})
+
+    send_trigger(queue, force_run=False)
+
+    def crash_before_merge(*a, **k):
+        raise RuntimeError("injected crash after quarantine, before MERGE")
+
+    real_upsert = sinks.upsert_parquet
+    monkeypatch.setattr(sinks, "upsert_parquet", crash_before_merge)
+    with pytest.raises(Exception, match="injected crash"):
+        process_triggers_available_now(
+            spark, queue, ckpt, ZIP_CSV_PATH, target, control,
+            now=NOW, client_factory=factory, quarantine_path=quarantine,
+        )
+    monkeypatch.setattr(sinks, "upsert_parquet", real_upsert)
+
+    # crash landed exactly between the two writes: quarantine row out,
+    # target never created, control row 1 = Error (end-stamped)
+    import os
+    assert os.path.exists(quarantine)
+    q1 = spark.read.parquet(quarantine).collect()
+    assert [r["ZipCode"] for r in q1] == ["35004"] and q1[0]["ImportId"] == 1
+    assert not os.path.exists(target)
+    c1 = spark.read.parquet(control).collect()[0]
+    assert c1["Status"] == "Error" and c1["EndDateTimeUtc"] is not None
+
+    # restart on the same checkpoint: the batch replays and completes
+    results = process_triggers_available_now(
+        spark, queue, ckpt, ZIP_CSV_PATH, target, control,
+        now=NOW, client_factory=factory, quarantine_path=quarantine,
+    )
+    assert len(results) == 1  # the replayed message — no duplicates
+    assert results[0].should_run and results[0].reason == "complete"
+
+    # converged target == a never-crashed control run (fresh dirs),
+    # value-identical on every column except ImportId (run lineage)
+    clean_t = str(tmp_path / "clean_target.parquet")
+    clean_c = str(tmp_path / "clean_control.parquet")
+    clean_q = str(tmp_path / "clean_quarantine.parquet")
+    run_etl(
+        spark, ZIP_CSV_PATH, clean_t, clean_c,
+        now=NOW, client_factory=factory, quarantine_path=clean_q,
+    )
+
+    def snap(path):
+        df = spark.read.parquet(path).drop("ImportId")
+        return sorted(map(tuple, df.collect()))
+
+    got, want = snap(target), snap(clean_t)
+    assert len(got) == 253  # 254 incoming - 1 quarantined
+    assert got == want
+    # bucketed layout converged too: same bucket dirs on both targets
+    buckets = lambda p: sorted(
+        d for d in os.listdir(p) if d.startswith("__bucket=")
+    )
+    assert buckets(target) == buckets(clean_t)
+    # replayed rows carry the replay's run id
+    assert set(
+        r["ImportId"] for r in spark.read.parquet(target).collect()
+    ) == {2}
+
+    # quarantine: one row per attempt (at-least-once, append-only),
+    # same key both times, distinguished by ImportId for triage
+    q2 = spark.read.parquet(quarantine).collect()
+    assert sorted((r["ZipCode"], r["ImportId"]) for r in q2) == [
+        ("35004", 1), ("35004", 2),
+    ]
+
+    # a second restart with nothing new is a no-op: exactly-once
+    # trigger-file tracking holds after the crash/replay cycle
+    results3 = process_triggers_available_now(
+        spark, queue, ckpt, ZIP_CSV_PATH, target, control,
+        now=NOW, client_factory=factory, quarantine_path=quarantine,
+    )
+    assert results3 == []
+    assert snap(target) == want
