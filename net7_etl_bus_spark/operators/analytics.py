@@ -1052,3 +1052,148 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "l_partkey")
     )
+
+
+# --- funnel analysis ---------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+_FUNNEL_WINDOW_DAYS = 7
+_FUNNEL_Q = 1_000_000  # conversion-rate quantum: 1e-6
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM ev e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= t1.t1
+        AND e.ts <= t1.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM ev e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        AND e.ts <= t1.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step, n1 AS n_users,
+             CAST({_FUNNEL_Q} AS BIGINT) AS conv_from_prev_q FROM counts
+      UNION ALL
+      SELECT 2, 'view', n2,
+             CAST(CASE WHEN n1 = 0 THEN 0
+                  ELSE (n2 * {_FUNNEL_Q}) // n1 END AS BIGINT) FROM counts
+      UNION ALL
+      SELECT 3, 'purchase', n3,
+             CAST(CASE WHEN n2 = 0 THEN 0
+                  ELSE (n3 * {_FUNNEL_Q}) // n2 END AS BIGINT) FROM counts
+    ) f ORDER BY step_idx
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> view -> purchase) with a
+    {W}-day window anchored at each user's FIRST signup: step i counts
+    users whose earliest qualifying step-i event is at or after their
+    step-(i-1) time and within the window. Conversion rates are
+    1e-6-quantized integer ratios (one floor division on exact BIGINT
+    counts), so the ledger hash-matches the oracle exactly.
+
+    Semantics note (pinned by the oracle): each step time is the MIN
+    qualifying timestamp given the previous step's time — the TRUE
+    sequential funnel. Contrast funnel_conversion
+    (operators/relational.py), the cheaper min-per-type approximation
+    (compares each type's global first occurrence): that one misses a
+    user whose first step-i event precedes their first step-(i-1)
+    event even when a later step-i event qualifies, and has no
+    conversion window.
+    This op re-qualifies each step against the previous step's actual
+    time, windowed at the signup anchor. Events with NULL user_id or
+    ts are dropped on both engines.
+
+    Scale shape: one scan of events, pre-filtered to the three step
+    types (predicate pushed to the parquet scan); ONE hash aggregation
+    per user computes t1 directly (conditional min) and collects only
+    the view/purchase timestamps (two bounded arrays per user — NOT
+    the whole event list), then t2/t3 are pure array folds over those
+    per-user arrays: no second scan, no re-shuffle, no window. The
+    final ledger is a 3-row aggregate of three counts. Contract: the
+    per-user collect assumes per-entity step-event counts are bounded
+    (true for user-level funnels; a bot user with millions of views
+    needs the 3-join relational variant the oracle spells, same
+    semantics, 3 shuffles).
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .filter(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select("user_id", "ts", "event_type")
+    )
+    win = F.expr(f"t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+            F.collect_list(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("views"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
+        )
+        .withColumn(
+            "t2",
+            F.array_min(
+                F.filter("views", lambda x: (x >= F.col("t1")) & (x <= win))
+            ),
+        )
+        .withColumn(
+            "t3",
+            F.array_min(
+                F.filter("purchases", lambda x: (x >= F.col("t2")) & (x <= win))
+            ),
+        )
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("n1"),
+        F.count("t2").cast("bigint").alias("n2"),
+        F.count("t3").cast("bigint").alias("n3"),
+    )
+    steps = spark.createDataFrame(
+        [(1, "signup"), (2, "view"), (3, "purchase")], "step_idx int, step string"
+    )
+    return (
+        steps.crossJoin(F.broadcast(counts))
+        .select(
+            "step_idx",
+            "step",
+            F.when(F.col("step_idx") == 1, F.col("n1"))
+            .when(F.col("step_idx") == 2, F.col("n2"))
+            .otherwise(F.col("n3"))
+            .alias("n_users"),
+            F.when(F.col("step_idx") == 1, F.lit(_FUNNEL_Q).cast("bigint"))
+            .when(
+                F.col("step_idx") == 2,
+                F.when(F.col("n1") == 0, F.lit(0)).otherwise(
+                    F.expr(f"(n2 * {_FUNNEL_Q}) div n1")
+                ),
+            )
+            .otherwise(
+                F.when(F.col("n2") == 0, F.lit(0)).otherwise(
+                    F.expr(f"(n3 * {_FUNNEL_Q}) div n2")
+                )
+            )
+            .cast("bigint")
+            .alias("conv_from_prev_q"),
+        )
+        .orderBy("step_idx")
+    )

@@ -1634,3 +1634,141 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --- matryoshka (prefix-dimension) two-stage retrieval -----------------
+#
+# Matryoshka representation learning (Kusupati et al. 2022) trains
+# embeddings whose PREFIXES are themselves usable embeddings, enabling
+# the standard production two-stage search: a cheap coarse pass scores
+# every vector on the first d' dimensions (d'/d of the compute and --
+# with the prefix stored as its own column -- d'/d of the scan bytes),
+# then only the top-C coarse candidates per query are re-scored
+# full-dimension. Recall loss is bounded by how often the true top-k
+# falls outside the coarse top-C; C is the knob.
+
+MAT_PREFIX_DIM = 8
+MAT_COARSE_C = 50
+
+
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {n}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm_n(a: str, n: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {n}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+_MAT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {MAT_PREFIX_DIM}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM base
+  WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS c_emb
+  FROM base
+),
+pre AS (
+  SELECT query_id, neighbor_id, neighbor_label, q_emb, c_emb,
+         {_sql_dot_n("q_emb", "c_emb", MAT_PREFIX_DIM)}
+           / ({_sql_norm_n("q_emb", MAT_PREFIX_DIM)}
+              * {_sql_norm_n("c_emb", MAT_PREFIX_DIM)}) AS pcos
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, neighbor_label, q_emb, c_emb FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS prk
+    FROM pre) t
+  WHERE prk <= {MAT_COARSE_C}
+),
+scored AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         {_sql_dot("q_emb", "c_emb")}
+           / ({_sql_norm("q_emb")} * {_sql_norm("c_emb")}) AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) t
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_search_matryoshka", oracle=_MAT_ORACLE)
+def sim_search_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka retrieval: coarse top-{C} per query by
+    prefix-dimension cosine (first {d'} of {d} dims), exact full-dim
+    rerank of the candidates only.
+
+    Vectors shorter than the prefix are not searchable (filtered on
+    BOTH engines — the one cross-engine-stable contract for ragged
+    arrays, same rationale as emb_semdedup's NaN exclusion). Both
+    stages use the sequential-fold cosine so scores hash-match DuckDB
+    bit-for-bit; coarse ties break on neighbor_id, so the candidate
+    SET (not just the final ranking) is deterministic.
+
+    Scale shape: stage 1 is sim_search_topk's broadcast-join scan at
+    {d'}/{d} of the arithmetic — and in production the prefix lives in
+    its own column/field so Parquet column pruning also cuts scan
+    bytes ~{d'}/{d}; per-partition coarse top-C is pushed below the
+    shuffle by WindowGroupLimit, so the exchange carries at most
+    C rows per (query, partition). Stage 2 touches C x |queries| rows
+    total — negligible. Composes with IVF (prefix-dim coarse scoring
+    inside each probed list) without changing either plan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") >= MAT_PREFIX_DIM)
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pre = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pcos",
+            _cosine(
+                F.slice("q_emb", 1, MAT_PREFIX_DIM),
+                F.slice("c_emb", 1, MAT_PREFIX_DIM),
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        pre.withColumn("prk", F.row_number().over(wc))
+        .filter(F.col("prk") <= MAT_COARSE_C)
+        .drop("prk", "pcos")
+    )
+    scored = cand.withColumn(
+        "cosine", _cosine(F.col("q_emb"), F.col("c_emb"))
+    ).select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= TOP_K
+    )

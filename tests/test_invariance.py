@@ -78,3 +78,21 @@ def test_result_invariant_under_execution_config(spark, baseline, key, parts, aq
         f"{key} changed under (partitions={parts}, aqe={aqe}): "
         + "; ".join(problems)
     )
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    """A funnel can only narrow: n_signup >= n_view >= n_purchase, and
+    quantized conversions are in [0, 1e6]."""
+    from net7_etl_bus_spark.plans import registry
+
+    rows = sorted(
+        registry.queries()["events_funnel"](spark, SF_SMALL).collect(),
+        key=lambda r: r.step_idx,
+    )
+    assert [r.step for r in rows] == ["signup", "view", "purchase"]
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True), ns
+    assert ns[0] > 0
+    assert rows[0].conv_from_prev_q == 1_000_000
+    for r in rows[1:]:
+        assert 0 <= r.conv_from_prev_q <= 1_000_000
