@@ -1290,3 +1290,89 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --- asymmetric containment (sub-document duplication) -----------------
+
+_CONT_TAU_Q = 300_000  # containment threshold 0.30 (1e-6 quantum)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM shingles a JOIN shingles b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    conts AS (
+      SELECT i.doc_a AS doc_src, i.doc_b AS doc_dst,
+             sa.n AS n_src, i.c AS inter,
+             CAST((i.c * 1000000) // sa.n AS BIGINT) AS cont_q
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      UNION ALL
+      SELECT i.doc_b, i.doc_a, sb.n, i.c,
+             CAST((i.c * 1000000) // sb.n AS BIGINT)
+      FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b)
+    SELECT doc_src, doc_dst, n_src, inter, cont_q
+    FROM conts WHERE cont_q >= {_CONT_TAU_Q}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT |S_src ∩ S_dst| / |S_src| —
+    the sub-document duplication detector Jaccard cannot be: a short
+    document quoted whole inside a long one has containment ~1.0 but
+    Jaccard ~|short|/|long| (arbitrarily small), so symmetric-threshold
+    dedup misses exactly the quote/boilerplate-inclusion cases
+    containment exists for. Emits BOTH directions of every
+    shingle-sharing pair at/above 0.30, with the score as a
+    1e-6-quantized integer ratio (one floor division on exact BIGINT
+    counts — bit-identical cross-engine).
+
+    Scale shape: identical to dedup_ngram_jaccard's — one shingle
+    explode, the intersection from the shingle-equality self-join
+    (all-pairs-sharing-a-shingle: the EXACTNESS BASELINE, documented as
+    such), sizes as a per-doc hash agg, direction expansion as a
+    UNION ALL of two joins against the one inter relation. At 100 TB
+    the production path restricts the same containment arithmetic to
+    LSH candidates exactly like dedup_minhash_verified restricts
+    Jaccard — same cascade, different decision rule (and because
+    containment >= Jaccard for the smaller side, banded MinHash recall
+    at a given threshold is strictly better for the src-side test).
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    fwd = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .select(
+            F.col("doc_a").alias("doc_src"),
+            F.col("doc_b").alias("doc_dst"),
+            F.col("sa.n").alias("n_src"),
+            F.col("c").alias("inter"),
+            F.expr("(c * 1000000) div n").cast("bigint").alias("cont_q"),
+        )
+    )
+    rev = (
+        inter.join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_dst"),
+            F.col("sb.n").alias("n_src"),
+            F.col("c").alias("inter"),
+            F.expr("(c * 1000000) div n").cast("bigint").alias("cont_q"),
+        )
+    )
+    return fwd.unionAll(rev).filter(F.col("cont_q") >= _CONT_TAU_Q)
