@@ -1,0 +1,91 @@
+"""Cross-SF scaling bench: run a query set at two SF dirs under the
+bench protocol (median-of-REPS, noop sink) and report per-query
+data-bound exponents log(t_big/t_small)/log(factor).
+
+This complements scripts/scalecheck.py (x{1,4,16} REPLICATION of
+sf0.1): here the bigger input comes from scripts/gen_scale.py, which
+grows DISTINCT KEYSPACES (fresh surrogate keys, redrawn FKs, new
+vocabulary, new vectors) — the growth axis replication cannot probe
+(shuffle fan-out, LSH bucket occupancy, CC label rounds, vocab-sized
+aggregations). Usage:
+
+    python scripts/sfbench.py /root/testdata/sf0.1 scaledata/sf1 10 [key ...]
+
+Prints one JSON line with per-query times at both SFs and exponents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from net7_etl_bus_spark.plans import registry  # noqa: E402
+from net7_etl_bus_spark.session import get_spark  # noqa: E402
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+DEFAULT_KEYS = [
+    # the frozen headline 16
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "agg_hash", "agg_cube", "win_running_agg",
+    "topk_per_group", "join_asof", "win_session", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_minhash_verified", "sim_search_topk",
+    "text_stats", "text_token_count",
+    # composites + extended LLM block
+    "pipeline_curation", "dedup_cc_survivors",
+    "text_tfidf_topk", "text_pack_sequences", "emb_kmeans_train",
+    # keys the r5 verdict flagged for key-growth re-evaluation
+    "text_bm25_search", "graph_triangle_count",
+]
+
+
+def run_median(spark, fn, sf_dir: str) -> float:
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    small = sys.argv[1]
+    big = sys.argv[2]
+    factor = float(sys.argv[3])
+    keys = sys.argv[4:] or DEFAULT_KEYS
+    spark = get_spark("net7-etl-bus-sfbench")
+    qs = registry.queries()
+    import math
+
+    qs["q6_forecast_revenue"](spark, small).write.mode("overwrite").format("noop").save()
+    out = {}
+    for k in keys:
+        t_small = run_median(spark, qs[k], small)
+        t_big = run_median(spark, qs[k], big)
+        exp = math.log(t_big / t_small) / math.log(factor)
+        out[k] = {
+            "t_small": round(t_small, 3),
+            "t_big": round(t_big, 3),
+            "exponent": round(exp, 3),
+        }
+        print(f"# {k}: {t_small:.3f}s -> {t_big:.3f}s  exp {exp:.3f}", file=sys.stderr)
+    worst = max(out.items(), key=lambda kv: kv[1]["exponent"])
+    print(json.dumps({
+        "metric": "keygrowth_scaling",
+        "small": small, "big": big, "factor": factor,
+        "protocol": f"median-of-{REPS}",
+        "queries": out,
+        "worst": {"key": worst[0], **worst[1]},
+        "superlinear": [k for k, v in out.items() if v["exponent"] > 1.3],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
