@@ -65,9 +65,15 @@ def main() -> None:
 
     qs["q6_forecast_revenue"](spark, small).write.mode("overwrite").format("noop").save()
     out = {}
+    errors = {}
     for k in keys:
-        t_small = run_median(spark, qs[k], small)
-        t_big = run_median(spark, qs[k], big)
+        try:
+            t_small = run_median(spark, qs[k], small)
+            t_big = run_median(spark, qs[k], big)
+        except Exception as e:
+            errors[k] = str(e).split("\n")[0][:300]
+            print(f"# {k}: ERROR {errors[k]}", file=sys.stderr)
+            continue
         exp = math.log(t_big / t_small) / math.log(factor)
         out[k] = {
             "t_small": round(t_small, 3),
@@ -83,6 +89,7 @@ def main() -> None:
         "queries": out,
         "worst": {"key": worst[0], **worst[1]},
         "superlinear": [k for k, v in out.items() if v["exponent"] > 1.3],
+        "errors": errors,
     }))
     spark.stop()
 
