@@ -1376,3 +1376,119 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fwd.unionAll(rev).filter(F.col("cont_q") >= _CONT_TAU_Q)
+
+
+@register(
+    "dedup_containment_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    {_SQL_XSETS},
+    conts AS (
+      SELECT c.doc_a AS doc_src, c.doc_b AS doc_dst,
+             CAST(len(sa.arr) AS BIGINT) AS n_src,
+             CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS inter
+      FROM cand c
+      JOIN xsets sa ON sa.doc_id = c.doc_a
+      JOIN xsets sb ON sb.doc_id = c.doc_b
+      UNION ALL
+      SELECT c.doc_b, c.doc_a,
+             CAST(len(sb.arr) AS BIGINT),
+             CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT)
+      FROM cand c
+      JOIN xsets sa ON sa.doc_id = c.doc_a
+      JOIN xsets sb ON sb.doc_id = c.doc_b)
+    SELECT doc_src, doc_dst, n_src, inter,
+           CAST((inter * 1000000) // n_src AS BIGINT) AS cont_q
+    FROM conts WHERE (inter * 1000000) // n_src >= {_CONT_TAU_Q}
+    """,
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's PRODUCTION twin: the same asymmetric
+    containment decision rule restricted to banded-MinHash-LSH
+    candidate pairs — candidate generation is bucket-join-bounded and
+    verification is array intersection on the compact per-doc
+    shingle-HASH sets collected in the signature pass, so after the
+    one shingle explode nothing re-touches shingles (the
+    dedup_minhash_verified cascade shape, different arithmetic).
+    Containment here is over 60-bit shingle hashes and set sizes are
+    distinct-hash counts — the oracle computes the identical hashed
+    sets, so the check stays value-exact.
+
+    Recall contract (the asymmetry cost, stated honestly): the bands
+    are tuned for JACCARD ~0.5+, and a short-doc-quoted-in-long pair
+    has high containment but low Jaccard, so THIS variant can miss
+    exactly the pairs the containment rule exists for. Production
+    fixes recall with more permissive banding (more tables / fewer
+    rows per band) or per-src-size-stratified thresholds; the exact
+    baseline (dedup_containment) is the recall oracle to tune against.
+
+    Mega-doc routing (same cap contract as dedup_minhash_verified): a
+    doc above {_XS_CAP} words collects an empty hash set, so when the
+    cheap corpus probe finds any such doc the whole op verifies
+    through the candidate-restricted exploded-hash join instead —
+    exact for every doc size, chosen per-corpus, never silently wrong.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    has_mega = (
+        docs.filter(F.length("text") * 3 >= _XS_CAP).limit(1).count() > 0
+        and docs.filter(
+            F.size(F.split(normalized_text("text"), " ")) > _XS_CAP
+        ).limit(1).count() > 0
+    )
+    sh = _shingles_counted(docs)
+    sig = _minhash_signature_from(sh, with_sets=True)
+    cand = _lsh_candidate_pairs(sig)
+
+    if not has_mega:
+        side = sig.select("doc_id", "xs")
+        sa = side.select(F.col("doc_id").alias("da"), F.col("xs").alias("xa"))
+        sb = side.select(F.col("doc_id").alias("db"), F.col("xs").alias("xb"))
+        joined = (
+            cand.join(sa, F.col("doc_a") == F.col("da"))
+            .join(sb, F.col("doc_b") == F.col("db"))
+            .select(
+                "doc_a", "doc_b",
+                F.size("xa").cast("bigint").alias("na"),
+                F.size("xb").cast("bigint").alias("nb"),
+                F.size(F.array_intersect("xa", "xb")).cast("bigint").alias("inter"),
+            )
+        )
+    else:
+        # exact fallback: candidate-restricted exploded-hash joins
+        x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+        hashed = sh.select("doc_id", x.alias("x")).distinct()
+        sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        ha = hashed.select(F.col("doc_id").alias("da"), F.col("x").alias("va"))
+        hb = hashed.select(F.col("doc_id").alias("db"), F.col("x").alias("vb"))
+        inter = (
+            cand.join(ha, F.col("doc_a") == F.col("da"))
+            .join(hb, (F.col("doc_b") == F.col("db")) & (F.col("va") == F.col("vb")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        )
+        joined = (
+            inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+            .select("doc_a", "doc_b", "na", "nb", "inter")
+        )
+
+    fwd = joined.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.col("na").alias("n_src"),
+        "inter",
+        F.expr("(inter * 1000000) div na").cast("bigint").alias("cont_q"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.col("nb").alias("n_src"),
+        "inter",
+        F.expr("(inter * 1000000) div nb").cast("bigint").alias("cont_q"),
+    )
+    return fwd.unionAll(rev).filter(F.col("cont_q") >= _CONT_TAU_Q)

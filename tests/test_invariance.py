@@ -96,3 +96,24 @@ def test_funnel_counts_monotone_nonincreasing(spark):
     assert rows[0].conv_from_prev_q == 1_000_000
     for r in rows[1:]:
         assert 0 <= r.conv_from_prev_q <= 1_000_000
+
+
+def test_containment_lsh_is_subset_of_exact_containment(spark):
+    """The production twin's results must be a SUBSET of the exact
+    baseline's (LSH only restricts candidates; the arithmetic is the
+    same hashed-set containment, and hash collisions are ~2^-61), with
+    identical scores on every surviving pair."""
+    from net7_etl_bus_spark.plans import registry
+
+    qs = registry.queries()
+    exact = {
+        (r.doc_src, r.doc_dst): (r.n_src, r.inter, r.cont_q)
+        for r in qs["dedup_containment"](spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.doc_src, r.doc_dst): (r.n_src, r.inter, r.cont_q)
+        for r in qs["dedup_containment_lsh"](spark, SF_SMALL).collect()
+    }
+    assert set(lsh) <= set(exact), set(lsh) - set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k], (k, v, exact[k])

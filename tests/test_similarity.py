@@ -228,3 +228,28 @@ def test_matryoshka_recall_vs_exact_and_candidate_bound(spark):
     from collections import Counter
     per_q = Counter(r.query_id for r in two_stage)
     assert all(v == 10 for v in per_q.values()), per_q
+
+
+def test_binary_rerank_hamming_bounds_and_exact_rerank(spark):
+    """BQ invariants: hamming in [0, 64]; recall@10 vs brute force
+    beats the random-candidate expectation (sign bits approximate
+    angular distance, P[agree] = 1 - angle/pi, even untrained); every
+    emitted cosine equals the brute-force value bit-for-bit."""
+    from net7_etl_bus_spark.operators.similarity import BQ_COARSE_C
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.plans import registry
+
+    Q = registry.queries()
+    exact = Q["sim_search_topk"](spark, SF_SMALL).collect()
+    bq = Q["sim_search_binary_rerank"](spark, SF_SMALL).collect()
+    assert all(0 <= r.hamming <= 64 for r in bq)
+    n_corpus = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).count()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    got_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in bq}
+    hits = set(exact_pairs) & set(got_pairs)
+    random_expect = len(exact_pairs) * BQ_COARSE_C / n_corpus
+    assert len(hits) >= 2.0 * random_expect, (len(hits), random_expect)
+    for k in hits:
+        assert got_pairs[k] == exact_pairs[k], k
