@@ -1297,6 +1297,36 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONT_TAU_Q = 300_000  # containment threshold 0.30 (1e-6 quantum)
 
 
+def _containment_directions(joined: DataFrame, inter_col) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter) -> both ordered directions with
+    quantized containment, from ONE pass: explode a 2-element struct
+    array per pair instead of unionAll-ing two branch copies of the
+    upstream cascade (Catalyst duplicates unshared union subtrees —
+    measured as 2x the Generate count on the LSH twin's plan)."""
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("doc_src"),
+                F.col("doc_b").alias("doc_dst"),
+                F.col("na").alias("n_src"),
+                inter_col.alias("inter"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("doc_src"),
+                F.col("doc_a").alias("doc_dst"),
+                F.col("nb").alias("n_src"),
+                inter_col.alias("inter"),
+            ),
+        )
+    )
+    return (
+        joined.select(pair.alias("p"))
+        .select("p.*")
+        .withColumn("cont_q", F.expr("(inter * 1000000) div n_src").cast("bigint"))
+        .filter(F.col("cont_q") >= _CONT_TAU_Q)
+    )
+
+
 @register(
     "dedup_containment",
     oracle=f"""
@@ -1355,27 +1385,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    fwd = (
+    # BOTH directions from ONE joined relation via a 2-struct explode —
+    # a unionAll of fwd/rev branches would duplicate the entire
+    # shingle-join subtree (Catalyst does not share it; caught by the
+    # Generate-count plan pin on the LSH twin).
+    joined = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .select(
-            F.col("doc_a").alias("doc_src"),
-            F.col("doc_b").alias("doc_dst"),
-            F.col("sa.n").alias("n_src"),
-            F.col("c").alias("inter"),
-            F.expr("(c * 1000000) div n").cast("bigint").alias("cont_q"),
-        )
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.col("sa.n").alias("na"), F.col("sb.n").alias("nb"), "c")
     )
-    rev = (
-        inter.join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            F.col("doc_b").alias("doc_src"),
-            F.col("doc_a").alias("doc_dst"),
-            F.col("sb.n").alias("n_src"),
-            F.col("c").alias("inter"),
-            F.expr("(c * 1000000) div n").cast("bigint").alias("cont_q"),
-        )
-    )
-    return fwd.unionAll(rev).filter(F.col("cont_q") >= _CONT_TAU_Q)
+    return _containment_directions(joined, F.col("c"))
 
 
 @register(
@@ -1477,18 +1496,4 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "na", "nb", "inter")
         )
 
-    fwd = joined.select(
-        F.col("doc_a").alias("doc_src"),
-        F.col("doc_b").alias("doc_dst"),
-        F.col("na").alias("n_src"),
-        "inter",
-        F.expr("(inter * 1000000) div na").cast("bigint").alias("cont_q"),
-    )
-    rev = joined.select(
-        F.col("doc_b").alias("doc_src"),
-        F.col("doc_a").alias("doc_dst"),
-        F.col("nb").alias("n_src"),
-        "inter",
-        F.expr("(inter * 1000000) div nb").cast("bigint").alias("cont_q"),
-    )
-    return fwd.unionAll(rev).filter(F.col("cont_q") >= _CONT_TAU_Q)
+    return _containment_directions(joined, F.col("inter"))

@@ -910,3 +910,57 @@ def test_text_ngram_lm_counts_stacked_aggregates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_matryoshka_plan_broadcast_and_group_limits(spark):
+    """sim_search_matryoshka: the query side broadcasts (never a
+    corpus shuffle for 5 queries), and BOTH rank stages (coarse top-C,
+    final top-k) get WindowGroupLimit pushdown — so no exchange ever
+    carries more than C rows per (query, partition). Pre-AQE simple
+    mode shows one WindowGroupLimit per rank stage (the Partial twin
+    materializes at execution, like topk_per_group's)."""
+    plan = plan_of(spark, "sim_search_matryoshka", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_binary_rerank_plan_broadcast_and_group_limits(spark):
+    """sim_search_binary_rerank: same contract — broadcast query side,
+    WindowGroupLimit on both the hamming top-C and the cosine top-k,
+    and the XOR/popcount prefilter entirely JVM-side (zero Python)."""
+    plan = plan_of(spark, "sim_search_binary_rerank", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_events_funnel_single_events_scan(spark):
+    """events_funnel: ONE scan of events (the step chain is computed
+    from per-user arrays, not per-stage re-joins of the fact — the
+    N-self-join shape a naive funnel port produces), the step-type IN
+    filter pushed to the parquet reader, and no window operator (the
+    chain is array folds, not sorts)."""
+    plan = plan_of(spark, "events_funnel", mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "event_type" in ln]
+    assert pushed, plan
+    assert "Window" not in plan, plan
+
+
+def test_containment_lsh_matches_verified_cascade_shape(spark):
+    """dedup_containment_lsh (no-mega corpus) reuses the verified
+    cascade's plan shape: subtree duplication across the three
+    signature consumers is the MEASURED choice there (persist was
+    slower; no ReusedExchange under AQE) — pin that this op's Generate
+    count stays within the verified cascade's envelope plus exactly
+    one (the 2-struct direction explode; the unionAll formulation this
+    pin caught doubled the whole cascade to 12), and that the whole
+    thing is JVM-side."""
+    ours = plan_of(spark, "dedup_containment_lsh", mode="simple")
+    theirs = plan_of(spark, "dedup_minhash_verified", mode="simple")
+    assert ours.count("Generate") <= theirs.count("Generate") + 1, (
+        ours.count("Generate"), theirs.count("Generate"),
+    )
+    assert "BatchEvalPython" not in ours and "ArrowEvalPython" not in ours, ours
+    assert "CartesianProduct" not in ours, ours
