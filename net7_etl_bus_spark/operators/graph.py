@@ -373,3 +373,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "part")
     )
+
+
+# --- label propagation (community detection) ---------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql_round(i: int) -> str:
+    return f"""
+    c{i} AS (
+      SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label),
+    l{i} AS (
+      SELECT dst AS node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+        FROM c{i}) t
+      WHERE rn = 1)
+    """
+
+
+_LPA_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{", ".join(_lpa_sql_round(i) for i in range(1, _LPA_ITERS + 1))}
+SELECT node, label FROM l{_LPA_ITERS}
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized label propagation (community detection) on the
+    customer<->supplier purchase graph: every node starts labeled with
+    its own id; each round it adopts the label MOST FREQUENT among its
+    neighbors, ties to the smallest label — a total order, so all
+    {K} unrolled rounds are deterministic and hash-match the oracle's
+    CTE ladder exactly. (On a bipartite graph synchronized LPA can
+    oscillate rather than converge — a known property of the
+    synchronous schedule; the op pins the computation, and production
+    alternates the schedule or caps rounds exactly like this.)
+
+    Complements the graph family: dedup_cc (min-label fixpoint /
+    components), graph_pagerank (numeric iteration), triangle count
+    (motifs) — LPA is the frequency-vote iteration, the shape behind
+    community detection and semi-supervised label spreading over a
+    doc-similarity graph at corpus scale.
+
+    Scale shape: each round is one edges-to-labels equi-join on src
+    (labels are |V|-sized, edges |E|-sized; the join shuffles on the
+    node key and AQE broadcast-switches while labels fit), one
+    (dst, label) hash aggregate with map-side partials, and one
+    rank-1 window per dst — WindowGroupLimit caps every partition's
+    exchange at one row per dst. Rounds are a fixed unroll: no
+    driver-side loop state, one lazy Catalyst plan end-to-end,
+    lineage depth K like the k-means trainer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels

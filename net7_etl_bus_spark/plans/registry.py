@@ -89,11 +89,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # checkpoint — all locally diffcheck-green, r5-driver-green). Keys not
 # in the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r6, never driver-attested (5 keys; never-checked
-    # precedes stale re-attestation, so the front-50 is 5 new + 45
-    # stale and the last 5 r2 keys of the planned 50 shift to r7) ---
+    # --- NEW in r6, never driver-attested (6 keys; never-checked
+    # precedes stale re-attestation, so the front-50 is 6 new + 44
+    # stale and the last 6 r2 keys of the planned 50 shift to r7) ---
     "sim_search_matryoshka", "events_funnel", "dedup_containment",
     "dedup_containment_lsh", "sim_search_binary_rerank",
+    "graph_label_propagation",
     # --- last driver verdict: r1 (36 keys) ---
     "agg_distinct", "checksum_sha256", "dedup_exact",
     "dedup_exact_survivors", "dedup_minhash_lsh",

@@ -74,3 +74,28 @@ def test_matches_union_find(spark, edges):
     want = {n: min(ns) for r, ns in comp.items() for n in ns}
     got = _cc(spark, [(a, b) for a, b in edges])
     assert got == want
+
+
+def test_label_propagation_labels_are_node_ids_and_total(spark):
+    """LPA invariants: every node appears exactly once; every final
+    label is itself a node id (labels only ever copy neighbor labels,
+    which bottom out at init ids); at least one community has >1
+    member on the fixed data (the vote collapses star neighborhoods);
+    and bipartite prefix structure is respected (a label is a c: or s:
+    id, nothing else)."""
+    from net7_etl_bus_spark.plans import registry
+
+    from .conftest import SF_SMALL
+
+    rows = registry.queries()["graph_label_propagation"](
+        spark, SF_SMALL
+    ).collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))
+    node_set = set(nodes)
+    labels = [r.label for r in rows]
+    assert set(labels) <= node_set
+    assert all(l.startswith(("c:", "s:")) for l in labels)
+    from collections import Counter
+    sizes = Counter(labels)
+    assert max(sizes.values()) > 1
