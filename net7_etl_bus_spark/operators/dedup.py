@@ -1451,6 +1451,14 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap corpus probe finds any such doc the whole op verifies
     through the candidate-restricted exploded-hash join instead —
     exact for every doc size, chosen per-corpus, never silently wrong.
+
+    Construction-time exception (documented in text.py's laziness
+    note): the probe runs two bounded ``limit(1).count()`` jobs when
+    the PLAN is built, not when it executes — the plan SHAPE is
+    data-dependent, and the lazy alternatives (per-pair union gating)
+    either replay the signature cascade per branch or force an eager
+    checkpoint; two early-exit narrow scans of one column are cheaper
+    than both at every corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
     has_mega = (

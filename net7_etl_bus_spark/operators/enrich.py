@@ -168,13 +168,23 @@ class TokenBucket:
     _MIN_SLEEP = 1e-6
 
     def acquire(self, n: float = 1.0) -> None:
-        """Block until ``n`` tokens are available, then take them."""
+        """Block until ``n`` tokens are available, then take them.
+
+        ``n`` must fit the bucket: tokens are clamped to ``capacity``
+        on refill, so a request for more than ``capacity`` could never
+        be satisfied and would block forever — that latent hang is a
+        ValueError instead."""
+        if n > self.capacity + self._EPS:
+            raise ValueError(
+                f"cannot acquire {n} tokens from a bucket of capacity "
+                f"{self.capacity}; raise capacity or split the request"
+            )
         while True:
             with self._lock:
                 self._refill_locked()
                 if self._tokens + self._EPS >= n:
                     self._tokens = max(0.0, self._tokens - n)
-                    self.acquired += 1
+                    self.acquired += n
                     return
                 wait = max((n - self._tokens) / self.rate, self._MIN_SLEEP)
             # sleep OUTSIDE the lock so other threads can refill/take

@@ -50,10 +50,15 @@ def _cosine(a, b):
 
 
 # DuckDB twin: list_transform + a left fold via list_reduce (sequential).
+# Iterates greatest(len(a), len(b)) — indexing past the shorter list
+# yields NULL, so a ragged pair folds to a NULL dot product, the SAME
+# rule as Spark's zip_with (which null-pads the shorter array). With
+# len(a) only, a candidate LONGER than the query would score non-NULL
+# here while Spark returns NULL — a latent cross-engine divergence.
 def _sql_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, len({a})), "
+        f"list_transform(generate_series(1, greatest(len({a}), len({b}))), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
         f"(acc, v) -> acc + v)"
     )

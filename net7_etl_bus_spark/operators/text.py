@@ -1475,10 +1475,17 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified in the plan). The checkpointed relation is
     # vocabulary²-bounded — the same localCheckpoint pattern as the
     # dedup cascade's edge relation (operators/dedup.py).
-    # eager=False keeps plan CONSTRUCTION side-effect-free: every
-    # other registered key stays lazy until executed, and an eager
+    # eager=False keeps plan CONSTRUCTION side-effect-free: an eager
     # checkpoint here would run a Spark job (and pin executor blocks)
-    # the moment the harness merely builds the DataFrame. The
+    # the moment the harness merely builds the DataFrame. Registered
+    # keys stay lazy until executed, with ONE documented exception:
+    # the mega-doc corpus probes in dedup_minhash_verified and
+    # dedup_containment_lsh (operators/dedup.py, _verified_pairs and
+    # the containment twin) run two bounded limit(1).count() jobs at
+    # construction time — a data-dependent PLAN-SHAPE choice that
+    # cannot be expressed inside one lazy plan without either
+    # double-executing the signature cascade or eagerly checkpointing
+    # it, both strictly worse than two early-exit narrow scans. The
     # truncation still happens on first action; note that once
     # materialized the checkpointed RDD has no lineage fallback if an
     # executor is lost — acceptable for a vocabulary²-bounded table.

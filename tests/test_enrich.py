@@ -178,6 +178,26 @@ def test_token_bucket_paces_on_fake_clock():
     assert b.acquired == 5
 
 
+def test_token_bucket_rejects_over_capacity_and_counts_tokens():
+    """acquire(n) with n > capacity can never be satisfied (refill
+    clamps at capacity) — it must raise, not hang; and the
+    observability counter counts TOKENS, not calls."""
+    import pytest
+
+    from net7_etl_bus_spark.operators.enrich import TokenBucket
+
+    t = [0.0]
+    b = TokenBucket(
+        rate=10.0, capacity=4.0, clock=lambda: t[0],
+        sleeper=lambda dt: t.__setitem__(0, t[0] + dt),
+    )
+    with pytest.raises(ValueError, match="capacity"):
+        b.acquire(5.0)
+    b.acquire(3.0)
+    b.acquire(1.0)
+    assert b.acquired == 4.0
+
+
 def test_aggregate_rate_under_concurrent_tasks_stays_within_budget():
     """The SURVEY §7.4.5 hard part: 4 concurrent 'tasks' (threads),
     each with its per_task_rate share of a global budget, hammering

@@ -253,3 +253,35 @@ def test_binary_rerank_hamming_bounds_and_exact_rerank(spark):
     assert len(hits) >= 2.0 * random_expect, (len(hits), random_expect)
     for k in hits:
         assert got_pairs[k] == exact_pairs[k], k
+
+
+def test_ragged_pair_cosine_is_null_in_both_engines(spark):
+    """Cross-engine ragged-vector contract (ADVICE r6): Spark's
+    zip_with null-pads the shorter array so a ragged pair's cosine is
+    NULL; the DuckDB _sql_dot twin must agree (it iterates
+    greatest(len(a), len(b)), indexing past the shorter list -> NULL)
+    — including the previously-divergent direction where the CANDIDATE
+    is longer than the query."""
+    import duckdb
+
+    from net7_etl_bus_spark.operators.similarity import _cosine, _sql_dot
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0]), ([1.0, 2.0, 3.0], [1.0, 2.0]),
+         ([1.0, 2.0], [3.0, 4.0])],
+        "a array<double>, b array<double>",
+    ).withColumn("cos", _cosine(F.col("a"), F.col("b")))
+    spark_vals = [r.cos for r in df.orderBy(F.size("a"), F.size("b")).collect()]
+    assert spark_vals[0] is not None  # (2,2) equal-length pair sorts first
+    assert spark_vals[1] is None and spark_vals[2] is None  # ragged both ways
+
+    con = duckdb.connect()
+    duck_vals = con.execute(
+        f"""SELECT {_sql_dot('a', 'b')} AS dot FROM (VALUES
+            ([1.0, 2.0], [1.0, 2.0, 3.0]),
+            ([1.0, 2.0, 3.0], [1.0, 2.0]),
+            ([1.0, 2.0], [3.0, 4.0])) AS t(a, b)
+            ORDER BY len(a), len(b)"""
+    ).fetchall()
+    assert duck_vals[0][0] == 11.0  # equal-length pair first
+    assert duck_vals[1][0] is None and duck_vals[2][0] is None
