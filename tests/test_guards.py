@@ -305,3 +305,58 @@ def test_histogram_null_measure_gets_its_own_bucket(spark, tmp_path):
         for b, n in zip(odf["bucket"], odf["n"])
     }
     assert oracle == got
+
+
+def test_events_funnel_bot_user_routing_is_exact(spark):
+    """The enforced bounded-collect contract (VERDICT r6 item 5): a
+    user with more step events than the cap must route through the
+    3-join conditional-min path and get the IDENTICAL per-user funnel
+    times the array path computes — checked by running the same
+    synthetic corpus (one bot with 20 views, several humans) under a
+    tiny cap (forces routing) and an effectively-infinite cap (pure
+    array path)."""
+    import datetime as dt
+
+    from net7_etl_bus_spark.operators.analytics import _funnel_per_user
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(user, kind, hours):
+        return (user, kind, t0 + dt.timedelta(hours=hours))
+
+    rows = [
+        # bot: signup, a flood of 20 views (some before signup), purchase
+        ev(1, "signup", 10),
+        *[ev(1, "view", h) for h in range(0, 40, 2)],  # views at h=0..38
+        ev(1, "purchase", 30),
+        # human converting normally
+        ev(2, "signup", 0), ev(2, "view", 1), ev(2, "purchase", 2),
+        # human whose only view precedes signup (must NOT convert)
+        ev(3, "signup", 5), ev(3, "view", 1),
+        # human with view outside the 7-day window
+        ev(4, "signup", 0), ev(4, "view", 7 * 24 + 1),
+        # viewer with no signup (t1 null)
+        ev(5, "view", 1),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    def run(cap):
+        return sorted(
+            (r.user_id, r.t1, r.t2, r.t3)
+            for r in _funnel_per_user(e, cap).collect()
+        )
+
+    routed = run(5)        # bot's 20 views exceed cap -> join path
+    unrouted = run(10**9)  # everyone on the array path
+    assert routed == unrouted
+    by_user = {u: (t1, t2, t3) for u, t1, t2, t3 in routed}
+    # bot: t1 at h10, first view >= t1 is h10 exactly, purchase h30
+    assert by_user[1] == (
+        t0 + dt.timedelta(hours=10),
+        t0 + dt.timedelta(hours=10),
+        t0 + dt.timedelta(hours=30),
+    )
+    assert by_user[2][2] is not None            # full conversion
+    assert by_user[3][1] is None                # view before signup
+    assert by_user[4][1] is None                # view outside window
+    assert by_user[5][0] is None                # no signup
