@@ -205,3 +205,119 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return stream_click_attribution(e)
+
+
+# --- watermark late-data ledger (the last live-only streaming name) ---
+
+_WM_DELAY_US = 30 * 60 * 1_000_000  # 30-minute watermark, micros
+_WM_B1 = 1 << 20  # events per level-1 prefix-max bucket
+_WM_B2 = 1 << 16  # level-1 buckets per super-bucket
+_WM_MIN = -(1 << 62)  # "-infinity" sentinel: watermark before any event
+
+
+@register(
+    "watermark_late_data",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, ts, epoch_us(ts) AS tse FROM events
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+    wm AS (
+      SELECT ts, tse,
+             MAX(tse) OVER (ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prior
+      FROM ev)
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(CASE WHEN prior IS NULL
+                            OR tse >= prior - {_WM_DELAY_US} THEN 1 END)
+                AS BIGINT) AS n_accepted,
+           CAST(COUNT(CASE WHEN prior IS NOT NULL
+                           AND tse < prior - {_WM_DELAY_US} THEN 1 END)
+                AS BIGINT) AS n_dropped
+    FROM wm GROUP BY 1
+    """,
+)
+def watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-arrival DROP LEDGER, batch-expressed: replaying
+    ``events`` in ``event_id`` (ingest) order under a 30-minute
+    watermark, how many rows per 1-hour event-time window are accepted
+    vs dropped as too late. A row is late iff its event time is more
+    than the delay behind the maximum event time among all strictly
+    earlier arrivals — the row-granular idealization of Structured
+    Streaming's per-micro-batch watermark (the infinitesimal-batch
+    limit; a real micro-batched run advances the watermark less often
+    and therefore drops a SUBSET of this ledger's drops, which is what
+    makes the ledger the deterministic, oracle-checkable bound). The
+    live watermark path — real ``withWatermark`` + append-mode windowed
+    aggregation over replayed files — is exercised in
+    tests/test_streaming.py::test_watermark_drops_late_rows; this twin
+    makes the semantics driver-checkable like the other streaming
+    names. NULL event_id / ts rows are dropped (no ingest position /
+    no event time).
+
+    Scale shape: the running max over arrival order is the same hazard
+    as text_pack_sequences' running sum, and gets the same two-level
+    distributed prefix treatment (prefix-max is associative): within-
+    bucket exclusive running max (partitioned window, parallel),
+    per-bucket maxes prefix-maxed within super-buckets (partitioned,
+    parallel), and only the ~n/(2^36) super-bucket totals cross the
+    one global window before offsets broadcast back down. One scan,
+    one shuffle to bucket order, one 24-ish-row single-partition sort.
+    """
+    return _watermark_ledger(load_table(spark, sf_dir, "events"))
+
+
+def _watermark_ledger(events: DataFrame) -> DataFrame:
+    """watermark_late_data's body over an arbitrary events frame —
+    unit tests replay hand-built late-arrival sequences through it."""
+    e = (
+        events
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        # ts arrives TIMESTAMP_NTZ from the parquet footer; the session
+        # is pinned UTC so the cast to (TZ-aware) TIMESTAMP is identity
+        # and unix_micros is well-defined.
+        .select(
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tse"),
+        )
+        .withColumn("b1", F.floor(F.col("event_id") / _WM_B1))
+    )
+    from pyspark.sql import Window
+
+    w1 = (
+        Window.partitionBy("b1")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn("m1", F.max("tse").over(w1))
+
+    t1 = e.groupBy("b1").agg(F.max("tse").alias("bmax"))
+    t1 = t1.withColumn("b2", F.floor(F.col("b1") / _WM_B2))
+    w2 = (
+        Window.partitionBy("b2")
+        .orderBy("b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t1 = t1.withColumn("off1", F.max("bmax").over(w2))
+
+    t2 = t1.groupBy("b2").agg(F.max("bmax").alias("b2max"))
+    w3 = Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)
+    t2 = t2.withColumn("off2", F.max("b2max").over(w3))
+
+    mn = F.lit(_WM_MIN).cast("long")
+    offs = t1.join(F.broadcast(t2.select("b2", "off2")), "b2").select(
+        "b1",
+        F.greatest(F.coalesce("off1", mn), F.coalesce("off2", mn)).alias("off"),
+    )
+    late = F.col("tse") < F.greatest(F.coalesce("m1", mn), F.col("off")) - F.lit(
+        _WM_DELAY_US
+    )
+    return (
+        e.join(offs, "b1")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count(F.when(~late, 1)).cast("bigint").alias("n_accepted"),
+            F.count(F.when(late, 1)).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -645,6 +645,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("analytics.py", "skew_key_profile"),      # over top-20 limit
     ("packing.py", "text_pack_sequences"),     # over super-bucket totals (docs/2^32 rows)
     ("text.py", "text_quality_quantile_gate"), # over <=2^16-bin score histogram
+    ("batch_equiv.py", "_watermark_ledger"),   # over super-bucket maxes (events/2^36 rows)
 }
 
 
@@ -766,6 +767,23 @@ def test_global_window_inputs_are_bounded(spark):
     first_agg = next(ln for ln in lines[gw[0] + 1 :] if "HashAggregate" in ln)
     assert "keys=[sb" in first_agg, (
         f"global window not over the histogram aggregate:\n{plan}"
+    )
+
+    # watermark_late_data's two-level prefix MAX: its only global
+    # window must sit directly over the super-bucket (keys=[b2])
+    # aggregate — the event stream is collapsed twice before the
+    # single-partition sort sees a row, same contract as the packer.
+    plan = plan_of(spark, "watermark_late_data", mode="simple")
+    lines = plan.splitlines()
+    gw = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(b2#\d+L? ASC", ln)
+    ]
+    assert len(gw) == 1, f"expected exactly one global window:\n{plan}"
+    first_agg = next(ln for ln in lines[gw[0] + 1 :] if "HashAggregate" in ln)
+    assert "keys=[b2" in first_agg, (
+        f"global window not over the b2 aggregate:\n{plan}"
     )
 
 

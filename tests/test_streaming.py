@@ -847,3 +847,49 @@ def test_kill_mid_foreachbatch_replays_and_converges(spark, tmp_path, monkeypatc
     )
     assert results3 == []
     assert snap(target) == want
+
+
+def test_watermark_ledger_drop_semantics(spark):
+    """watermark_late_data's batch twin on a hand-built arrival
+    sequence (fixture events are near-ordered, so the fixture ledger
+    rarely drops — this pins the drop logic itself): replayed in
+    event_id order with a 30-minute watermark, a row more than 30m
+    behind the running max event time is dropped; one exactly AT the
+    bound, the first-ever row, and rows in fresh hours are accepted;
+    bucket boundaries (ids straddling the 2^20 prefix-max bucket) may
+    not change the semantics."""
+    import datetime as dt
+
+    from net7_etl_bus_spark.streaming.batch_equiv import (
+        _WM_B1,
+        _watermark_ledger,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        ev(1, 5),            # first ever -> accepted (hour 0)
+        ev(2, 125),          # advances max to 02:05 (hour 2)
+        ev(3, 94),           # 31m late vs 02:05 -> DROPPED (hour 1)
+        ev(4, 95),           # exactly 30m behind -> accepted (hour 1)
+        # straddle a prefix-max bucket boundary: the running max must
+        # carry across buckets via the offset levels
+        ev(_WM_B1 - 1, 300),          # advances max to 05:00 (hour 5)
+        ev(_WM_B1, 200),              # 100m late -> DROPPED (hour 3)
+        ev(_WM_B1 + 1, 301),          # fresh -> accepted (hour 5)
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r.window_start.hour: (r.n_accepted, r.n_dropped)
+        for r in _watermark_ledger(e).collect()
+    }
+    assert got == {
+        0: (1, 0),
+        1: (1, 1),
+        2: (1, 0),
+        3: (0, 1),
+        5: (2, 0),
+    }
