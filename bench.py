@@ -16,6 +16,17 @@ swings on single shots. The median of 3 absorbs the compile-heavy
 first run and one outlier, making round-over-round deltas signal. The
 query set stays the frozen 16 + the 2 composites for series
 comparability.
+
+Host-band instrumentation (r6 verdict item 2 — the +19% r6 driver
+number was adjudicated host noise, but the series couldn't prove it
+from inside one run): the JSON now carries a ``host`` block (loadavg
+before/after, cpu count), per-query raw ``runs`` (so IQR/spread are
+readable per query), a ``spread_max_pct`` scalar (worst per-query
+(max-min)/median — large values mean the host was unstable DURING the
+run), and a ``close`` block re-running the headline set once more at
+session close (open-vs-close drift measures host movement across the
+run; the comparable ``value``/``queries`` stay the OPEN pass for
+series continuity).
 """
 
 from __future__ import annotations
@@ -80,7 +91,7 @@ EXTENDED_QUERIES = [
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def run_median(spark, fn, sf_dir: str) -> float:
+def run_median(spark, fn, sf_dir: str):
     """Median of REPS end-to-end executions. The DataFrame is rebuilt
     per rep (fresh plan object), so rep 1 carries analysis + codegen
     compile and the median lands on a steady-state run."""
@@ -92,10 +103,18 @@ def run_median(spark, fn, sf_dir: str) -> float:
     return statistics.median(ts), ts
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_before = _loadavg()
     spark = get_spark("net7-etl-bus-bench")
     qs = registry.queries()
 
@@ -103,11 +122,13 @@ def main() -> None:
     qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         med, ts = run_median(spark, qs[name], sf_dir)
         timings[name] = round(med, 3)
+        runs[name] = [round(t, 3) for t in ts]
         print(
-            f"# {name}: med {timings[name]:.3f}s  runs {[round(t, 3) for t in ts]}",
+            f"# {name}: med {timings[name]:.3f}s  runs {runs[name]}",
             file=sys.stderr,
         )
 
@@ -132,7 +153,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Close pass: the headline set once more, after ~2 minutes of other
+    # work — open-vs-close drift on identical code = host movement.
+    close: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        med, ts = run_median(spark, qs[name], sf_dir)
+        close[name] = round(med, 3)
+        print(
+            f"# [close] {name}: med {close[name]:.3f}s  runs {[round(t, 3) for t in ts]}",
+            file=sys.stderr,
+        )
+
+    load_after = _loadavg()
     total = round(sum(timings.values()), 3)
+    close_total = round(sum(close.values()), 3)
+    spread_max_pct = round(
+        max(
+            (max(r) - min(r)) / timings[n] * 100.0
+            for n, r in runs.items()
+            if timings[n] > 0
+        ),
+        1,
+    )
     print(
         json.dumps(
             {
@@ -140,11 +182,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "composites": composites,
                 "composites_total": round(sum(composites.values()), 3),
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
-                "protocol": f"median-of-{REPS}",
+                "close": close,
+                "close_total": close_total,
+                "drift_pct": round((close_total - total) / total * 100.0, 1)
+                if total > 0
+                else 0.0,
+                "spread_max_pct": spread_max_pct,
+                "host": {
+                    "loadavg_before": load_before,
+                    "loadavg_after": load_after,
+                    "cpus": os.cpu_count(),
+                },
+                "protocol": f"median-of-{REPS}, open+close headline passes",
                 "sf": sf,
             }
         )
