@@ -74,61 +74,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-6 front of the line (r5 verdict item 1): rotate to VERDICT
-# FRESHNESS. After r5, every one of the 218 keys is cumulatively green,
-# but 80 keys' LATEST driver verdict predates the r4 fuzz hardening and
-# the r4-r5 shared-helper rewrites (dsum single-tree guard, session
-# conf re-assertion): 36 keys last attested in r1 and 44 in r2
-# (computed from CORRECTNESS_r01..r05.json). The first 50 below are
-# drawn entirely from that stale set — all 36 r1 keys, then the 14 r2
-# keys most exposed to the shared-helper rewrites (dsum consumers,
-# the end-to-end ETL snapshot, the as-of joins, the similarity and
-# text surfaces). The remaining 30 r2 keys queue immediately after so
-# r7's sweep finishes the rotation; behind them, the keys whose code
-# r6 itself touched (BM25 decimal arithmetic, lazy ngram-LM
-# checkpoint — all locally diffcheck-green, r5-driver-green). Keys not
-# in the registry are ignored, so this list never breaks registration.
+# Round-7 front of the line (r6 verdict item 1 + ADVICE marker fix):
+# finish the verdict-staleness rotation. After r6, every one of the
+# 224 pre-r7 keys is cumulatively green and r1-staleness is gone, but
+# 36 keys' LATEST driver verdict is still r2 (computed from
+# CORRECTNESS_r01..r06.json). The front-50 is exactly: the 2 keys NEW
+# in r7 (never attested), all 36 r2-stale keys, then the 12
+# most-recently-edited keys — r7 touched their Spark plan, their
+# oracle (the _sql_dot ragged-pair rule rewrote every cosine oracle),
+# or their routing (funnel bot guard, LPA convergence column,
+# containment banding refactor). The budget-line marker below sits at
+# the TRUE position-50 boundary (the r6 marker sat after position 56,
+# so the last 6 annotated keys silently missed the cut — ADVICE r6).
+# Keys not in the registry are ignored, so this list never breaks
+# registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r6, never driver-attested (6 keys; never-checked
-    # precedes stale re-attestation, so the front-50 is 6 new + 44
-    # stale and the last 6 r2 keys of the planned 50 shift to r7) ---
-    "sim_search_matryoshka", "events_funnel", "dedup_containment",
-    "dedup_containment_lsh", "sim_search_binary_rerank",
-    "graph_label_propagation",
-    # --- last driver verdict: r1 (36 keys) ---
-    "agg_distinct", "checksum_sha256", "dedup_exact",
-    "dedup_exact_survivors", "dedup_minhash_lsh",
-    "dedup_minhash_signature", "dedup_simhash", "filter_pred",
-    "fn_array", "fn_array_hof", "fn_date", "fn_math", "fn_string",
-    "http_enrichment_mock", "join_anti", "join_broadcast",
-    "join_full_outer", "join_inner_hash", "join_left_outer",
-    "join_right_outer", "join_semi", "join_skew_salted",
-    "join_theta_range", "limit_n", "mm_features", "mm_frame_sample",
-    "parquet_scan", "project_expr", "set_except", "set_intersect",
-    "set_union_all", "sort_orderby", "topk_per_group",
-    "udf_pandas_vectorized", "udf_scalar", "udtf_surface",
-    # --- last driver verdict: r2, highest shared-helper exposure
-    # (14 keys -> positions 37-50) ---
-    "win_running_agg", "q10_returned_items", "q14_promo_revenue",
-    "ttl_freshness_filter", "etl_run_snapshot", "join_asof",
-    "join_asof_pandas", "sim_search_topk", "sim_search_ivf",
-    "sim_search_lsh", "emb_dedup_cosine", "emb_dedup_cosine_lsh",
-    "text_stats", "text_token_count",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- last driver verdict: r2, remainder (30 keys, r7 sweep) ---
+    # --- NEW in r7, never driver-attested (2 keys) ---
+    "dedup_containment_recall", "watermark_late_data",
+    # --- last driver verdict: r2 (all 36 remaining stale keys) ---
     "anti_join_processed", "audit_timestamps", "completeness_filter",
     "count_agg", "csv_scan", "dedup_by_key", "derive_composite_key",
-    "exists_agg", "file_checksum", "fn_json", "fn_json_typed",
-    "fn_map", "json_scan", "lookup_by_id", "orc_scan",
-    "project_widen", "run_gate_predicate", "semi_join_incoming",
-    "stream_dedup_first_event", "stream_dedup_keys",
-    "text_fingerprint", "text_lang_id", "text_quality",
-    "win_lag_lead", "win_ntile_percent", "win_range_frame",
-    "win_rank_dense_rownum", "win_sliding", "win_tumbling",
-    "xml_scan",
-    # --- code touched in r6 (r5-driver-green; local diffcheck green) ---
-    "text_bm25_search", "text_tfidf_topk", "text_bpe_train",
-    "text_ngram_lm_counts", "emb_semdedup",
+    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "exists_agg",
+    "file_checksum", "fn_json", "fn_json_typed", "fn_map",
+    "json_scan", "lookup_by_id", "orc_scan", "project_widen",
+    "run_gate_predicate", "semi_join_incoming", "sim_search_ivf",
+    "sim_search_lsh", "stream_dedup_first_event", "stream_dedup_keys",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_stats",
+    "text_token_count", "win_lag_lead", "win_ntile_percent",
+    "win_range_frame", "win_rank_dense_rownum", "win_sliding",
+    "win_tumbling", "xml_scan",
+    # --- r7-edited (12 keys -> positions 39-50): funnel bot routing,
+    # LPA convergence schema, containment banding refactor + exact
+    # twin, the _sql_dot ragged-rule oracle rewrite (topk / knn /
+    # rerank stages / semdedup), and the bench-questioned verified
+    # cascade ---
+    "events_funnel", "graph_label_propagation", "dedup_containment",
+    "dedup_containment_lsh", "sim_search_binary_rerank",
+    "sim_search_matryoshka", "sim_search_topk", "knn_classify",
+    "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
+    "text_tfidf_topk",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r8: r6-touched keys whose latest verdict
+    # predates that edit (locally diffcheck-green) ---
+    "text_bpe_train", "text_ngram_lm_counts",
 )
 
 
