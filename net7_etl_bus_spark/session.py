@@ -141,6 +141,20 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # local[N] runs driver + all N executor threads in ONE JVM,
+        # and an unconfigured session gets Spark's 1g default heap —
+        # 32 threads sharing 1 GiB on a 128 GiB host (r7 finding: the
+        # GCLocker retry stalls in heavy cascades and an sf1 OOM in
+        # the all-pairs containment baseline were this, not the
+        # operators). Size the heap to the harness; applies only when
+        # this call actually launches the JVM (getOrCreate ignores it
+        # on an already-running session), and never overrides an
+        # explicit submit-time setting.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
 
     conf = dict(_DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(

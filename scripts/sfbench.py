@@ -42,6 +42,20 @@ DEFAULT_KEYS = [
     "text_tfidf_topk", "text_pack_sequences", "emb_kmeans_train",
     # keys the r5 verdict flagged for key-growth re-evaluation
     "text_bm25_search", "graph_triangle_count",
+    # r6/r7 ops enrolled per r6 verdict item 4: containment candidate
+    # counts under vocab growth, coarse-tier (hamming / prefix-dim)
+    # selectivity under embedding growth, funnel/LPA/watermark shuffles
+    # under user/node/event keyspace growth. The EXACT all-pairs
+    # baselines (dedup_containment, dedup_ngram_jaccard, and the
+    # recall ledger that embeds them) are deliberately NOT enrolled:
+    # all-pairs-sharing-a-shingle is superlinear under vocabulary
+    # growth BY CONSTRUCTION — that is the documented reason the
+    # LSH twins exist — so a ladder row would only re-measure the
+    # definition (and at sf1 it floods the 2-partition hot-shingle
+    # join for minutes; see SCALE.md r7 note).
+    "dedup_containment_lsh", "sim_search_binary_rerank",
+    "sim_search_matryoshka", "events_funnel",
+    "graph_label_propagation", "watermark_late_data",
 ]
 
 
