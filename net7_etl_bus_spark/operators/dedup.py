@@ -320,11 +320,22 @@ sig AS (
 """
 
 
-def _sql_band_key(b: int) -> str:
-    v = f"h{b * ROWS_PER_BAND}"
-    for r in range(1, ROWS_PER_BAND):
-        v = f"(({v}) * {_MH_M} + h{b * ROWS_PER_BAND + r}) % {_MH_P}"
+def _sql_band_key(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
+    v = f"h{b * rows_per_band}"
+    for r in range(1, rows_per_band):
+        v = f"(({v}) * {_MH_M} + h{b * rows_per_band + r}) % {_MH_P}"
     return v
+
+
+def _sql_bands(n_bands: int, rows_per_band: int, name: str = "bands") -> str:
+    """Band CTE at an arbitrary (n_bands, rows_per_band) over the
+    16-hash signature — the oracle twin of _lsh_candidate_pairs'
+    banding knob."""
+    return f"{name} AS (\n" + "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        f"{_sql_band_key(b, rows_per_band)} AS band_hash FROM sig"
+        for b in range(n_bands)
+    ) + "\n)"
 
 
 _SQL_BANDS = "bands AS (\n" + "\nUNION ALL\n".join(
@@ -1536,6 +1547,54 @@ def _containment_lsh_frame(
         )
 
     return _containment_directions(joined, F.col("inter"))
+
+
+@register(
+    "dedup_containment_lsh_permissive",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_sql_bands(16, 1)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    {_SQL_XSETS},
+    conts AS (
+      SELECT c.doc_a AS doc_src, c.doc_b AS doc_dst,
+             CAST(len(sa.arr) AS BIGINT) AS n_src,
+             CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS inter
+      FROM cand c
+      JOIN xsets sa ON sa.doc_id = c.doc_a
+      JOIN xsets sb ON sb.doc_id = c.doc_b
+      UNION ALL
+      SELECT c.doc_b, c.doc_a,
+             CAST(len(sb.arr) AS BIGINT),
+             CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT)
+      FROM cand c
+      JOIN xsets sa ON sa.doc_id = c.doc_a
+      JOIN xsets sb ON sb.doc_id = c.doc_b)
+    SELECT doc_src, doc_dst, n_src, inter,
+           CAST((inter * 1000000) // n_src AS BIGINT) AS cont_q
+    FROM conts WHERE (inter * 1000000) // n_src >= {_CONT_TAU_Q}
+    """,
+)
+def dedup_containment_lsh_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment_lsh at PERMISSIVE banding (16 bands x 1 row
+    vs the default 4x4, same 16-hash signature) — the documented
+    recall fix for short-in-long containment pairs, registered
+    end-to-end so the fix itself is oracle-attested, not just
+    exercisable. Per-hash candidate probability under permissive
+    banding is the raw Jaccard j (P(any band) = 1-(1-j)^16 ~ 1 for
+    j >= 0.25), so the pairs the Jaccard-tuned default misses — high
+    containment, low Jaccard — collide here; the price is a candidate
+    set that grows toward the per-hash collision volume, which is why
+    production chooses per-corpus via the dedup_containment_recall
+    ledger rather than defaulting to it. Everything else (compact
+    hash-set verification, mega-doc fallback, scale shape) is
+    _containment_lsh_frame's."""
+    return _containment_lsh_frame(
+        load_table(spark, sf_dir, "documents"), n_bands=16, rows_per_band=1
+    )
 
 
 _CONT_RECALL_ORACLE = f"""
