@@ -253,7 +253,9 @@ def watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_watermark_drops_late_rows; this twin
     makes the semantics driver-checkable like the other streaming
     names. NULL event_id / ts rows are dropped (no ingest position /
-    no event time).
+    no event time), and ``event_id`` is unique by the PK contract
+    (same as text_pack_sequences' doc_id) — the replay order, and
+    therefore the ledger, is total and deterministic.
 
     Scale shape: the running max over arrival order is the same hazard
     as text_pack_sequences' running sum, and gets the same two-level
