@@ -412,3 +412,81 @@ def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k_rank") <= _EXACT_K)
         .select("doc_id", "source", F.col("k_rank").cast("bigint").alias("k_rank"))
     )
+
+
+# --- deterministic epoch shuffle -> shard plan -------------------------
+
+_SHUF_EPOCH = 0     # epoch salt: vary to reshuffle between epochs
+_SHUF_SHARDS = 64   # shards per epoch (production: thousands)
+
+
+@register(
+    "shuffle_epoch_shards",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(concat('0x', substring(
+               md5('epoch{_SHUF_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(CEIL(LENGTH(text)/4.0) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id IS NOT NULL),
+    s AS MATERIALIZED (
+      SELECT doc_id, h, CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard, n_tokens
+      FROM t)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS position,
+           n_tokens
+    FROM s
+    """,
+)
+def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch-shuffle SHARD PLAN — the last ordering step before a
+    trainer reads data: every document gets a deterministic
+    pseudo-random position (shard, position-within-shard) for the
+    epoch, derived purely from ``md5(epoch_salt || doc_id)``. Varying
+    the salt reshuffles between epochs; nothing depends on partitioning
+    or engine RNG, so the order is reproducible across runs, engines,
+    appends of other docs, and restarts mid-epoch (the property
+    df.orderBy(rand()) famously lacks). ``n_tokens`` (the chars/4
+    estimator shared with text_pack_sequences) rides along so the
+    shard writer can also budget sequences. NULL doc_id rows have no
+    deterministic draw and are excluded; NULL text keeps its slot with
+    NULL n_tokens (a shard writer places every document).
+
+    Scale shape: one narrow hash map, then ONE shuffle partitioned by
+    shard with a per-shard sort on the hash — which is precisely the
+    physical work a production shard writer does anyway (the op IS the
+    shuffle, not overhead around it). No global window: each of the
+    {_SHUF_SHARDS} shards sorts independently (production uses
+    thousands of shards, so per-shard sorts stay executor-sized and
+    spill-friendly). Downstream, writing shard files in position order
+    is a partitionBy write of this exact relation.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"epoch{_SHUF_EPOCH}:"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = d.select(
+        "doc_id",
+        h.alias("h"),
+        (h % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "n_tokens",
+    )

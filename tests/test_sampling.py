@@ -209,3 +209,46 @@ def test_exact_k_stratified_counts_and_plan(spark):
     df = sample_exact_k_stratified(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_shuffle_epoch_shards_is_a_permutation_and_stable(spark):
+    """The shard plan must be a PERMUTATION of the corpus (every
+    non-null doc_id exactly once; positions within each shard exactly
+    1..n with no gaps) and a pure function of the keys — identical
+    under a different physical partitioning."""
+    from collections import Counter
+
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.plans import registry
+
+    from .conftest import SF_SMALL
+
+    rows = registry.queries()["shuffle_epoch_shards"](spark, SF_SMALL).collect()
+    n_docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .count()
+    )
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = Counter(r.shard for r in rows)
+    pos = {}
+    for r in rows:
+        pos.setdefault(r.shard, []).append(r.position)
+    for shard, ps in pos.items():
+        assert sorted(ps) == list(range(1, by_shard[shard] + 1)), shard
+    # shards actually spread (not everything in one bucket)
+    assert len(by_shard) > 10
+
+    # stability under re-partitioning: same result at a different
+    # shuffle-partition count (the df.orderBy(rand()) failure mode)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = registry.queries()["shuffle_epoch_shards"](
+            spark, SF_SMALL
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert sorted((r.doc_id, r.shard, r.position) for r in rows) == sorted(
+        (r.doc_id, r.shard, r.position) for r in again
+    )
