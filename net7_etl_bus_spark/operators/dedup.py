@@ -1697,3 +1697,81 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --- split leakage: near-dups crossing the train/val/test boundary ----
+
+_LEAK_TAU = 0.8  # near-dup threshold for leakage purposes
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    {_SQL_XSETS}, {_SQL_VERIFIED},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b >= 'f0' THEN 'test'
+                  WHEN b >= 'e0' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+            FROM documents) x)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           sa.split <> sb.split AS is_leak
+    FROM verified v
+    JOIN sp sa ON sa.doc_id = v.doc_a
+    JOIN sp sb ON sb.doc_id = v.doc_b
+    WHERE v.jaccard >= {_LEAK_TAU}
+    GROUP BY sa.split, sb.split
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene ledger: near-duplicate pairs (verified Jaccard >=
+    {tau}) grouped by the splits their members land in — any row with
+    ``is_leak`` true means a test/val document has a near-duplicate in
+    another split, i.e. the held-out set is contaminated and its
+    numbers are soft. This is the check every eval pipeline should run
+    and almost none do at scale: hash-stable splits
+    (sample.with_split) prevent rows MOVING across splits, but cannot
+    prevent two near-identical documents from landing on opposite
+    sides — only a dedup pass joined against the split assignment sees
+    that. Composes the verified MinHash cascade (bucket-bounded
+    candidates, compact hash-set verification) with the split function
+    the split op itself pins; counts are exact BIGINTs, and the
+    jaccard >= {tau} cut compares identically cross-engine (one IEEE
+    division on identical integer operands).
+
+    Production remediation is downstream of this ledger: move the
+    whole near-dup CLUSTER to one split (dedup_cc_clusters gives the
+    cluster ids) or drop the cross-split twin from train.
+
+    Scale shape: pair-count-sized inputs after the cascade; the split
+    relation is a narrow hash map of the corpus joined on doc id; one
+    <=9-group hash agg. The cascade dominates, and it is the same
+    cascade dedup_minhash_verified already pays.
+    """
+    from .sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _verified_pairs(docs).filter(F.col("jaccard") >= _LEAK_TAU)
+    sp = with_split(docs, "doc_id").select("doc_id", "split")
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )

@@ -332,3 +332,20 @@ def test_containment_banding_knob_and_measured_recall(spark):
 
     with pytest.raises(ValueError, match="exceeds"):
         _containment_lsh_frame(docs, 16, 2)  # 32 > 16 hashes
+
+
+def test_split_leakage_ledger_partitions_verified_pairs(spark):
+    """split_leakage_check: the ledger must partition the verified
+    near-dup pairs at tau exactly (counts sum to the pair count), flag
+    precisely the cross-split rows, and the fixture corpus must
+    actually exhibit leakage (exact-duplicate groups straddle the
+    hash split — the condition the op exists to catch)."""
+    from net7_etl_bus_spark.operators.dedup import _LEAK_TAU, _verified_pairs
+    from net7_etl_bus_spark.data import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_pairs = _verified_pairs(docs).filter(F.col("jaccard") >= _LEAK_TAU).count()
+    rows = QUERIES["split_leakage_check"](spark, SF_SMALL).collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    assert all(r.is_leak == (r.split_a != r.split_b) for r in rows)
+    assert any(r.is_leak for r in rows), "fixture corpus should leak"
