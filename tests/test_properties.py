@@ -459,3 +459,52 @@ def test_scd2_pointintime_matches_naive(spark, tmp_path_factory, rows):
             if vf <= m and (vt is None or m < vt):
                 want.add((eid, state, version))
     assert got == want, (rows, got ^ want)
+
+
+# --- watermark drop ledger vs a pure-Python replay ---------------------
+
+_wm_events = st.lists(
+    st.tuples(
+        st.integers(0, 10**7),            # event_id (deduped below)
+        st.integers(0, 6 * 3600),         # seconds offset within 6 hours
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda e: e[0],
+)
+
+
+def _wm_model(rows, delay_s=1800):
+    """Row-granular watermark replay in event_id order: drop iff ts is
+    more than `delay_s` behind the running max of earlier arrivals."""
+    out = {}
+    mx = None
+    for _eid, sec in sorted(rows):
+        hour = sec // 3600
+        acc, drop = out.get(hour, (0, 0))
+        if mx is not None and sec < mx - delay_s:
+            out[hour] = (acc, drop + 1)
+        else:
+            out[hour] = (acc + 1, drop)
+        if mx is None or sec > mx:
+            mx = sec
+    return out
+
+
+@given(rows=_wm_events)
+@settings(**_SETTINGS)
+def test_watermark_ledger_matches_python_replay(spark, rows):
+    import datetime as dt
+
+    from net7_etl_bus_spark.streaming.batch_equiv import _watermark_ledger
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(eid, t0 + dt.timedelta(seconds=sec)) for eid, sec in rows],
+        "event_id long, ts timestamp",
+    )
+    got = {
+        int((r.window_start - t0).total_seconds() // 3600): (r.n_accepted, r.n_dropped)
+        for r in _watermark_ledger(df).collect()
+    }
+    assert got == _wm_model(rows)
