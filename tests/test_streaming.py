@@ -893,3 +893,98 @@ def test_watermark_ledger_drop_semantics(spark):
         3: (0, 1),
         5: (2, 0),
     }
+
+
+def test_watermark_ledger_bounds_live_drops(spark, tmp_path):
+    """The twin's documented contract: a REAL micro-batched watermark
+    run drops a SUBSET of the ledger's drops (the ledger is the
+    row-granular idealization; the live engine is window-granular and
+    batch-granular, both coarser). Replay a crafted sequence one event
+    per micro-batch, diff the live append-mode output against the
+    unwatermarked batch truth to get live drops per window, and assert
+    per-window live_drops <= ledger n_dropped — with the sequence
+    built so BOTH a genuinely-dropped row (window closed) and a
+    row-late-but-window-open row (live accepts, ledger counts as
+    dropped) occur."""
+    import datetime as dt
+    import json
+    import os
+
+    import net7_etl_bus_spark.streaming.windows as sw
+    from net7_etl_bus_spark.schemas import EVENTS_SCHEMA
+    from net7_etl_bus_spark.streaming.batch_equiv import _watermark_ledger
+
+    t0 = dt.datetime(2024, 1, 1)
+    # (arrival order = event_id = file order); minutes offsets
+    seq = [
+        (1, 5),     # hour 0
+        (2, 370),   # hour 6 -> watermark jumps to 05:40
+        (3, 10),    # hour 0, window [0,1) closed -> LIVE drop + ledger drop
+        (4, 305),   # hour 5, 65m behind the 06:10 max (row-rule late)
+                    # BUT window [5,6) end 06:00 > watermark 05:40:
+                    # live ACCEPTS, ledger drops -> strict subset case
+        (5, 380),   # hour 6, fresh
+    ]
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_one(fname, row):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(json.dumps(row) + "\n")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        q = (
+            sw.stream_tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = []
+    for eid, minutes in seq:
+        ts = (t0 + dt.timedelta(minutes=minutes)).isoformat() + "+00:00"
+        row = {"event_id": eid, "ts": ts, "user_id": 1,
+               "event_type": "click", "value": 1.0, "props": "{}"}
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes)))
+        run_one(f"b{eid}.json", row)
+
+    # flush remaining state: two far-future sentinels advance the
+    # watermark past every real window
+    for i, minutes in ((98, 10_000), (99, 10_100)):
+        ts = (t0 + dt.timedelta(minutes=minutes)).isoformat() + "+00:00"
+        run_one(
+            f"b{i}.json",
+            {"event_id": i, "ts": ts, "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        )
+
+    live = {
+        r.window_start.hour: r.n_events
+        for r in spark.read.parquet(out).collect()
+        if r.window_start < t0 + dt.timedelta(days=1)
+    }
+    truth = {}
+    for _eid, ts in rows:
+        truth[ts.hour] = truth.get(ts.hour, 0) + 1
+    live_drops = {h: truth[h] - live.get(h, 0) for h in truth}
+
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    ledger = {
+        r.window_start.hour: r.n_dropped
+        for r in _watermark_ledger(e).collect()
+    }
+    # subset bound per window
+    for h, n in live_drops.items():
+        assert 0 <= n <= ledger.get(h, 0), (h, n, ledger)
+    # the crafted strictness: hour 0 dropped by BOTH; hour 5 dropped by
+    # the ledger only (row-late, window still open -> live accepted)
+    assert live_drops[0] == 1 and ledger[0] == 1
+    assert live_drops[5] == 0 and ledger[5] == 1
