@@ -982,3 +982,25 @@ def test_containment_lsh_matches_verified_cascade_shape(spark):
     )
     assert "BatchEvalPython" not in ours and "ArrowEvalPython" not in ours, ours
     assert "CartesianProduct" not in ours, ours
+
+
+def test_shuffle_epoch_shards_single_shuffle_no_global_window(spark):
+    """shuffle_epoch_shards: one exchange (hash-partitioned by shard)
+    feeding per-shard sorts — no global (partition-less) window, no
+    join, zero Python. The shuffle IS the epoch shuffle; anything
+    beyond it is overhead."""
+    plan = plan_of(spark, "shuffle_epoch_shards", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_split_leakage_check_no_cartesian_all_hash_joins(spark):
+    """split_leakage_check: the split relation attaches to the
+    verified pairs via hash equi-joins on doc ids; any cartesian or
+    nested loop means the eval-hygiene pass regressed to all-pairs."""
+    plan = plan_of(spark, "split_leakage_check", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
