@@ -1775,3 +1775,96 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )
+
+
+_SQL_SPLIT = """
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b >= 'f0' THEN 'test'
+              WHEN b >= 'e0' THEN 'val'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        FROM documents WHERE doc_id IS NOT NULL) x)
+"""
+
+
+@register(
+    "split_leakage_repair",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    {_SQL_XSETS},
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN xsets sa ON sa.doc_id = c.doc_a
+      JOIN xsets sb ON sb.doc_id = c.doc_b
+      WHERE {_SQL_VERIFIED_JACCARD} >= {_CC_THRESHOLD}),
+    sym AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM verified),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+    cc AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    {_SQL_SPLIT},
+    rep AS (
+      SELECT c.doc_id, spc.split AS cluster_split
+      FROM cc c JOIN sp spc ON spc.doc_id = c.cluster_id)
+    SELECT sp.doc_id, sp.split,
+           COALESCE(rep.cluster_split, sp.split) AS repaired_split,
+           COALESCE(rep.cluster_split, sp.split) <> sp.split AS moved
+    FROM sp LEFT JOIN rep ON rep.doc_id = sp.doc_id
+    """,
+)
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation split_leakage_check's ledger calls for: every
+    near-dup CLUSTER (connected component of verified Jaccard >=
+    {_CC_THRESHOLD} pairs) is reassigned WHOLE to one split — the
+    split of the cluster's min-id member, the same deterministic
+    keeper rule the dedup cascade uses — and unclustered documents
+    keep their hash-stable split. By construction, no verified
+    near-dup pair can cross the repaired boundary at any threshold >=
+    the CC threshold (both members share a component, hence a cluster
+    id, hence a repaired split) — re-running split_leakage_check on
+    the repaired assignment yields zero is_leak rows, which
+    tests/test_similarity.py pins as the invariant. The output is the
+    corpus-sized (doc_id, split, repaired_split, moved) ledger a
+    dataset writer partitions by.
+
+    Scale shape: the CC cascade dominates and is the same one
+    dedup_cc_clusters already pays (localCheckpoint-bounded fixpoint);
+    the repair itself is two hash joins on doc ids against the narrow
+    split map. Moved fraction is bounded by the clustered fraction of
+    the corpus — tiny on a deduplicated lake, and the op is exactly
+    how you keep it honest over time.
+    """
+    from .sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = with_split(
+        docs.where(F.col("doc_id").isNotNull()), "doc_id"
+    ).select("doc_id", "split")
+    cc = dedup_cc_clusters(spark, sf_dir)
+    rep = cc.join(
+        sp.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("split").alias("cluster_split"),
+        ),
+        "cluster_id",
+    ).select("doc_id", "cluster_split")
+    return sp.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("cluster_split", "split").alias("repaired_split"),
+        (F.coalesce("cluster_split", "split") != F.col("split")).alias("moved"),
+    )

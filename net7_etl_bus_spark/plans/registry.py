@@ -89,10 +89,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Keys not in the registry are ignored, so this list never breaks
 # registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r7, never driver-attested (5 keys) ---
+    # --- NEW in r7, never driver-attested (6 keys) ---
     "dedup_containment_recall", "watermark_late_data",
     "dedup_containment_lsh_permissive", "shuffle_epoch_shards",
-    "split_leakage_check",
+    "split_leakage_check", "split_leakage_repair",
     # --- last driver verdict: r2 (all 36 remaining stale keys) ---
     "anti_join_processed", "audit_timestamps", "completeness_filter",
     "count_agg", "csv_scan", "dedup_by_key", "derive_composite_key",
@@ -105,20 +105,19 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_token_count", "win_lag_lead", "win_ntile_percent",
     "win_range_frame", "win_rank_dense_rownum", "win_sliding",
     "win_tumbling", "xml_scan",
-    # --- r7-edited (9 keys -> positions 42-50): funnel bot routing,
+    # --- r7-edited (8 keys -> positions 43-50): funnel bot routing,
     # LPA convergence schema, containment banding refactor + exact
     # twin, the _sql_dot ragged-rule oracle rewrite (topk / knn /
     # rerank stages / semdedup) ---
     "events_funnel", "graph_label_propagation", "dedup_containment",
     "dedup_containment_lsh", "sim_search_binary_rerank",
     "sim_search_matryoshka", "sim_search_topk", "knn_classify",
-    "emb_semdedup",
     # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r8: re-measured-not-edited and
-    # r6/r7-touched keys whose latest verdict predates that edit
-    # (locally diffcheck-green) ---
-    "dedup_minhash_verified", "text_bm25_search", "text_tfidf_topk",
-    "text_bpe_train", "text_ngram_lm_counts",
+    # --- next in line for r8: remaining r7-oracle-touched, then
+    # re-measured-not-edited and r6-touched keys (locally
+    # diffcheck-green) ---
+    "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
+    "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
 )
 
 

@@ -349,3 +349,34 @@ def test_split_leakage_ledger_partitions_verified_pairs(spark):
     assert sum(r.n_pairs for r in rows) == n_pairs
     assert all(r.is_leak == (r.split_a != r.split_b) for r in rows)
     assert any(r.is_leak for r in rows), "fixture corpus should leak"
+
+
+def test_split_leakage_repair_eliminates_leakage(spark):
+    """After cluster-level repair, NO verified near-dup pair may cross
+    the repaired split boundary (both members share a component ->
+    same cluster -> same repaired split), the repair must actually
+    move something on the leaky fixture corpus, and unclustered
+    documents must keep their hash-stable split."""
+    from net7_etl_bus_spark.operators.dedup import (
+        _CC_THRESHOLD,
+        _verified_pairs,
+        dedup_cc_clusters,
+    )
+    from net7_etl_bus_spark.data import load_table
+
+    rep = {r.doc_id: r for r in QUERIES["split_leakage_repair"](spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = (
+        _verified_pairs(docs)
+        .filter(F.col("jaccard") >= _CC_THRESHOLD)
+        .collect()
+    )
+    assert pairs
+    for p in pairs:
+        assert rep[p.doc_a].repaired_split == rep[p.doc_b].repaired_split, p
+    assert any(r.moved for r in rep.values()), "leaky fixture should move docs"
+    clustered = {r.doc_id for r in dedup_cc_clusters(spark, SF_SMALL).collect()}
+    for r in rep.values():
+        assert r.moved == (r.repaired_split != r.split)
+        if r.doc_id not in clustered:
+            assert not r.moved, r
