@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import probes
 from ..data import load_table
 from ..plans.registry import ddouble, dsum, register, sql_ddouble, sql_dsum
 
@@ -1125,13 +1126,18 @@ def _funnel_per_user(e: DataFrame, cap: int) -> DataFrame:
     variant (exact, min/count buffers only) and everyone else still
     takes the array path, anti-joined against the broadcast bot list —
     so no collect buffer ever exceeds ``cap`` entries and the answer
-    is identical either way."""
+    is identical either way.
+
+    The bot relation is built ONCE through
+    ``probes.materialized_nonempty`` (ADVICE r7: the previous shape
+    ran the count aggregation twice — once for a ``limit(1)`` probe,
+    once for routing — and ``limit(1)`` on top of an agg cannot
+    short-circuit the scan anyway, so one eager checkpoint of the
+    cap-bounded bot list is strictly cheaper for every corpus)."""
     win = F.expr(f"t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
-    has_bot = _bot_users(e, cap).limit(1).count() > 0
+    bots, has_bot = probes.materialized_nonempty(_bot_users(e, cap))
     if not has_bot:
         return _funnel_array_path(e, win)
-
-    bots = _bot_users(e, cap)
     small = _funnel_array_path(
         e.join(F.broadcast(bots), "user_id", "left_anti"), win
     )

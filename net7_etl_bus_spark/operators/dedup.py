@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import probes
 from ..data import FIXTURES_DIR, load_table
 from ..plans.registry import register
 
@@ -506,7 +507,8 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
     exact for every doc). The union of the three partitions
     (small-small / mixed / mega-mega) is what the single array path
     used to return, so the oracle is unchanged."""
-    # Cheap corpus probe BEFORE building any cascade machinery. Two
+    # Cheap corpus probe BEFORE building any cascade machinery
+    # (probes.exists — the audited construction-time idiom). Two
     # tiers, both early-exiting narrow scans of `documents` only (no
     # shingle explode, no md5, no shuffle): (1) raw char length — a
     # NECESSARY condition for n_w > cap, since n_w - 1 spaces need
@@ -519,11 +521,10 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
     # design probed the CACHED candidate relation, which forced the
     # full signature cascade to materialize into the cache before the
     # verify job — measured ~1.4 s extra single-shot at sf0.1).
-    has_mega = (
-        docs.filter(F.length("text") * 3 >= cap).limit(1).count() > 0
-        and docs.filter(
-            F.size(F.split(normalized_text("text"), " ")) > cap
-        ).limit(1).count() > 0
+    has_mega = probes.exists(
+        docs.filter(F.length("text") * 3 >= cap)
+    ) and probes.exists(
+        docs.filter(F.size(F.split(normalized_text("text"), " ")) > cap)
     )
 
     sh = _shingles_counted(docs)
@@ -1503,11 +1504,10 @@ def _containment_lsh_frame(
     permissive banding (more bands, fewer rows each) widens the
     candidate set to recover the short-in-long pairs Jaccard-tuned
     bands miss — see dedup_containment_recall for the measurement."""
-    has_mega = (
-        docs.filter(F.length("text") * 3 >= _XS_CAP).limit(1).count() > 0
-        and docs.filter(
-            F.size(F.split(normalized_text("text"), " ")) > _XS_CAP
-        ).limit(1).count() > 0
+    has_mega = probes.exists(
+        docs.filter(F.length("text") * 3 >= _XS_CAP)
+    ) and probes.exists(
+        docs.filter(F.size(F.split(normalized_text("text"), " ")) > _XS_CAP)
     )
     sh = _shingles_counted(docs)
     sig = _minhash_signature_from(sh, with_sets=True)

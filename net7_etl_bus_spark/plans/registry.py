@@ -74,50 +74,46 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-7 front of the line (r6 verdict item 1 + ADVICE marker fix):
-# finish the verdict-staleness rotation. After r6, every one of the
-# 224 pre-r7 keys is cumulatively green and r1-staleness is gone, but
-# 36 keys' LATEST driver verdict is still r2 (computed from
-# CORRECTNESS_r01..r06.json). The front-50 is exactly: the 2 keys NEW
-# in r7 (never attested), all 36 r2-stale keys, then the 12
-# most-recently-edited keys — r7 touched their Spark plan, their
-# oracle (the _sql_dot ragged-pair rule rewrote every cosine oracle),
-# or their routing (funnel bot guard, LPA convergence column,
-# containment banding refactor). The budget-line marker below sits at
-# the TRUE position-50 boundary (the r6 marker sat after position 56,
-# so the last 6 annotated keys silently missed the cut — ADVICE r6).
-# Keys not in the registry are ignored, so this list never breaks
-# registration.
+# Round-8 front of the line (r7 verdict item 1): the 6 keys whose
+# ORACLES were rewritten in r7 AFTER their last driver verdict (the
+# _sql_dot ragged-pair rule and the BM25/TF-IDF/BPE/ngram-LM edits —
+# the only keys where the driver's record lags the code), then ALL 42
+# keys whose latest driver verdict is r3 (computed from
+# CORRECTNESS_r01..r07.json), then the first 2 of the 45 r4-stale keys.
+# After this sweep lands green: zero keys with a verdict older than r4
+# and zero keys whose oracle postdates its verdict. The front-50
+# composition (6 oracle-edited + 42 r3-stale + 2 r4-stale) and the
+# marker position are pinned by tests/test_guards.py (r7 verdict
+# item 8). Keys not in the registry are ignored, so this list never
+# breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r7, never driver-attested (6 keys) ---
-    "dedup_containment_recall", "watermark_late_data",
-    "dedup_containment_lsh_permissive", "shuffle_epoch_shards",
-    "split_leakage_check", "split_leakage_repair",
-    # --- last driver verdict: r2 (all 36 remaining stale keys) ---
-    "anti_join_processed", "audit_timestamps", "completeness_filter",
-    "count_agg", "csv_scan", "dedup_by_key", "derive_composite_key",
-    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "exists_agg",
-    "file_checksum", "fn_json", "fn_json_typed", "fn_map",
-    "json_scan", "lookup_by_id", "orc_scan", "project_widen",
-    "run_gate_predicate", "semi_join_incoming", "sim_search_ivf",
-    "sim_search_lsh", "stream_dedup_first_event", "stream_dedup_keys",
-    "text_fingerprint", "text_lang_id", "text_quality", "text_stats",
-    "text_token_count", "win_lag_lead", "win_ntile_percent",
-    "win_range_frame", "win_rank_dense_rownum", "win_sliding",
-    "win_tumbling", "xml_scan",
-    # --- r7-edited (8 keys -> positions 43-50): funnel bot routing,
-    # LPA convergence schema, containment banding refactor + exact
-    # twin, the _sql_dot ragged-rule oracle rewrite (topk / knn /
-    # rerank stages / semdedup) ---
-    "events_funnel", "graph_label_propagation", "dedup_containment",
-    "dedup_containment_lsh", "sim_search_binary_rerank",
-    "sim_search_matryoshka", "sim_search_topk", "knn_classify",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r8: remaining r7-oracle-touched, then
-    # re-measured-not-edited and r6-touched keys (locally
-    # diffcheck-green) ---
+    # --- oracle edited in r7 AFTER last driver verdict (6 keys) ---
     "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
     "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
+    # --- last driver verdict: r3 (all 42 remaining r3-stale keys) ---
+    "agg_mode", "agg_unpivot", "anomaly_zscore", "dedup_paragraph",
+    "dedup_prefix", "dq_audit", "extract_nested_json",
+    "graph_degree_stats", "graph_pagerank", "profile_columns",
+    "q11_important_stock", "q12_priority_shipping",
+    "q13_order_count_dist", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "sample_hash_pct",
+    "sample_stratified", "sample_weighted", "split_train_test",
+    "subquery_exists", "subquery_in_nested", "subquery_lateral",
+    "subquery_scalar_correlated", "text_bpe_pairs",
+    "text_decontaminate", "text_feature_hash", "text_inverted_index",
+    "text_ngram_freq", "text_repetition", "text_scrub_pii",
+    "text_url_canonicalize", "text_url_extract",
+    # --- oldest r4-stale keys (first 2 of 45, alphabetical) ---
+    "agg_bitmap_distinct", "agg_bitmap_retention",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r9: the remaining 43 r4-stale keys
+    # (locally diffcheck-green) ---
+    "cdc_snapshot_diff", "cohort_retention", "dedup_span_ngram",
+    "emb_centroid", "emb_norm_stats", "emb_pq_quantize",
 )
 
 

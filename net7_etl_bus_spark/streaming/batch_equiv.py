@@ -210,6 +210,19 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- watermark late-data ledger (the last live-only streaming name) ---
 
 _WM_DELAY_US = 30 * 60 * 1_000_000  # 30-minute watermark, micros
+# Prefix-max bucket sizing CONTRACT (ADVICE r7): the "~n/2^36 rows at
+# the global window" claim assumes event_id is a DENSE, roughly
+# sequential ingest position (the testdata PK and any monotone ingest
+# counter satisfy this). With sparse id spaces (snowflake-style
+# time<<22|seq, UUID-derived), nearly every row lands in its own b1
+# bucket and the single-partition window degrades to ~n/2^16 rows —
+# still correct (bucketing only needs to be MONOTONE in event_id; the
+# within/across-bucket prefix-max algebra never assumes density) but
+# no longer the advertised shape. For such id spaces, retune _WM_B1 to
+# the id-space stride (e.g. 2^42 for snowflake ms-timestamps) or rank
+# the ids into a dense position first. Bucket derivation uses integer
+# `div`, exact for all int64 — the r7 shape went through double
+# division, which misbuckets ids above 2^53 (ADVICE r7).
 _WM_B1 = 1 << 20  # events per level-1 prefix-max bucket
 _WM_B2 = 1 << 16  # level-1 buckets per super-bucket
 _WM_MIN = -(1 << 62)  # "-infinity" sentinel: watermark before any event
@@ -283,7 +296,10 @@ def _watermark_ledger(events: DataFrame) -> DataFrame:
             "ts",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("tse"),
         )
-        .withColumn("b1", F.floor(F.col("event_id") / _WM_B1))
+        # integer div: exact for every int64 id and monotone in
+        # event_id (all the prefix-max algebra requires — see the
+        # contract note at _WM_B1)
+        .withColumn("b1", F.expr(f"event_id div {_WM_B1}"))
     )
     from pyspark.sql import Window
 
@@ -295,7 +311,7 @@ def _watermark_ledger(events: DataFrame) -> DataFrame:
     e = e.withColumn("m1", F.max("tse").over(w1))
 
     t1 = e.groupBy("b1").agg(F.max("tse").alias("bmax"))
-    t1 = t1.withColumn("b2", F.floor(F.col("b1") / _WM_B2))
+    t1 = t1.withColumn("b2", F.expr(f"b1 div {_WM_B2}"))
     w2 = (
         Window.partitionBy("b2")
         .orderBy("b1")

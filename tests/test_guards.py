@@ -360,3 +360,68 @@ def test_events_funnel_bot_user_routing_is_exact(spark):
     assert by_user[3][1] is None                # view before signup
     assert by_user[4][1] is None                # view outside window
     assert by_user[5][0] is None                # no signup
+
+
+def test_sweep_rotation_arithmetic():
+    """The r6 budget-line marker bug (marker comment sat at position 56
+    while the driver stops at 50) was caught by the advisor, not a test
+    (VERDICT r7 item 8). Pin three facts about ``_SWEEP_PRIORITY``:
+
+    1. every listed key exists in the registry (a typo'd key silently
+       drops out of the front-50 via the ``if k in d`` filter);
+    2. the budget-line marker comment in the SOURCE sits after exactly
+       50 keys — the true driver cutoff;
+    3. the r8 front-50 equals the documented composition from the r7
+       verdict: the 6 oracle-edited keys, all 42 r3-stale keys, and 2
+       r4-stale keys (verified against CORRECTNESS_r01..r07.json when
+       present — every front-50 key must either be r3-stale, r4-stale,
+       or one of the 6 oracle-edited keys).
+    """
+    import inspect
+    import json
+    import re
+
+    from net7_etl_bus_spark.plans import registry
+    from net7_etl_bus_spark.plans.registry import _SWEEP_PRIORITY, queries
+
+    q = queries()
+    missing = [k for k in _SWEEP_PRIORITY if k not in q]
+    assert not missing, f"_SWEEP_PRIORITY names unregistered keys: {missing}"
+
+    src = inspect.getsource(registry)
+    tuple_src = src.split("_SWEEP_PRIORITY: tuple[str, ...] = (")[1]
+    before_marker = tuple_src.split("50-key budget line")[0]
+    keys_before = re.findall(r'"([a-z0-9_]+)"', before_marker)
+    assert len(keys_before) == 50, (
+        f"budget-line marker sits after {len(keys_before)} keys, not 50"
+    )
+    assert list(_SWEEP_PRIORITY[:50]) == keys_before
+
+    # Composition check against the committed driver verdicts.
+    import glob
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r0*.json")))
+    if not files:
+        return
+    latest: dict[str, int] = {}
+    for p in files:
+        rnd = int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+        if rnd > 7:
+            continue  # composition was computed from r01..r07
+        for k in json.load(open(p)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    oracle_edited = {
+        "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
+        "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
+    }
+    front = set(_SWEEP_PRIORITY[:50])
+    assert oracle_edited <= front
+    r3_stale = {k for k, v in latest.items() if v == 3}
+    assert r3_stale <= front, f"r3-stale keys missing from front-50: {r3_stale - front}"
+    leftover = front - oracle_edited - r3_stale
+    assert all(latest.get(k) == 4 for k in leftover), (
+        f"front-50 fillers must be r4-stale, got: "
+        f"{{k: latest.get(k) for k in leftover}}"
+    )

@@ -465,7 +465,11 @@ def test_scd2_pointintime_matches_naive(spark, tmp_path_factory, rows):
 
 _wm_events = st.lists(
     st.tuples(
-        st.integers(0, 10**7),            # event_id (deduped below)
+        # Full int64 id space, not just dense small ids: sparse
+        # snowflake/UUID-derived ids above 2^53 stressed the r7
+        # double-division bucketing (ADVICE r7 — b1 now derives via
+        # integer `div`, exact and monotone for every int64).
+        st.integers(0, 2**63 - 1),        # event_id (deduped below)
         st.integers(0, 6 * 3600),         # seconds offset within 6 hours
     ),
     min_size=1,
