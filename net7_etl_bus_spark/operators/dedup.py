@@ -1702,6 +1702,41 @@ def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- split leakage: near-dups crossing the train/val/test boundary ----
 
 _LEAK_TAU = 0.8  # near-dup threshold for leakage purposes
+# tau-ORDERING CONTRACT (VERDICT r7 item 4): split_leakage_repair's
+# zero-cross-split guarantee holds at any check threshold >= the CC
+# clustering threshold — a pair at jaccard >= check-tau >= _CC_THRESHOLD
+# is clustered, so both members get the same repaired split. A check
+# run at tau BELOW _CC_THRESHOLD could surface unclustered pairs the
+# repair never saw, so _leakage_check_frame raises on it rather than
+# silently reporting "leaks" the repair is not contracted to fix.
+assert _LEAK_TAU >= _CC_THRESHOLD, "check-tau must be >= CC clustering tau"
+
+
+def _leakage_check_frame(docs: DataFrame, sp: DataFrame, tau: float = _LEAK_TAU) -> DataFrame:
+    """split_leakage_check's body over arbitrary docs + (doc_id, split)
+    assignment, with the threshold exposed — tests re-run the check
+    against REPAIRED assignments at multiple thresholds. Raises when
+    ``tau`` < the CC clustering threshold (see the tau-ordering
+    contract above)."""
+    if tau < _CC_THRESHOLD:
+        raise ValueError(
+            f"check tau {tau} < CC clustering tau {_CC_THRESHOLD}: the "
+            "repair invariant only covers pairs the CC pass clustered"
+        )
+    pairs = _verified_pairs(docs).filter(F.col("jaccard") >= tau)
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
 
 
 @register(
@@ -1752,6 +1787,12 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole near-dup CLUSTER to one split (dedup_cc_clusters gives the
     cluster ids) or drop the cross-split twin from train.
 
+    tau-ordering contract: this check runs at tau={tau} >= the CC
+    clustering threshold, which is what makes split_leakage_repair's
+    zero-leak guarantee apply to every pair this ledger can surface;
+    a lower tau raises in ``_leakage_check_frame`` (tested at both
+    thresholds in test_similarity.py).
+
     Scale shape: pair-count-sized inputs after the cascade; the split
     relation is a narrow hash map of the corpus joined on doc id; one
     <=9-group hash agg. The cascade dominates, and it is the same
@@ -1760,21 +1801,8 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import with_split
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _verified_pairs(docs).filter(F.col("jaccard") >= _LEAK_TAU)
     sp = with_split(docs, "doc_id").select("doc_id", "split")
-    return (
-        pairs.join(
-            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
-            "doc_a",
-        )
-        .join(
-            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
-            "doc_b",
-        )
-        .groupBy("split_a", "split_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
-    )
+    return _leakage_check_frame(docs, sp)
 
 
 _SQL_SPLIT = """
@@ -1837,7 +1865,12 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CC threshold (both members share a component, hence a cluster
     id, hence a repaired split) — re-running split_leakage_check on
     the repaired assignment yields zero is_leak rows, which
-    tests/test_similarity.py pins as the invariant. The output is the
+    tests/test_similarity.py pins as the invariant AT BOTH thresholds
+    (check-tau {_LEAK_TAU} and the CC tau {_CC_THRESHOLD} itself).
+    tau-ordering contract: the guarantee says nothing about pairs
+    below the CC threshold, so a check at tau < {_CC_THRESHOLD}
+    RAISES in ``_leakage_check_frame`` instead of reporting leaks
+    this repair never contracted to fix. The output is the
     corpus-sized (doc_id, split, repaired_split, moved) ledger a
     dataset writer partitions by.
 

@@ -380,3 +380,34 @@ def test_split_leakage_repair_eliminates_leakage(spark):
         assert r.moved == (r.repaired_split != r.split)
         if r.doc_id not in clustered:
             assert not r.moved, r
+
+
+def test_split_leakage_repair_recheck_at_both_thresholds(spark):
+    """tau-ordering contract (VERDICT r7 item 4): the repair guarantee
+    (zero cross-split verified pairs) must hold when the CHECK re-runs
+    on the repaired assignment at BOTH thresholds — the shipping check
+    tau (0.8) and the CC clustering tau itself, the tightest threshold
+    the contract covers. And a check below the CC tau must RAISE, not
+    silently report leaks the repair never contracted to fix."""
+    import pytest
+
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.dedup import (
+        _CC_THRESHOLD,
+        _LEAK_TAU,
+        _leakage_check_frame,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    repaired = (
+        QUERIES["split_leakage_repair"](spark, SF_SMALL)
+        .select("doc_id", F.col("repaired_split").alias("split"))
+    )
+    for tau in (_LEAK_TAU, _CC_THRESHOLD):
+        rows = _leakage_check_frame(docs, repaired, tau).collect()
+        leaks = [r for r in rows if r.is_leak]
+        assert not leaks, f"tau={tau}: repaired assignment leaks {leaks}"
+        assert rows, f"tau={tau}: fixture corpus should still have near-dup pairs"
+
+    with pytest.raises(ValueError, match="CC clustering tau"):
+        _leakage_check_frame(docs, repaired, _CC_THRESHOLD - 0.01)
