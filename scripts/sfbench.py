@@ -56,6 +56,13 @@ DEFAULT_KEYS = [
     "dedup_containment_lsh", "sim_search_binary_rerank",
     "sim_search_matryoshka", "events_funnel",
     "graph_label_propagation", "watermark_late_data",
+    # r8 (r7 verdict item 5): the late-r7 trio. The leakage pair ride
+    # the verified CC cascade (pair-count joins against the narrow
+    # split map on top of it); the epoch shuffle is one hash shuffle
+    # plus executor-sized per-shard sorts. The check key is enrolled
+    # beside the repair so the pair-count join's own growth is visible
+    # separately from the cascade's.
+    "split_leakage_check", "split_leakage_repair", "shuffle_epoch_shards",
 ]
 
 
