@@ -490,3 +490,110 @@ def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("position"),
         "n_tokens",
     )
+
+_BUDGET_TOKENS = 1000  # per-source token budget (chars/4 estimator)
+_BUDGET_B1 = 1 << 44  # h-space per level-1 prefix-sum bucket (2^60/2^44 = 2^16 buckets/source max)
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(
+               md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+             CAST(COALESCE(CEIL(LENGTH(text)/4.0), 0) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             <= {_BUDGET_TOKENS} AS kept
+    FROM t
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-BUDGET cap — the mixture-control primitive
+    dataset curation runs after quality gates: every source (domain)
+    contributes documents, in a deterministic pseudo-random order,
+    only until its token budget ({_BUDGET_TOKENS} here) is spent.
+    This is how over-represented domains get capped without
+    per-document randomness: order within source by
+    md5('budget:' || doc_id) — reproducible across runs, engines,
+    partitionings, and appends of OTHER sources' docs (a new doc in
+    source A never changes which of source B's docs survive) — and
+    keep while the running (inclusive) token total stays inside the
+    budget. Emits the full audit ledger (doc_id, source, n_tokens,
+    cum_tokens, kept); the kept corpus is one filter away. n_tokens is
+    the chars/4 estimator shared with text_pack_sequences /
+    shuffle_epoch_shards; NULL text counts 0 (a budget gate places
+    every document), NULL doc_id rows have no deterministic draw and
+    are excluded (same contract as shuffle_epoch_shards).
+
+    Scale shape: the running sum within each source is the
+    text_pack_sequences hazard (a naive PARTITION BY source window
+    puts an entire domain — possibly 30% of a 100 TB lake — in one
+    partition), so it gets the same two-level distributed prefix-sum:
+    within-(source, h-bucket) exclusive running sums are partitioned
+    windows over ~|source|/2^16-sized slices, per-bucket totals
+    prefix-sum within source over <=2^16 tiny rows, offsets join back
+    null-safely on (source, bucket). Physical shape (verified via
+    executedPlan at sf0.1): two NARROW scans — the window path and the
+    bucket-total aggregate re-derive from the parquet scan instead of
+    materializing anything corpus-sized — one shuffle each to
+    (source, bucket), and the bucket-count-sized offset relation
+    broadcasts back. The bucket key is h div 2^44 — a PREFIX of the
+    60-bit order key, so bucket order refines h order exactly.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = d.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.coalesce(
+            F.ceil(F.length("text") / 4.0).cast("bigint"), F.lit(0)
+        ).alias("n_tokens"),
+    ).withColumn("b1", F.expr(f"h div {_BUDGET_B1}"))
+    w1 = (
+        Window.partitionBy("source", "b1")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.withColumn("within", F.coalesce(F.sum("n_tokens").over(w1), F.lit(0)))
+    t1 = s.groupBy("source", "b1").agg(F.sum("n_tokens").alias("btot"))
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = t1.select(
+        F.col("source").alias("o_source"),
+        F.col("b1").alias("o_b1"),
+        F.coalesce(F.sum("btot").over(w2), F.lit(0)).alias("off"),
+    )
+    joined = s.join(
+        offs,
+        s["source"].eqNullSafe(F.col("o_source")) & (s["b1"] == F.col("o_b1")),
+    )
+    cum = (F.col("off") + F.col("within") + F.col("n_tokens")).cast("bigint")
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= _BUDGET_TOKENS).alias("kept"),
+    )

@@ -1506,3 +1506,122 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n12").desc(), "w1", "w2")
         .limit(_LM_TOPK)
     )
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_W} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[j] AS w1, t[j + 1] AS w2
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(1, 255)) AS j) js
+      WHERE j < len(t) AND t[j] <> '' AND t[j + 1] <> ''),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM bg GROUP BY w1, w2),
+    c1 AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    lm AS (
+      SELECT c12.w1, c12.w2,
+             CAST((c12.n12 * {_LM_Q}) // c1.n1 AS BIGINT) AS cond_q
+      FROM c12 JOIN c1 ON c1.w1 = c12.w1),
+    sc AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lm.cond_q) AS BIGINT) AS sum_cond_q
+      FROM bg b JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+      GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.sum_cond_q,
+           CAST(sc.sum_cond_q // sc.n_bigrams AS BIGINT) AS score_q
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM predictability score — the quality-filter
+    CONSUMER of text_ngram_lm_counts' count table (CCNet-style
+    perplexity filtering: score every document under a reference
+    n-gram LM, gate on the score). Here the LM side is the corpus
+    itself, which makes the op self-contained and oracle-checkable;
+    note the self-scoring caveat (pinned in test_retrieval_ml.py):
+    hapax bigrams are trivially self-predictable (their w1 has one
+    continuation, P=1), so self-scoring ranks REPEATED-vocabulary
+    boilerplate below unique-word text rather than flagging gibberish.
+    Production gibberish filtering points the LM-side scan at a
+    CURATED reference corpus — the identical plan with a different
+    ``documents`` path — where out-of-domain bigrams miss the LM
+    table: the score join is inner, so ``n_bigrams`` then counts
+    in-vocabulary bigrams only and the coverage ratio
+    (n_bigrams / tokens-1) is itself the OOV quality signal.
+
+    score_q = floor(mean of the quantized conditional probabilities
+    P(w2|w1) * 1e6) over the doc's bigrams — all BIGINT arithmetic on
+    exact counts, bit-identical cross-engine. This arithmetic-mean
+    predictability proxy is chosen over geometric-mean perplexity
+    DELIBERATELY: true perplexity needs ln(), whose last-ulp behavior
+    is not cross-engine stable, so it could never be oracle-hashed;
+    for gating, both order documents by "how typical is this text
+    under the reference LM" and the proxy is the one you can verify.
+    Docs with <2 effective tokens score NULL (n_bigrams 0) and stay in
+    the ledger — a gate must see every document, not silently drop the
+    short ones.
+
+    Scale shape: TWO corpus scans (one to train the vocabulary^2-
+    bounded LM table — lazily checkpointed like text_ngram_lm_counts'
+    bigram table — one to score), never a corpus-sized
+    materialization. The score join is a (w1, w2) equi-join of bigram
+    instances against the LM table: broadcastable while the LM fits
+    (vocab^2-bounded), AQE-skew-split beyond that (hot function-word
+    bigrams are the skew; same Zipf story as every counting op here).
+    Per-doc aggregation is one hash agg on doc_id. Docs cap at 256
+    tokens here like the LM trainer; production shards longer docs
+    with a 1-token overlap, same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def bigrams(frame):
+        toks = frame.select(
+            "doc_id", F.split(normalized_text("text"), " ").alias("t")
+        )
+        return (
+            toks.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr("slice(t, 1, least(size(t) - 1, 255))")
+                ).alias("j0", "w1"),
+                F.col("t"),
+            )
+            .select("doc_id", "w1", F.expr("t[j0 + 1]").alias("w2"))
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    c12 = (
+        bigrams(d)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    lm = (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"(n12 * {_LM_Q}) div n1").cast("bigint").alias("cond_q"),
+        )
+        .localCheckpoint(eager=False)  # vocab^2-bounded, one derivation
+    )
+    sc = (
+        bigrams(d)
+        .join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("cond_q").cast("bigint").alias("sum_cond_q"),
+        )
+    )
+    return d.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "sum_cond_q",
+        F.expr("sum_cond_q div n_bigrams").cast("bigint").alias("score_q"),
+    )

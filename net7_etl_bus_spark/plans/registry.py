@@ -74,19 +74,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-8 front of the line (r7 verdict item 1): the 6 keys whose
-# ORACLES were rewritten in r7 AFTER their last driver verdict (the
-# _sql_dot ragged-pair rule and the BM25/TF-IDF/BPE/ngram-LM edits —
-# the only keys where the driver's record lags the code), then ALL 42
-# keys whose latest driver verdict is r3 (computed from
-# CORRECTNESS_r01..r07.json), then the first 2 of the 45 r4-stale keys.
-# After this sweep lands green: zero keys with a verdict older than r4
-# and zero keys whose oracle postdates its verdict. The front-50
-# composition (6 oracle-edited + 42 r3-stale + 2 r4-stale) and the
-# marker position are pinned by tests/test_guards.py (r7 verdict
-# item 8). Keys not in the registry are ignored, so this list never
-# breaks registration.
+# Round-8 front of the line (r7 verdict item 1): the 2 keys NEW in r8
+# (never attested), then the 6 keys whose ORACLES were rewritten in r7
+# AFTER their last driver verdict (the _sql_dot ragged-pair rule and
+# the BM25/TF-IDF/BPE/ngram-LM edits — the only keys where the
+# driver's record lags the code), then ALL 42 keys whose latest driver
+# verdict is r3 (computed from CORRECTNESS_r01..r07.json). After this
+# sweep lands green: zero keys with a verdict older than r4 and zero
+# keys whose oracle postdates its verdict. The front-50 composition
+# (2 new + 6 oracle-edited + 42 r3-stale) and the marker position are
+# pinned by tests/test_guards.py (r7 verdict item 8). Keys not in the
+# registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
+    # --- NEW in r8, never driver-attested (2 keys) ---
+    "text_lm_score", "sample_token_budget",
     # --- oracle edited in r7 AFTER last driver verdict (6 keys) ---
     "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
     "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
@@ -107,13 +108,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_decontaminate", "text_feature_hash", "text_inverted_index",
     "text_ngram_freq", "text_repetition", "text_scrub_pii",
     "text_url_canonicalize", "text_url_extract",
-    # --- oldest r4-stale keys (first 2 of 45, alphabetical) ---
-    "agg_bitmap_distinct", "agg_bitmap_retention",
     # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r9: the remaining 43 r4-stale keys
-    # (locally diffcheck-green) ---
-    "cdc_snapshot_diff", "cohort_retention", "dedup_span_ngram",
-    "emb_centroid", "emb_norm_stats", "emb_pq_quantize",
+    # --- next in line for r9: the 45 r4-stale keys (locally
+    # diffcheck-green) ---
+    "agg_bitmap_distinct", "agg_bitmap_retention", "cdc_snapshot_diff",
+    "cohort_retention", "dedup_span_ngram", "emb_centroid",
 )
 
 

@@ -199,3 +199,46 @@ def test_semdedup_accepts_trained_centroids(spark):
     )
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_lm_score_self_scoring_semantics(spark):
+    """text_lm_score invariants beyond the oracle hash, including the
+    documented SELF-SCORING caveat: (1) an all-unique-words doc scores
+    exactly 1e6 — every hapax bigram's w1 has a single continuation,
+    P=1 — while a doc whose repeated 'the' splits mass across two
+    continuations scores strictly below it (this is WHY production
+    gibberish filtering trains the LM on a reference corpus; the
+    docstring states the contract and this test pins the behavior);
+    (2) docs with <2 effective tokens stay in the ledger with
+    n_bigrams=0 and NULL score; (3) n_bigrams equals tokens-1 for
+    clean docs."""
+    import tempfile
+
+    from net7_etl_bus_spark.plans import registry
+
+    boiler = "the cat sat on the mat " * 20
+    rows = [
+        (1, boiler.strip(), "en", "src0", len(boiler)),
+        (2, "zeta omega kappa lambda sigma", "en", "src0", 29),
+        (3, "one", "en", "src0", 3),
+        (4, "", "en", "src0", 0),
+        (5, None, "en", "src0", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: r
+            for r in registry.queries()["text_lm_score"](spark, td).collect()
+        }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1].n_bigrams == 6 * 20 - 1
+    assert got[2].n_bigrams == 4
+    assert got[2].score_q == 1_000_000       # hapax bigrams: P = 1 each
+    assert got[1].score_q < got[2].score_q   # 'the' mass splits 3 ways
+    assert got[1].score_q > 500_000          # but still mostly predictable
+    for short_id in (3, 4, 5):
+        assert got[short_id].n_bigrams == 0
+        assert got[short_id].score_q is None

@@ -252,3 +252,49 @@ def test_shuffle_epoch_shards_is_a_permutation_and_stable(spark):
     assert sorted((r.doc_id, r.shard, r.position) for r in rows) == sorted(
         (r.doc_id, r.shard, r.position) for r in again
     )
+
+
+def test_token_budget_greedy_maximal_and_append_stable(spark):
+    """sample_token_budget invariants the oracle differential can't
+    state: (1) kept rows per source fit the budget and the gate is
+    greedily MAXIMAL (every dropped doc's inclusive cumsum overshoots
+    — there is no dropped doc that would still have fit at its
+    position); (2) cross-source append stability — deleting every
+    OTHER source must not change which of a source's docs survive
+    (the property that keeps domain caps reproducible while the lake
+    grows); (3) the ledger covers every non-null-id document."""
+    from net7_etl_bus_spark.operators.sampling import _BUDGET_TOKENS
+    from net7_etl_bus_spark.plans import registry
+
+    Q = registry.queries()
+    rows = Q["sample_token_budget"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert len(rows) == docs.where(F.col("doc_id").isNotNull()).count()
+
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert any(not r.kept for r in rows), "budget should bind on the fixture"
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        kept_total = 0
+        for r in rs:
+            assert r.kept == (r.cum_tokens <= _BUDGET_TOKENS), r
+            if r.kept:
+                kept_total += r.n_tokens
+                assert r.cum_tokens == kept_total, (src, r)
+        assert kept_total <= _BUDGET_TOKENS
+
+    # Append stability: a fresh run over a 3-source subset corpus must
+    # reproduce exactly the full run's ledger rows for those sources.
+    some = sorted({r.source for r in rows if r.source is not None})[:3]
+    sub = docs.where(F.col("source").isin(some))
+    full_subset = [r for r in rows if r.source in some]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sub.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        sub_rows = Q["sample_token_budget"](spark, td).collect()
+    got = {(r.doc_id): (r.cum_tokens, bool(r.kept)) for r in sub_rows}
+    want = {r.doc_id: (r.cum_tokens, bool(r.kept)) for r in full_subset}
+    assert got == want, "other sources' docs must not affect a source's cap"
