@@ -1004,3 +1004,33 @@ def test_split_leakage_check_no_cartesian_all_hash_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_token_budget_per_source_window_is_two_level(spark):
+    """sample_token_budget's running sum must keep the two-level shape:
+    the window over raw documents partitions by (source, b1) — never by
+    source alone, which would put an entire domain in one partition —
+    and the per-source window runs only over the (source, b1) bucket
+    aggregate. Same hazard class as text_pack_sequences' global cumsum,
+    one level down (per-group instead of global)."""
+    import re
+
+    plan = plan_of(spark, "sample_token_budget", mode="simple")
+    lines = plan.splitlines()
+    # windows partitioned by source ALONE (spec starts source#N, then
+    # the ORDER column b1): allowed only over the bucket aggregate
+    src_only = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(source#\d+, b1#\d+L? ASC", ln)
+    ]
+    assert len(src_only) == 1, f"expected one per-source bucket window:\n{plan}"
+    first_agg = next(ln for ln in lines[src_only[0] + 1 :] if "HashAggregate" in ln)
+    assert re.search(r"keys=\[source#\d+, b1#\d+", first_agg), (
+        f"per-source window not over the (source, b1) aggregate:\n{plan}"
+    )
+    # the raw-row window must carry BOTH partition keys (source, b1)
+    assert any(
+        re.search(r"windowspecdefinition\(source#\d+, b1#\d+L?, h#\d+", ln)
+        for ln in lines
+    ), f"raw-row window not bucketed by (source, b1):\n{plan}"
