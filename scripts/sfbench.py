@@ -63,6 +63,9 @@ DEFAULT_KEYS = [
     # beside the repair so the pair-count join's own growth is visible
     # separately from the cascade's.
     "split_leakage_check", "split_leakage_repair", "shuffle_epoch_shards",
+    # r8 ops, enrolled the round they landed: LM-score join growth
+    # under vocab growth; token-budget bucketed prefix sums.
+    "text_lm_score", "sample_token_budget",
 ]
 
 
