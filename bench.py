@@ -90,6 +90,16 @@ EXTENDED_QUERIES = [
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+# Quiet-host gate (r8 verdict item 2): BENCH_r08 ran at loadavg 6.8
+# (right after the test suite) and recorded spread_max 116.9% that the
+# adaptive warmup cannot fix — the contention was mid-rep, not JIT.
+# If the 1-minute loadavg at start exceeds the gate, sleep once and
+# re-check; if STILL hot, run anyway (a recorded noisy number beats no
+# record) but stamp host.load_gate.hot_start=true so the series reader
+# discounts the run instead of chasing phantom regressions.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+LOAD_RETRY_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRY_SEC", "150"))
+
 
 def run_median(spark, fn, sf_dir: str):
     """Median of REPS end-to-end executions, preceded by ADAPTIVE
@@ -132,6 +142,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     load_before = _loadavg()
+    load_gate = {"max_load": LOAD_GATE, "waited_sec": 0, "hot_start": False}
+    if load_before and load_before[0] > LOAD_GATE:
+        print(
+            f"# host busy at start (loadavg {load_before[0]} > {LOAD_GATE}): "
+            f"sleeping {LOAD_RETRY_SEC}s once before measuring",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_RETRY_SEC)
+        load_gate["waited_sec"] = LOAD_RETRY_SEC
+        load_before = _loadavg()
+        if load_before and load_before[0] > LOAD_GATE:
+            load_gate["hot_start"] = True
+            print(
+                f"# WARNING: host STILL busy (loadavg {load_before[0]}) — "
+                "running anyway; treat this run's regressions as "
+                "host-contended, not code",
+                file=sys.stderr,
+            )
     spark = get_spark("net7-etl-bus-bench")
     qs = registry.queries()
 
@@ -217,6 +245,7 @@ def main() -> None:
                     "loadavg_before": load_before,
                     "loadavg_after": load_after,
                     "cpus": os.cpu_count(),
+                    "load_gate": load_gate,
                 },
                 "protocol": (
                     f"untimed warmup + median-of-{REPS}, "

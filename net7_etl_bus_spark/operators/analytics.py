@@ -1065,6 +1065,12 @@ _FUNNEL_Q = 1_000_000  # conversion-rate quantum: 1e-6
 # so their rows route to the join path instead. 100k views/user covers
 # every human; beyond it is bot traffic.
 _FUNNEL_PER_USER_CAP = 100_000
+# Bot-LIST row cap (enforced by the probe, VERDICT r8 item 6): the bot
+# relation is broadcast downstream, so it must stay driver/broadcast-
+# sized. n_bots <= n_events / _FUNNEL_PER_USER_CAP by construction
+# (every bot has > cap events), so hitting this means ~800 B distinct
+# bot events — at that point the corpus is the attack, not the plan.
+_FUNNEL_BOT_ROW_CAP = 8_000_000
 
 
 def _bot_users(e: DataFrame, cap: int) -> DataFrame:
@@ -1135,8 +1141,14 @@ def _funnel_per_user(e: DataFrame, cap: int) -> DataFrame:
     short-circuit the scan anyway, so one eager checkpoint of the
     cap-bounded bot list is strictly cheaper for every corpus)."""
     win = F.expr(f"t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
-    bots, has_bot = probes.materialized_nonempty(_bot_users(e, cap))
+    bots, has_bot = probes.materialized_nonempty(
+        _bot_users(e, cap), row_cap=_FUNNEL_BOT_ROW_CAP
+    )
     if not has_bot:
+        # Discard path: the checkpointed relation is never read again,
+        # so release its executor blocks now instead of pinning them
+        # until driver GC (ADVICE r8).
+        probes.release(bots)
         return _funnel_array_path(e, win)
     small = _funnel_array_path(
         e.join(F.broadcast(bots), "user_id", "left_anti"), win

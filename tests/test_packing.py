@@ -170,3 +170,26 @@ def test_bloom_prefilter_conservative_and_selective(spark):
     assert n_pass <= 0.40 * n_all, (n_pass, n_all)
     out = join_bloom_prefilter(spark, SF_SMALL).toPandas()
     assert int(out["n_lines"][0]) == exact  # bloom never changes the answer
+
+
+def test_pack_sequences_consumes_bpe_token_counts(spark):
+    """The tokenize -> pack chain end-to-end (VERDICT r8 item 3):
+    pack_sequences_frame fed text_bpe_encode's REAL per-document
+    counts must conserve tokens exactly (ledger sum == BPE ledger sum
+    over packable docs), emit ceil(total/L) sequences, and fill every
+    sequence but the last to exactly L."""
+    import math
+
+    from net7_etl_bus_spark.operators.packing import pack_sequences_frame
+
+    bpe = registry.queries()["text_bpe_encode"](spark, SF_SMALL)
+    toks = bpe.select("doc_id", F.col("n_tokens").alias("t"))
+    ledger = sorted(
+        pack_sequences_frame(toks).collect(), key=lambda r: r.seq_id
+    )
+    total = toks.where(F.col("t") > 0).agg(F.sum("t")).collect()[0][0]
+    assert sum(r.n_tokens for r in ledger) == total
+    assert len(ledger) == math.ceil(total / _L)
+    for r in ledger[:-1]:
+        assert r.n_tokens == _L, r
+    assert 0 < ledger[-1].n_tokens <= _L

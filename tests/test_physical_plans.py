@@ -930,6 +930,35 @@ def test_text_ngram_lm_counts_stacked_aggregates(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_text_lm_score_two_scans(spark):
+    """text_lm_score: the docstring's TWO-corpus-scan claim, pinned.
+    The LM-build scan lives inside the c12 localCheckpoint (Scan
+    ExistingRDD), so the final plan may contain exactly two parquet
+    scans of documents — the scoring bigram pass and the doc_id
+    ledger pass. A checkpoint placed above the c12-join-c1 instead
+    (the r8 shape) leaves both c12 references below it and Catalyst
+    re-derives the bigram aggregate from a THIRD corpus scan."""
+    plan = plan_of(spark, "text_lm_score", mode="simple")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_text_bpe_encode_two_scans_vocab_bounded(spark):
+    """text_bpe_encode: the corpus is touched exactly twice — the
+    word-count pass lives inside the vocab localCheckpoint (Scan
+    ExistingRDD), so the final plan holds two parquet scans of
+    documents (the doc-side word stream and the doc_id ledger). The
+    merge rounds and the encoder all derive from the checkpoint —
+    lazily they would each re-explode the corpus (the text_lm_score
+    c12 lesson). Merge winners broadcast back as 1-row nested-loop
+    builds; no cartesian product anywhere."""
+    plan = plan_of(spark, "text_bpe_encode", mode="simple")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_matryoshka_plan_broadcast_and_group_limits(spark):
     """sim_search_matryoshka: the query side broadcasts (never a
     corpus shuffle for 5 queries), and BOTH rank stages (coarse top-C,

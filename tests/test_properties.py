@@ -512,3 +512,97 @@ def test_watermark_ledger_matches_python_replay(spark, rows):
         for r in _watermark_ledger(df).collect()
     }
     assert got == _wm_model(rows)
+
+
+# --- append stability: token budget + epoch shards (VERDICT r8 item 5)
+
+# Unique doc_ids; three sources; token counts small. The appended docs
+# always land in source "a" with ids disjoint from the base corpus.
+_budget_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 400),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 40),
+    ),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+_appended_docs = st.lists(
+    st.tuples(st.integers(401, 500), st.integers(0, 40)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+_GROWTH_SETTINGS = dict(_SETTINGS, max_examples=8)
+
+
+@given(corpus=_budget_corpus, extra=_appended_docs)
+@settings(**_GROWTH_SETTINGS)
+def test_token_budget_append_stable_under_growth(spark, corpus, extra):
+    """The op's whole reason to exist (docstring promise, now pinned):
+    appending documents to source A never changes which of the OTHER
+    sources' documents survive the budget — their entire ledger rows
+    (cum_tokens, kept) are bit-identical before and after the append."""
+    from net7_etl_bus_spark.operators.sampling import token_budget_frame
+
+    schema = "doc_id long, source string, n_tokens long"
+    base = spark.createDataFrame(list(corpus), schema)
+    grown = spark.createDataFrame(
+        list(corpus) + [(i, "a", t) for i, t in extra], schema
+    )
+    before = {
+        r.doc_id: (r.cum_tokens, bool(r.kept))
+        for r in token_budget_frame(base).collect()
+        if r.source != "a"
+    }
+    after = {
+        r.doc_id: (r.cum_tokens, bool(r.kept))
+        for r in token_budget_frame(grown).collect()
+        if r.source != "a"
+    }
+    assert before == after
+
+
+@given(corpus=_budget_corpus, extra=_appended_docs)
+@settings(**_GROWTH_SETTINGS)
+def test_epoch_shards_append_shifts_only_touched_shards(spark, corpus, extra):
+    """shuffle_epoch_shards' append contract (VERDICT r8 item 5): an
+    appended doc never moves an existing doc to another shard, never
+    reorders existing docs within a shard, and position shifts happen
+    ONLY in the shards the appended docs hash into — everywhere else
+    (shard, position) is bit-identical, which is what lets a restarted
+    trainer resume mid-epoch after a lake append."""
+    from net7_etl_bus_spark.operators.sampling import epoch_shards_frame
+
+    schema = "doc_id long, n_tokens long"
+    base_rows = epoch_shards_frame(
+        spark.createDataFrame([(i, t) for i, _s, t in corpus], schema)
+    ).collect()
+    grown_rows = epoch_shards_frame(
+        spark.createDataFrame(
+            [(i, t) for i, _s, t in corpus] + list(extra), schema
+        )
+    ).collect()
+    base_ids = {r.doc_id for r in base_rows}
+    grown = {r.doc_id: r for r in grown_rows}
+    touched = {grown[i].shard for i, _t in extra}
+    for r in base_rows:
+        assert grown[r.doc_id].shard == r.shard, "append moved a shard"
+        if r.shard not in touched:
+            assert grown[r.doc_id].position == r.position, (
+                "append shifted a position in an untouched shard"
+            )
+    for sh in touched:
+        orig_order = [
+            r.doc_id
+            for r in sorted(base_rows, key=lambda r: r.position)
+            if r.shard == sh
+        ]
+        new_order = [
+            r.doc_id
+            for r in sorted(grown_rows, key=lambda r: r.position)
+            if r.shard == sh and r.doc_id in base_ids
+        ]
+        assert orig_order == new_order, "append reordered existing docs"

@@ -242,3 +242,52 @@ def test_lm_score_self_scoring_semantics(spark):
     for short_id in (3, 4, 5):
         assert got[short_id].n_bigrams == 0
         assert got[short_id].score_q is None
+
+
+def test_bpe_encode_hand_corpus(spark, tmp_path):
+    """text_bpe_encode semantics on a corpus small enough to run BPE by
+    hand. Words: ab(x2), cd(x1), abcd(x1). Round-1 pair counts:
+    (a,b)=3, (c,d)=2, (b,c)=1 -> merge (a,b); round 2 -> (c,d);
+    round 3 -> (ab,cd). Encodings therefore: 'ab'->[ab], 'cd'->[cd],
+    'abcd'->[abcd] — the third merge only exists because the first two
+    were applied IN RANK ORDER, so this pins transitive merge
+    application, not just counting."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abcd"), (3, None)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in Q["text_bpe_encode"](spark, str(tmp_path)).collect()}
+    assert rows[1].n_words == 3 and rows[1].n_tokens == 3
+    assert rows[2].n_words == 1 and rows[2].n_tokens == 1
+    assert rows[3].n_words == 0 and rows[3].n_tokens == 0
+    assert rows[3].tokens_fp is None
+    # identical token streams -> identical fingerprints, and the
+    # single-word doc's stream differs from the three-word doc's
+    assert rows[1].tokens_fp is not None and rows[2].tokens_fp is not None
+    assert rows[1].tokens_fp != rows[2].tokens_fp
+
+
+def test_bpe_encode_ledger_bounds_real_corpus(spark):
+    """Fixture-corpus invariants: every doc appears once; a word is at
+    least one subtoken (n_tokens >= n_words) and a subtoken is at
+    least one char (sum n_tokens <= sum non-space chars); fingerprint
+    present exactly when the doc has words; and the BPE count is never
+    ABOVE the unmerged per-char count, i.e. merges only shrink."""
+    from net7_etl_bus_spark.data import load_table
+
+    rows = Q["text_bpe_encode"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert len(rows) == docs.count()
+    assert all(r.n_tokens >= r.n_words for r in rows)
+    assert all((r.tokens_fp is None) == (r.n_words == 0) for r in rows)
+    n_chars = docs.select(
+        F.sum(
+            F.length(F.regexp_replace(F.lower(F.trim("text")), " ", ""))
+        ).alias("c")
+    ).collect()[0].c
+    total_tokens = sum(r.n_tokens for r in rows)
+    assert 0 < total_tokens <= n_chars
+    # merges actually fired on the fixture (some word got compressed)
+    total_words = sum(r.n_words for r in rows)
+    assert total_tokens < n_chars or total_tokens == total_words

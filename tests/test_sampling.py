@@ -298,3 +298,36 @@ def test_token_budget_greedy_maximal_and_append_stable(spark):
     got = {(r.doc_id): (r.cum_tokens, bool(r.kept)) for r in sub_rows}
     want = {r.doc_id: (r.cum_tokens, bool(r.kept)) for r in full_subset}
     assert got == want, "other sources' docs must not affect a source's cap"
+
+
+def test_token_budget_consumes_bpe_token_counts(spark):
+    """The tokenize -> budget chain end-to-end (VERDICT r8 item 3):
+    token_budget_frame fed text_bpe_encode's REAL counts must ledger
+    every document, bind each source at the budget on the real counts,
+    and carry the BPE n_tokens through unchanged."""
+    from net7_etl_bus_spark.operators.sampling import (
+        _BUDGET_TOKENS,
+        token_budget_frame,
+    )
+    from net7_etl_bus_spark.plans import registry
+
+    bpe = registry.queries()["text_bpe_encode"](spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    s = docs.select("doc_id", "source").join(
+        bpe.select("doc_id", "n_tokens"), "doc_id"
+    )
+    rows = token_budget_frame(s).collect()
+    assert len(rows) == docs.count()
+    want = {r.doc_id: r.n_tokens for r in bpe.collect() if r.doc_id is not None}
+    assert all(r.n_tokens == want[r.doc_id] for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        kept = sum(r.n_tokens for r in rs if r.kept)
+        assert kept <= _BUDGET_TOKENS, src
+        # greedy-maximal on the real counts too
+        for r in rs:
+            assert bool(r.kept) == (r.cum_tokens <= _BUDGET_TOKENS), r
