@@ -66,6 +66,10 @@ DEFAULT_KEYS = [
     # r8 ops, enrolled the round they landed: LM-score join growth
     # under vocab growth; token-budget bucketed prefix sums.
     "text_lm_score", "sample_token_budget",
+    # r9: BPE encode — |vocab|-bounded merge rounds + the vocab-sized
+    # encode equi-join; the ladder's adversarial 290x-vocab axis is
+    # exactly this op's dominant cost (measured 0.87, SCALE.md r9).
+    "text_bpe_encode",
 ]
 
 

@@ -643,7 +643,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     ("relational.py", "rfm_segmentation"),     # over per-customer agg
     ("graph.py", "graph_common_neighbors"),    # over top-k limit
     ("analytics.py", "skew_key_profile"),      # over top-20 limit
-    ("packing.py", "text_pack_sequences"),     # over super-bucket totals (docs/2^32 rows)
+    ("packing.py", "pack_sequences_frame"),    # over super-bucket totals (docs/2^32 rows)
     ("text.py", "text_quality_quantile_gate"), # over <=2^16-bin score histogram
     ("batch_equiv.py", "_watermark_ledger"),   # over super-bucket maxes (events/2^36 rows)
 }
