@@ -10,6 +10,7 @@ oracle-hashable without rounding tricks.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1538,6 +1539,17 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("w")).alias("enc"),
         F.size(F.split(F.trim(F.col("w")), " ")).cast("bigint").alias("n_sub"),
     )
+    return _bpe_ledger(d, encv)
+
+
+def _bpe_ledger(d: DataFrame, encv: DataFrame) -> DataFrame:
+    """Assemble the per-document tokenization ledger from a corpus
+    ``d`` (doc_id, text) and an encoded vocabulary ``encv`` (word,
+    enc, n_sub): stream (doc_id, pos, word), equi-join the
+    |vocab|-sized encoded table (broadcastable while the vocabulary
+    fits; AQE-skew-split beyond — Zipf head words are the skew), one
+    hash agg on doc_id. Shared by text_bpe_encode (merges trained
+    inline) and bpe_encode_frame (fixed external merge table)."""
     docw = d.select(
         "doc_id",
         F.posexplode(F.split(normalized_text("text"), " ")).alias("pos", "word"),
@@ -1562,6 +1574,81 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         "tokens_fp",
     )
+
+
+_BPE_FRAME_MAX_MERGES = 65_536
+
+
+def bpe_encode_frame(
+    docs: DataFrame,
+    merges: DataFrame,
+    max_merges: int = _BPE_FRAME_MAX_MERGES,
+) -> DataFrame:
+    """Tokenize a corpus with a FIXED, pre-trained merge table — the
+    production apply step. text_bpe_encode retrains its merges on
+    every invocation (so the registry key stays self-contained and
+    oracle-checkable); real pipelines train the tokenizer ONCE and
+    then apply that frozen artifact to every corpus shard so the data
+    matches an existing model's vocabulary. This entry point is that
+    step: ``merges`` is any (round, x, y) frame — text_bpe_train's
+    output, or an externally-supplied table read from parquet.
+
+    Same output ledger contract as text_bpe_encode (doc_id, n_words,
+    n_tokens, tokens_fp), and bit-identical to it when fed the merges
+    text_bpe_train learns on the same corpus (pytest-pinned): each
+    merge is applied in rank order as a literal left-to-right
+    non-overlapping ' x y ' -> ' xy ' replace, the cross-engine
+    contract documented at _BPE_ROUNDS — Python str.replace scans
+    exactly like Spark's replace() (' a a a a ' -> ' aa a a ' in
+    both), so the two apply paths agree on back-to-back repeats too.
+
+    Scale shape: the merge table is the tokenizer artifact — small by
+    construction (GPT-2 ships 50k merges) — so it is collected once,
+    bounded by ``max_merges`` (limit(max+1) probe; an over-cap table
+    raises instead of OOMing the driver), and closure-shipped to
+    executors. Words are encoded ONCE per DISTINCT word in an
+    Arrow-batched pandas UDF (|vocab|-bounded Python, never
+    per-occurrence — the UDF-is-the-slow-path rule: per-token work
+    stays JVM-side in _bpe_ledger's join/agg). At 10k+ merges the
+    chained-literal-replace Catalyst plan text_bpe_encode builds would
+    be 10k expression nodes deep; the per-word Python loop is the
+    right physical strategy for a production-sized artifact.
+    """
+    rows = (
+        merges.select("round", "x", "y")
+        .orderBy("round")
+        .limit(max_merges + 1)
+        .collect()
+    )
+    if len(rows) > max_merges:
+        raise ValueError(
+            f"merge table exceeds max_merges={max_merges}: a BPE merge "
+            "list is a bounded tokenizer artifact; raise the cap "
+            "explicitly if yours is genuinely larger"
+        )
+    pairs = [(r.x, r.y) for r in rows]
+
+    @F.pandas_udf("string")
+    def enc_word(words: pd.Series) -> pd.Series:
+        def one(word: str) -> str:
+            w = " " + " ".join(word) + " "
+            for x, y in pairs:
+                w = w.replace(f" {x} {y} ", f" {x}{y} ")
+            return w.strip()
+
+        return words.map(one)
+
+    vocab = (
+        docs.select(F.explode(F.split(normalized_text("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    encv = vocab.select("word", enc_word("word").alias("enc")).select(
+        "word",
+        "enc",
+        F.size(F.split("enc", " ")).cast("bigint").alias("n_sub"),
+    )
+    return _bpe_ledger(docs, encv)
 
 
 # --- bigram language-model counts -------------------------------------

@@ -291,3 +291,62 @@ def test_bpe_encode_ledger_bounds_real_corpus(spark):
     # merges actually fired on the fixture (some word got compressed)
     total_words = sum(r.n_words for r in rows)
     assert total_tokens < n_chars or total_tokens == total_words
+
+
+def test_bpe_encode_frame_matches_registry_op(spark):
+    """The fixed-artifact apply path (bpe_encode_frame: collected merge
+    table + Arrow-batched per-distinct-word Python) must be
+    bit-identical to the registry op (chained literal replaces in
+    Catalyst) when fed the merges text_bpe_train learns on the same
+    corpus — pinning that Python str.replace and Spark replace() agree
+    on the left-to-right non-overlapping scan, rank order included."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import bpe_encode_frame
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    merges = Q["text_bpe_train"](spark, SF_SMALL)
+    got = {r.doc_id: r for r in bpe_encode_frame(docs, merges).collect()}
+    want = {r.doc_id: r for r in Q["text_bpe_encode"](spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_bpe_encode_frame_external_merges(spark):
+    """An externally-authored merge table (never trained here) applies
+    in rank order, including the back-to-back-repeat contract
+    (' a a a a ' -> ' aa a a ': replace consumes its match, so 'aaaa'
+    -> [aa, a, a] with a single (a,a) merge, NOT [aa, aa])."""
+    from net7_etl_bus_spark.operators.text import bpe_encode_frame
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab abab"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "b"), (3, "ab", "ab")],
+        "round int, x string, y string",
+    )
+    rows = {r.doc_id: r for r in bpe_encode_frame(docs, merges).collect()}
+    # 'aaaa' -> ' aa a a ' under merge 1 only (no (aa,a)/(a,a) rescan)
+    assert rows[1].n_words == 1 and rows[1].n_tokens == 3
+    # 'ab' -> [ab]; 'abab' -> [ab, a, b]: the first ' a b ' replace
+    # consumes the shared delimiter space, so the second (a,b) pair
+    # never matches and merge 3's ' ab ab ' never forms — the same
+    # deviation-from-greedy-on-repeats contract as doc 1, here shown
+    # blocking a DEPENDENT higher-rank merge
+    assert rows[2].n_words == 2 and rows[2].n_tokens == 4
+    assert rows[3].n_words == 0 and rows[3].tokens_fp is None
+
+
+def test_bpe_encode_frame_over_cap_raises(spark):
+    """The merge-table collect is bounded: an over-cap table raises at
+    plan-construction time instead of OOMing the driver."""
+    import pytest
+
+    from net7_etl_bus_spark.operators.text import bpe_encode_frame
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    merges = spark.createDataFrame(
+        [(i, "a", "b") for i in range(5)], "round int, x string, y string"
+    )
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_encode_frame(docs, merges, max_merges=4)
