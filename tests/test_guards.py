@@ -422,6 +422,22 @@ def test_sweep_rotation_arithmetic():
         f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 5)} }"
     )
 
+    # Generator/checker agreement: the committed tuple's front-50 must
+    # be exactly what scripts/rotation.py computes from the same
+    # verdict files (up to ordering). The generator makes each round's
+    # rotation a paste, the checker pins the paste — two independent
+    # paths over the same inputs (r9).
+    import sys
+
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    try:
+        from rotation import front50
+    finally:
+        sys.path.pop(0)
+    assert front == set(front50(list(q), latest)), (
+        "committed front-50 disagrees with scripts/rotation.py"
+    )
+
 
 def test_probe_row_cap_enforced_and_release(spark):
     """probes.materialized_nonempty relied on callers GUARANTEEING a
