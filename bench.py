@@ -137,29 +137,40 @@ def _loadavg() -> list[float]:
         return []
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    load_before = _loadavg()
-    load_gate = {"max_load": LOAD_GATE, "waited_sec": 0, "hot_start": False}
+def wait_for_quiet_host(
+    loadavg=_loadavg, sleep=time.sleep
+) -> tuple[list[float], dict]:
+    """The quiet-host gate, as a function so tests can pin its three
+    paths (quiet / recovered-after-wait / still-hot) without a real
+    150 s sleep. Returns the loadavg the measurement starts at and the
+    ``host.load_gate`` JSON block."""
+    load_before = loadavg()
+    gate = {"max_load": LOAD_GATE, "waited_sec": 0, "hot_start": False}
     if load_before and load_before[0] > LOAD_GATE:
         print(
             f"# host busy at start (loadavg {load_before[0]} > {LOAD_GATE}): "
             f"sleeping {LOAD_RETRY_SEC}s once before measuring",
             file=sys.stderr,
         )
-        time.sleep(LOAD_RETRY_SEC)
-        load_gate["waited_sec"] = LOAD_RETRY_SEC
-        load_before = _loadavg()
+        sleep(LOAD_RETRY_SEC)
+        gate["waited_sec"] = LOAD_RETRY_SEC
+        load_before = loadavg()
         if load_before and load_before[0] > LOAD_GATE:
-            load_gate["hot_start"] = True
+            gate["hot_start"] = True
             print(
                 f"# WARNING: host STILL busy (loadavg {load_before[0]}) — "
                 "running anyway; treat this run's regressions as "
                 "host-contended, not code",
                 file=sys.stderr,
             )
+    return load_before, gate
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_before, load_gate = wait_for_quiet_host()
     spark = get_spark("net7-etl-bus-bench")
     qs = registry.queries()
 

@@ -465,3 +465,41 @@ def test_probe_row_cap_enforced_and_release(spark):
     assert "Memory" in rdd.getStorageLevel().description()
     probes.release(empty)
     assert "Memory" not in rdd.getStorageLevel().description()
+
+
+def test_bench_quiet_host_gate_paths():
+    """BENCH_r09's validity rides on bench.py's quiet-host gate
+    (VERDICT r8 item 2: BENCH_r08 started at loadavg 6.8 and recorded
+    spread_max 116.9%). Pin all three gate paths with injected loadavg
+    readings and a fake sleep — quiet start (no wait), hot start that
+    recovers after one wait, and hot start that stays hot (runs anyway
+    but stamps hot_start=true for the series reader)."""
+    import bench
+
+    slept: list[int] = []
+
+    def fake_sleep(s):
+        slept.append(s)
+
+    # quiet: no sleep, clean gate block
+    load, gate = bench.wait_for_quiet_host(loadavg=lambda: [1.0], sleep=fake_sleep)
+    assert load == [1.0] and not slept
+    assert gate == {"max_load": bench.LOAD_GATE, "waited_sec": 0, "hot_start": False}
+
+    # hot then recovered: one sleep, measurement starts at the RE-read
+    readings = iter([[9.0], [1.5]])
+    load, gate = bench.wait_for_quiet_host(
+        loadavg=lambda: next(readings), sleep=fake_sleep
+    )
+    assert slept == [bench.LOAD_RETRY_SEC] and load == [1.5]
+    assert gate["waited_sec"] == bench.LOAD_RETRY_SEC and not gate["hot_start"]
+
+    # still hot: annotated, never a second sleep
+    slept.clear()
+    load, gate = bench.wait_for_quiet_host(loadavg=lambda: [9.0], sleep=fake_sleep)
+    assert slept == [bench.LOAD_RETRY_SEC] and gate["hot_start"]
+
+    # platform without getloadavg: empty reading, gate stays quiet
+    slept.clear()
+    load, gate = bench.wait_for_quiet_host(loadavg=lambda: [], sleep=fake_sleep)
+    assert load == [] and not slept and not gate["hot_start"]
