@@ -1589,7 +1589,11 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids: ~(n/K)^2 per cluster, the SemDeDup trade); the
     drop-side survivor test is a cid-local pair emission aggregated
     to distinct losers, and the ledger is a 16-row aggregate. The
-    corpus shuffles once, on cid.
+    corpus shuffles once, on cid. The (n/K)^2 pair term means the
+    FIXED-K registry key is superlinear under corpus growth by
+    construction (r9 ladder: exponent 1.15 over sf0.1->sf1) — the
+    production path is :func:`semdedup_frame` with trained centroids
+    scaled K ~ n, which holds cluster size (and the exponent) flat.
     """
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
@@ -1607,7 +1611,29 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = fe.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
-    ac = fe.crossJoin(F.broadcast(cent)).withColumn(
+    return semdedup_frame(fe, cent)
+
+
+def semdedup_frame(
+    vectors: DataFrame, centroids: DataFrame, tau: float = _SD_TAU
+) -> DataFrame:
+    """SemDeDup over arbitrary ``vectors`` (vec_id, embedding —
+    already validity-filtered) and caller-supplied ``centroids``
+    (cid, cent_emb) — the entry point that makes the op's scale
+    contract USABLE. The within-cluster pair term is
+    sum-over-clusters O(n_c^2): with the cluster COUNT held fixed it
+    grows quadratically in corpus size — the r9 key-growth ladder
+    measured the fixed-K=16 registry key at exponent 1.15 over
+    sf0.1->sf1 (4.2 s -> 59.6 s), the pair term visibly taking over —
+    so production MUST scale K with n to hold n_c = n/K constant
+    (SemDeDup's own protocol: 50k clusters for LAION). This frame
+    entry point is where that happens: pass emb_kmeans_train output
+    (or any centroid set) sized K ~ n/target_cluster_size; the
+    registry key keeps the fixed 16 seed centroids so its oracle
+    stays byte-stable. Plan shape is identical either way: broadcast
+    K-row centroid join + per-vector argmin, one cid shuffle, cid
+    equi-join bounded by cluster size."""
+    ac = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
@@ -1625,7 +1651,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         a.join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_cosine(F.col("emb_a"), F.col("emb_b")) >= _SD_TAU)
+        .filter(_cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(tau))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -70,6 +70,16 @@ DEFAULT_KEYS = [
     # encode equi-join; the ladder's adversarial 290x-vocab axis is
     # exactly this op's dominant cost (measured 0.87, SCALE.md r9).
     "text_bpe_encode",
+    # r9 extension: ANN bucket occupancy under genuinely-new-vector
+    # growth (ivf 0.44 / ivfpq 0.54), posting-list growth under 290x
+    # vocab (inverted_index 0.74), salted fan-out (0.47), range
+    # partitioning (zorder ~0). emb_semdedup is deliberately NOT
+    # enrolled: at the registry key's fixed K=16 its (n/K)^2 pair term
+    # is superlinear BY CONSTRUCTION (measured 1.15 once, SCALE.md r9)
+    # — the scalable path is semdedup_frame with K scaled ~ n, like
+    # the excluded exact all-pairs baselines and their LSH twins.
+    "sim_search_ivf", "sim_search_ivfpq", "text_inverted_index",
+    "join_skew_salted", "zorder_cluster",
 ]
 
 

@@ -201,6 +201,69 @@ def test_semdedup_accepts_trained_centroids(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def _semdedup_vectors(spark):
+    from net7_etl_bus_spark.data import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists(
+            "embedding",
+            lambda y: F.isnan(y.cast("double"))
+            | (F.abs(y.cast("double")) == F.lit(float("inf"))),
+        )
+    )
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return e.filter(norm2 > 0).select("vec_id", "embedding")
+
+
+def test_semdedup_frame_matches_registry_on_seed_centroids(spark):
+    """semdedup_frame is the production entry point (trained, scaled
+    centroids); fed the registry key's own 16 seed centroids it must
+    be the registry key — same plan, same ledger, row for row."""
+    from net7_etl_bus_spark.operators.similarity import (
+        CENT_LO,
+        N_CENTROIDS,
+        semdedup_frame,
+    )
+
+    fe = _semdedup_vectors(spark)
+    cent = fe.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    got = sorted(map(tuple, semdedup_frame(fe, cent).collect()))
+    want = sorted(map(tuple, Q["emb_semdedup"](spark, SF_SMALL).collect()))
+    assert got == want
+
+
+def test_semdedup_frame_scaled_k_shrinks_pair_term(spark):
+    """The scale contract semdedup_frame exists for (r9 ladder: the
+    fixed-K=16 registry key measured exponent 1.15 under sf0.1->sf1
+    growth — the (n/K)^2 pair term taking over): scaling K with n
+    holds cluster size flat. At the limit K=n (every vector its own
+    centroid) every cluster is a singleton-or-duplicate-group, the
+    pair term vanishes, and nothing is dropped; members conservation
+    holds under ANY centroid set."""
+    from net7_etl_bus_spark.operators.similarity import semdedup_frame
+
+    fe = _semdedup_vectors(spark)
+    n = fe.count()
+    self_cent = fe.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
+    )
+    ledger = semdedup_frame(fe, self_cent).collect()
+    assert sum(r.n_members for r in ledger) == n  # conservation, any K
+    # singletons everywhere (the synthetic vectors have distinct
+    # directions, so each wins its own centroid) => zero pair work
+    assert all(r.n_members == 1 and r.n_dropped == 0 for r in ledger), [
+        r for r in ledger if r.n_members != 1
+    ][:5]
+
+
 def test_lm_score_self_scoring_semantics(spark):
     """text_lm_score invariants beyond the oracle hash, including the
     documented SELF-SCORING caveat: (1) an all-unique-words doc scores
