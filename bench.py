@@ -100,6 +100,17 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
 LOAD_RETRY_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRY_SEC", "150"))
 
+# Series-reference canary (r9 verdict item 4 -> r10): the open-pass
+# cpu_canary_sec of the series' cleanest recorded run (BENCH_r09: the
+# load-gated quiet-host run, spread_max 15.9%), pinned in BASELINE.md
+# §canary. Every run emits totals multiplied by (CANARY_REF /
+# canary_now): when the host is slower than the reference (canary_now
+# larger), the raw totals are deflated correspondingly, so
+# round-over-round deltas in the *_canary_norm fields are
+# machine-readably host-speed-adjusted — no human replaying the canary
+# arithmetic. The raw fields stay untouched for series continuity.
+CANARY_REF = 0.167
+
 
 def run_median(spark, fn, sf_dir: str):
     """Median of REPS end-to-end executions, preceded by ADAPTIVE
@@ -249,6 +260,8 @@ def main() -> None:
     canary_close = _cpu_canary()
     total = round(sum(timings.values()), 3)
     close_total = round(sum(close.values()), 3)
+    norm_open = CANARY_REF / canary_open if canary_open > 0 else 1.0
+    norm_close = CANARY_REF / canary_close if canary_close > 0 else 1.0
     spread_max_pct = round(
         max(
             (
@@ -278,6 +291,15 @@ def main() -> None:
                 if total > 0
                 else 0.0,
                 "spread_max_pct": spread_max_pct,
+                # host-speed-adjusted totals and per-query medians:
+                # raw × (CANARY_REF / canary_measured); CANARY_REF is
+                # pinned in BASELINE.md §canary (= BENCH_r09 open)
+                "canary_ref": CANARY_REF,
+                "open_total_canary_norm": round(total * norm_open, 3),
+                "close_total_canary_norm": round(close_total * norm_close, 3),
+                "queries_canary_norm": {
+                    n: round(v * norm_open, 3) for n, v in timings.items()
+                },
                 "host": {
                     "loadavg_before": load_before,
                     "loadavg_after": load_after,

@@ -389,15 +389,102 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    return ivf_search_frame(e, cent)
 
-    ac = e.join(F.broadcast(cent)).withColumn(
-        "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+
+def _hier_assign(e: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
+    """Two-tier (IMI-style) coarse assignment: nearest of ``n_super``
+    super-centroids first, then nearest centroid WITHIN that super's
+    group — per-vector cosine work drops from K to ~(S + K/S), minimal
+    at S ~ sqrt(K). This is the scaled-K fix the r10 annladder forced:
+    with K ~ sqrt(n) the flat broadcast argmin is n*K ~ n^1.5 cosines
+    and measured exponent 1.09 at 10x growth; two-tier brings the
+    assign tier back to ~n*2*sqrt(K). The price is the standard IMI
+    approximation — a vector whose true nearest centroid lives in a
+    different super-group gets its group-local nearest instead (IVF
+    assignment quality, not result correctness: probed-list recall is
+    the knob, exactly as in FAISS's IMI/HNSW coarse quantizers). With
+    n_super=1 the cascade degenerates to the exact flat argmin
+    (pytest-pinned), so exactness is a parameter choice.
+
+    Super-centroids are the first ``n_super`` centroids by cid —
+    deterministic, and as good as any subset for grouping purposes
+    (production would k-means the centroids; the plan is identical).
+    Emits (vec_id, label, embedding, cid)."""
+    sup = (
+        cent.orderBy("cid")
+        .limit(n_super)
+        .select(F.col("cid").alias("sid"), F.col("cent_emb").alias("sup_emb"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
-    ranked = ac.withColumn("rkc", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rkc") == 1).select("vec_id", "label", "embedding", "cid")
+    wc = Window.partitionBy("cid").orderBy(F.col("cs").desc(), "sid")
+    cmap = (
+        cent.crossJoin(F.broadcast(sup))
+        .withColumn("cs", _cosine(F.col("cent_emb"), F.col("sup_emb")))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("cid", "cent_emb", "sid")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "sid")
+    vsel = (
+        e.crossJoin(F.broadcast(sup))
+        .withColumn("cs", _cosine(F.col("embedding"), F.col("sup_emb")))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "embedding", "sid")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    return (
+        vsel.join(F.broadcast(cmap), "sid")
+        .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rkc", F.row_number().over(wa))
+        .filter(F.col("rkc") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+
+
+def ivf_search_frame(
+    e: DataFrame,
+    cent: DataFrame,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_super: int | None = None,
+) -> DataFrame:
+    """sim_search_ivf's body over an ARBITRARY centroid relation
+    (cid, cent_emb) and probe/top-k sizing — the production entry
+    point where K actually scales with the corpus (K ~ sqrt(n),
+    nprobe/K fixed, per the registered key's docstring; pass
+    emb_kmeans_train output or any trained quantizer). The registered
+    key keeps the fixed seed centroids so its oracle stays
+    byte-stable. With ``n_super`` set, corpus assignment runs the
+    two-tier cascade (:func:`_hier_assign`) — mandatory at scaled K,
+    where the flat broadcast argmin's n*K cosines measured exponent
+    1.09 on the r10 growth ladder; queries still rank ALL K centroids
+    exactly (n_queries rows — free) so the probe tier is unchanged.
+    scripts/annladder.py measures both variants for SCALE.md."""
+    if n_super is None:
+        ac = e.join(F.broadcast(cent)).withColumn(
+            "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), "cid"
+        )
+        ranked = ac.withColumn("rkc", F.row_number().over(w_assign))
+        assign = ranked.filter(F.col("rkc") == 1).select(
+            "vec_id", "label", "embedding", "cid"
+        )
+        probe_src = ranked
+    else:
+        assign = _hier_assign(e, cent, n_super)
+        wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+        probe_src = (
+            e.filter(F.col("vec_id") < n_queries)
+            .join(F.broadcast(cent))
+            .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
+            .withColumn("rkc", F.row_number().over(wq))
+        )
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rkc") <= N_PROBE))
+        probe_src.filter((F.col("vec_id") < n_queries) & (F.col("rkc") <= n_probe))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cid")
     )
     scored = (
@@ -412,7 +499,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rk") <= TOP_K
+        F.col("rk") <= top_k
     )
 
 
@@ -1115,14 +1202,45 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
-    ranked = (
-        e.join(F.broadcast(cent))
-        .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
-        .withColumn("rkc", F.row_number().over(w_assign))
-    )
+    return ivfpq_search_frame(e, cent)
+
+
+def ivfpq_search_frame(
+    e: DataFrame,
+    cent: DataFrame,
+    n_probe: int = N_PROBE,
+    n_queries: int = N_QUERIES,
+    n_super: int | None = None,
+) -> DataFrame:
+    """sim_search_ivfpq's body over an ARBITRARY coarse-quantizer
+    relation (cid, cent_emb) — the scaled-K production entry point
+    (same contract as ivf_search_frame, including the ``n_super``
+    two-tier assignment cascade; the PQ codebooks are per-SUBSPACE
+    artifacts independent of K, so only the coarse assign/probe tier
+    changes with corpus size). Measured at scaled K by
+    scripts/annladder.py for the SCALE.md ladder."""
+    if n_super is None:
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), "cid"
+        )
+        ranked = (
+            e.join(F.broadcast(cent))
+            .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
+            .withColumn("rkc", F.row_number().over(w_assign))
+        )
+        assign = ranked.filter(F.col("rkc") == 1)
+        probe_src = ranked
+    else:
+        assign = _hier_assign(e, cent, n_super)
+        wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+        probe_src = (
+            e.filter(F.col("vec_id") < n_queries)
+            .join(F.broadcast(cent))
+            .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
+            .withColumn("rkc", F.row_number().over(wq))
+        )
     corpus = (
-        ranked.filter((F.col("rkc") == 1) & (F.col("vec_id") >= N_QUERIES))
+        assign.filter(F.col("vec_id") >= n_queries)
         .select(
             "vec_id",
             "cid",
@@ -1136,7 +1254,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rkc") <= N_PROBE))
+        probe_src.filter((F.col("vec_id") < n_queries) & (F.col("rkc") <= n_probe))
         .select(
             F.col("vec_id").alias("query_id"),
             "cid",
@@ -1408,22 +1526,32 @@ def _km_sql_iter(i: int) -> str:
     """
 
 
-@register(
-    "emb_kmeans_train",
-    oracle=f"""
-    WITH eq AS (
+# The eligible-vector predicate and the unrolled Lloyd rounds, shared
+# verbatim by the emb_kmeans_train oracle and the chained
+# emb_semdedup_trained oracle (which consumes c{_KM_ITERS} as its
+# centroid relation) — one source of truth for the training CTEs.
+_KM_ELIGIBLE_SQL = f"""
+      vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {_KM_DIM}
+        AND NOT list_bool_or(list_transform(embedding,
+              y -> isnan(CAST(y AS DOUBLE))
+                   OR abs(CAST(y AS DOUBLE)) >= {_KM_DOM!r}))"""
+
+_KM_CTES = f"""eq AS (
       SELECT vec_id,
              list_transform(embedding,
                y -> CAST(FLOOR(CAST(y AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS xq
       FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-        AND len(embedding) = {_KM_DIM}
-        AND NOT list_bool_or(list_transform(embedding,
-              y -> isnan(CAST(y AS DOUBLE))
-                   OR abs(CAST(y AS DOUBLE)) >= {_KM_DOM!r}))),
+      WHERE {_KM_ELIGIBLE_SQL}),
     c0 AS (
       SELECT vec_id AS cid, xq AS cq FROM eq WHERE vec_id < {_KM_K}),
-    {", ".join(_km_sql_iter(i) for i in range(1, _KM_ITERS + 1))}
+    {", ".join(_km_sql_iter(i) for i in range(1, _KM_ITERS + 1))}"""
+
+
+@register(
+    "emb_kmeans_train",
+    oracle=f"""
+    WITH {_KM_CTES}
     SELECT c.cid, dims.d, c.cq[dims.d] AS c_q, c.n AS n_members
     FROM c{_KM_ITERS} c
     CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS d) dims
@@ -1454,7 +1582,19 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     production K (~sqrt(corpus)), swap the crossJoin argmin for the
     IVF probe cascade — the update side is unchanged.
     """
-    e = load_table(spark, sf_dir, "embeddings").filter(
+    cent = _kmeans_centroids(spark, sf_dir)
+    return cent.select(
+        "cid", F.posexplode("cq").alias("d0", "c_q"), F.col("n").alias("n_members")
+    ).select(
+        "cid", (F.col("d0") + 1).cast("bigint").alias("d"), "c_q", "n_members"
+    ).orderBy("cid", "d")
+
+
+def _km_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means-eligible vector set (the Spark twin of
+    ``_KM_ELIGIBLE_SQL``): non-null, exactly ``_KM_DIM`` wide, every
+    element finite and inside the integer-headroom domain."""
+    return load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == _KM_DIM)
@@ -1464,6 +1604,14 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.abs(y.cast("double")) >= F.lit(_KM_DOM)),
         )
     )
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid relation after ``_KM_ITERS`` Lloyd rounds:
+    (cid, cq: array<long>, n: bigint) — the un-exploded form
+    emb_kmeans_train emits and emb_semdedup_trained consumes. Plan
+    shape per round is documented on emb_kmeans_train."""
+    e = _km_eligible(spark, sf_dir)
     eq = e.select(
         "vec_id",
         F.transform(
@@ -1507,11 +1655,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cq"),
             F.max("n").alias("n"),
         )
-    return cent.select(
-        "cid", F.posexplode("cq").alias("d0", "c_q"), F.col("n").alias("n_members")
-    ).select(
-        "cid", (F.col("d0") + 1).cast("bigint").alias("d"), "c_q", "n_members"
-    ).orderBy("cid", "d")
+    return cent
 
 
 # --- SemDeDup: embedding-cluster-scoped near-duplicate removal --------
@@ -1665,6 +1809,87 @@ def semdedup_frame(
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "emb_semdedup_trained",
+    oracle=f"""
+    WITH {_KM_CTES},
+    tc AS (
+      SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE)) AS cent_emb
+      FROM c{_KM_ITERS}
+      WHERE {_sql_norm("cq")} > 0),
+    fe AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_KM_ELIGIBLE_SQL}
+        AND {_sql_norm("embedding")} > 0),
+    ranked AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rkc
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cos("e.embedding", "c.cent_emb")} AS cos_c
+        FROM fe e CROSS JOIN tc c) t),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM ranked WHERE rkc = 1),
+    dropped AS (
+      SELECT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND {_sql_cos("a.embedding", "b.embedding")} >= {_SD_TAU}
+      GROUP BY b.vec_id)
+    SELECT s.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+    FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    GROUP BY s.cid ORDER BY s.cid
+    """,
+)
+def emb_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION semdedup chain under a driver verdict (VERDICT
+    r9 item 3): :func:`semdedup_frame` fed emb_kmeans_train's TRAINED
+    centroids instead of emb_semdedup's fixed seed rows — train the
+    coarse quantizer, then cluster-scope the near-dup search with it,
+    exactly the two-step recipe both ops document as each other's
+    production input. Both halves are individually oracled and
+    deterministic (integer-exact Lloyd's; sequential-fold cosine), so
+    the composition is oracle-expressible by splicing the kmeans CTEs
+    (``_KM_CTES``) into the semdedup ledger CTEs.
+
+    Contracts at the seam: the vector set is the kmeans-ELIGIBLE set
+    (finite, in-domain, exactly {_KM_DIM}-dim — a vector the trainer
+    couldn't see shouldn't be assigned to its centroids) further
+    requiring norm > 0 (zero vectors make cosine NaN, which the two
+    engines order differently); trained centroids enter as their
+    quantized integer coordinates cast to double (cosine is
+    scale-invariant, so quantization only perturbs ANGLES, not the
+    assignment rule) and a hypothetical all-zero centroid is excluded
+    for the same NaN reason. Scale shape is semdedup_frame's
+    unchanged: K-row broadcast assign, one cid shuffle, cluster-
+    bounded pair join — with trained (balanced) centroids the (n/K)^2
+    pair term is at its intended size, and production scales K ~ n
+    via this same entry point.
+    """
+    cent = _kmeans_centroids(spark, sf_dir)
+    cnorm2 = F.aggregate(
+        "cq", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    tc = cent.filter(cnorm2 > 0).select(
+        "cid", F.transform("cq", lambda x: x.cast("double")).alias("cent_emb")
+    )
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    fe = (
+        _km_eligible(spark, sf_dir)
+        .filter(norm2 > 0)
+        .select("vec_id", "embedding")
+    )
+    return semdedup_frame(fe, tc)
 
 
 # --- matryoshka (prefix-dimension) two-stage retrieval -----------------

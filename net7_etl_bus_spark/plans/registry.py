@@ -74,43 +74,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-9 front of the line (r8 verdict item 1): the 1 key NEW in r9
-# (never attested), then ALL 45 keys whose latest driver verdict is
-# r4, then the first 4 (alphabetical) of the 44 r5-stale keys —
-# computed from CORRECTNESS_r01..r08.json; no oracle was edited after
-# its last verdict this round. After this sweep lands green: zero keys
-# with a verdict older than r5. The front-50 composition (1 new + 45
-# r4-stale + 4 r5-stale) and the marker position are pinned by
-# tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
-# the registry are ignored, so this list never breaks registration.
+# Round-10 front of the line (r9 verdict item 1): the 2 keys NEW in
+# r10 (never attested: the production-shape semdedup chain and the NB
+# quality trainer), then ALL 40 keys whose latest driver verdict is
+# r5, then the first 8 (alphabetical) of the 43 r6-stale keys —
+# computed from CORRECTNESS_r01..r09.json via scripts/rotation.py
+# (which now skips FAILED verdict entries per ADVICE r9; composition
+# unchanged since every key's latest verdict passes). No oracle was
+# edited after its last verdict this round. After this sweep lands
+# green: zero keys with a verdict older than r6. The composition
+# (2 new + 40 r5-stale + 8 r6-stale) and the marker position are
+# pinned by tests/test_guards.py::test_sweep_rotation_arithmetic.
+# Keys not in the registry are ignored, so this list never breaks
+# registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r9, never driver-attested (1 key) ---
-    "text_bpe_encode",
-    # --- last driver verdict: r4 (all 45 r4-stale keys) ---
-    "agg_bitmap_distinct", "agg_bitmap_retention", "cdc_snapshot_diff",
-    "cohort_retention", "dedup_span_ngram", "emb_centroid",
-    "emb_norm_stats", "emb_pq_quantize", "emb_quantize_int8",
-    "event_transitions", "fixedwidth_scan", "fn_bitwise",
-    "fn_conditional", "fn_encoding", "fn_regexp", "fn_try_safe",
-    "fn_variant", "funnel_conversion", "geo_distance_join",
-    "graph_common_neighbors", "join_asof_forward",
-    "join_fuzzy_levenshtein", "join_interval_overlap",
-    "join_range_binned", "join_scd2_pointintime", "mm_phash_dedup",
-    "rfm_segmentation", "scd2_apply_increment", "scd2_dimension",
-    "sim_eval_recall", "sim_search_bcast_index", "sim_search_ivfpq",
-    "sim_search_pq", "skew_key_profile", "split_temporal",
-    "stream_join_attrib", "text_quality_classifier", "ts_gapfill_locf",
-    "ts_interpolate_linear", "ts_resample_ohlc", "ts_rolling_stats",
-    "win_first_last", "win_gaps_islands", "win_running_distinct",
-    "zorder_cluster",
-    # --- oldest 4 of the 44 r5-stale keys (alphabetical) ---
-    "agg_cms_heavy_hitters", "agg_collect_list",
-    "agg_count_distinct_approx", "agg_cube",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r10: the remaining 40 r5-stale keys
-    # (locally diffcheck-green) ---
+    # --- NEW in r10, never driver-attested (2 keys) ---
+    "emb_semdedup_trained", "text_quality_nb_train",
+    # --- last driver verdict: r5 (all 40 r5-stale keys) ---
     "agg_decay_weighted", "agg_grouping_sets", "agg_hash",
     "agg_histogram", "agg_median_iterative", "agg_percentile_approx",
+    "agg_percentile_disc", "agg_pivot", "agg_regr", "agg_rollup",
+    "agg_rollup_time", "agg_stats_moments", "agg_weighted_avg",
+    "dedup_apply_increment", "dedup_cc_clusters", "dedup_cc_survivors",
+    "dedup_lsh_jaccard_est", "dedup_minhash_mllib",
+    "dedup_ngram_jaccard", "emb_kmeans_train", "graph_triangle_count",
+    "join_bloom_prefilter", "pipeline_curation", "pipeline_rag_prep",
+    "q16_supplier_part_cnt", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "sample_exact_k_stratified",
+    "sample_mixture_epochs", "scan_hive_partitioned",
+    "scan_schema_evolution", "text_chunk_overlap", "text_html_strip",
+    "text_pack_sequences", "text_quality_quantile_gate",
+    "udaf_applyInPandas", "win_pct_change", "win_session",
+    # --- oldest 8 of the 43 r6-stale keys (alphabetical) ---
+    "agg_distinct", "checksum_sha256", "dedup_exact",
+    "dedup_exact_survivors", "dedup_minhash_lsh",
+    "dedup_minhash_signature", "dedup_simhash", "etl_run_snapshot",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r11: the remaining 35 r6-stale keys
+    # (locally diffcheck-green) ---
+    "filter_pred", "fn_array", "fn_array_hof", "fn_date", "fn_math",
+    "fn_string",
 )
 
 

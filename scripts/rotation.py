@@ -40,14 +40,33 @@ sys.path.insert(0, REPO)
 BUDGET = 50  # the driver's per-round correctness cap
 
 
+def _verdict_passed(v: dict) -> bool:
+    """A key counts as ATTESTED in a round only if that round's verdict
+    actually passed (ADVICE r9: r01/r02 contain failed entries — err
+    set or rows/hash mismatch; counting those as attested pushes a
+    FAILING key to the back of the rotation, inverting the intent)."""
+    return (
+        v.get("err") is None
+        and v.get("rows_match") is True
+        and v.get("schema_match") is True
+        # hash_match is None for rows-only (no-oracle) checks — accept
+        and v.get("hash_match") is not False
+    )
+
+
 def latest_verdicts(through: int | None) -> dict[str, int]:
     latest: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+        m = re.search(r"_r0*(\d+)\.json$", p)
+        if m is None:  # ADVICE r9: don't crash on nonconforming names
+            print(f"# warn: skipping unparseable verdict file name: {p}")
+            continue
+        rnd = int(m.group(1))
         if through is not None and rnd > through:
             continue
-        for k in json.load(open(p)):
-            latest[k] = max(latest.get(k, 0), rnd)
+        for k, v in json.load(open(p)).items():
+            if _verdict_passed(v):
+                latest[k] = max(latest.get(k, 0), rnd)
     return latest
 
 

@@ -257,11 +257,21 @@ def test_semdedup_frame_scaled_k_shrinks_pair_term(spark):
     )
     ledger = semdedup_frame(fe, self_cent).collect()
     assert sum(r.n_members for r in ledger) == n  # conservation, any K
-    # singletons everywhere (the synthetic vectors have distinct
-    # directions, so each wins its own centroid) => zero pair work
-    assert all(r.n_members == 1 and r.n_dropped == 0 for r in ledger), [
-        r for r in ledger if r.n_members != 1
-    ][:5]
+    # Load-bearing invariants only (ADVICE r9: with K=n self-centroids,
+    # two vectors sharing an exact DIRECTION tie at cos=1.0 and the
+    # (cos desc, cid) tie-break legitimately groups them — don't pin
+    # all-singletons to a property of the current testdata). A non-
+    # singleton cluster can only be an exact-direction tie group, whose
+    # pairs are all >= tau, so everything but its cid-min is dropped.
+    for r in ledger:
+        assert r.n_kept + r.n_dropped == r.n_members
+        if r.n_members == 1:
+            assert r.n_dropped == 0
+        else:
+            assert r.n_kept == 1 and r.n_dropped == r.n_members - 1
+    # the pair term still vanishes overall: clusters are duplicate
+    # groups, so kept == number of distinct directions, not O(n/K)
+    assert sum(r.n_kept for r in ledger) == len(ledger)
 
 
 def test_lm_score_self_scoring_semantics(spark):
@@ -413,3 +423,224 @@ def test_bpe_encode_frame_over_cap_raises(spark):
     )
     with pytest.raises(ValueError, match="max_merges"):
         bpe_encode_frame(docs, merges, max_merges=4)
+
+
+# --- arbitrary-K BPE training (bpe_train_frame, r10) -------------------
+
+
+def test_bpe_train_frame_prefix_equals_registry_key(spark):
+    """VERDICT r9 item 2 pin (a): the driver-loop trainer's first
+    _BPE_ROUNDS winners are bit-identical to text_bpe_train's
+    plan-level unrolled rounds — same pair counting, same
+    (count desc, pair asc) total order, same literal-replace apply."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import _BPE_ROUNDS, bpe_train_frame
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = [
+        (r["round"], r.x, r.y, r.pair_n)
+        for r in sorted(bpe_train_frame(docs, _BPE_ROUNDS).collect(),
+                        key=lambda r: r["round"])
+    ]
+    want = [
+        (r["round"], r.x, r.y, r.pair_n)
+        for r in sorted(Q["text_bpe_train"](spark, SF_SMALL).collect(),
+                        key=lambda r: r["round"])
+    ]
+    assert got == want and len(got) == _BPE_ROUNDS
+
+
+def test_bpe_train_frame_120_merges_end_to_end(spark):
+    """VERDICT r9 item 2 pin (b): a production-K (>=100-merge) training
+    run feeds bpe_encode_frame end-to-end into pack_sequences_frame /
+    token_budget_frame. The synthetic documents vocabulary is only 31
+    words (~107 learnable merges at most), so the >=120-merge capacity
+    comes from a generated corpus: 400 distinct 12-hex-char words give
+    thousands of learnable merges. Invariants: exactly 120 consecutive
+    rounds; every winner count positive; per-document token counts
+    never INCREASE when the merge list is extended (each extra merge
+    can only fuse symbols); the trained counts conserve through
+    pack_sequences_frame and bind the budget in token_budget_frame."""
+    import hashlib
+    import math
+
+    from net7_etl_bus_spark.operators.packing import _L, pack_sequences_frame
+    from net7_etl_bus_spark.operators.sampling import (
+        _BUDGET_TOKENS,
+        token_budget_frame,
+    )
+    from net7_etl_bus_spark.operators.text import bpe_encode_frame, bpe_train_frame
+
+    vocab = [hashlib.md5(str(i).encode()).hexdigest()[:12] for i in range(400)]
+    docs = spark.createDataFrame(
+        [
+            (d, " ".join(vocab[(7 * d + 3 * j) % 400] for j in range(40)),
+             "src" + str(d % 3))
+            for d in range(60)
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges = bpe_train_frame(docs, 120)
+    mrows = sorted(merges.collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in mrows] == list(range(1, 121))
+    assert all(r.pair_n >= 1 for r in mrows)
+
+    led120 = {r.doc_id: r for r in bpe_encode_frame(docs, merges).collect()}
+    led3 = {
+        r.doc_id: r
+        for r in bpe_encode_frame(
+            docs, merges.where(F.col("round") <= 3)
+        ).collect()
+    }
+    assert set(led120) == set(led3)
+    assert all(led120[d].n_tokens <= led3[d].n_tokens for d in led120)
+    assert all(led120[d].n_words == led3[d].n_words for d in led120)
+    # 117 extra merges actually bought something
+    assert sum(r.n_tokens for r in led120.values()) < sum(
+        r.n_tokens for r in led3.values()
+    )
+
+    toks = spark.createDataFrame(
+        [(d, r.n_tokens) for d, r in led120.items()], "doc_id long, t long"
+    )
+    packed = pack_sequences_frame(toks).collect()
+    total = sum(r.n_tokens for r in led120.values() if r.n_tokens > 0)
+    assert sum(r.n_tokens for r in packed) == total
+    assert len(packed) == math.ceil(total / _L)
+
+    s = docs.select("doc_id", "source").join(
+        spark.createDataFrame(
+            [(d, r.n_tokens) for d, r in led120.items()],
+            "doc_id long, n_tokens long",
+        ),
+        "doc_id",
+    )
+    brows = token_budget_frame(s).collect()
+    by_src = {}
+    for r in brows:
+        by_src.setdefault(r.source, 0)
+        if r.kept:
+            by_src[r.source] += r.n_tokens
+    assert by_src and all(v <= _BUDGET_TOKENS for v in by_src.values())
+
+
+def test_bpe_train_frame_exhausts_real_corpus_vocab(spark):
+    """On the real (31-word) documents vocabulary, arbitrary-K training
+    runs to EXHAUSTION: early-stop fires before the requested 200
+    rounds, and the fully-merged vocabulary tokenizes every word to a
+    single symbol — n_tokens == n_words for every document (the
+    limiting case the chars/4 estimator can never reach)."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import bpe_encode_frame, bpe_train_frame
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    merges = bpe_train_frame(docs, 200)
+    n = merges.count()
+    assert 30 < n < 200  # stopped on its own, well past the unrolled 3
+    led = bpe_encode_frame(docs, merges).collect()
+    assert led and all(r.n_tokens == r.n_words for r in led)
+
+
+def test_bpe_train_frame_early_stop_exhausted_vocab(spark):
+    """A fully-merged vocabulary ends training early: requesting 50
+    merges on a one-pair corpus returns exactly the one learnable
+    merge instead of looping or failing."""
+    from net7_etl_bus_spark.operators.text import bpe_train_frame
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    rows = bpe_train_frame(docs, 50).collect()
+    assert [(r["round"], r.x, r.y, r.pair_n) for r in rows] == [(1, "a", "b", 3)]
+
+
+def test_bpe_train_frame_accepts_wordcounts(spark):
+    """The (word, cnt) input path: pre-aggregated counts train the
+    same merges as the corpus they summarize — the form a production
+    trainer persists and retrains from."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import bpe_train_frame, normalized_text
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    wc = (
+        docs.select(F.explode(F.split(normalized_text("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    got = [(r["round"], r.x, r.y, r.pair_n)
+           for r in sorted(bpe_train_frame(wc, 5).collect(),
+                           key=lambda r: r["round"])]
+    want = [(r["round"], r.x, r.y, r.pair_n)
+            for r in sorted(bpe_train_frame(docs, 5).collect(),
+                            key=lambda r: r["round"])]
+    assert got == want and len(got) == 5
+
+
+# --- Naive-Bayes quality training (r10) ---------------------------------
+
+
+def test_nb_train_conservation_and_priors(spark):
+    """The trained NB artifact's sufficient statistics are conserved:
+    every token of every labeled doc lands in exactly one class
+    counter, the priors count exactly the teacher-labeled docs, and
+    the bucket spine is complete and data-independent."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import (
+        _CLF_D,
+        normalized_text,
+        teacher_labels,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = sorted(Q["text_quality_nb_train"](spark, SF_SMALL).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(_CLF_D))
+    total_toks = docs.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    ).count()
+    assert sum(r.cnt_pos + r.cnt_neg for r in rows) == total_toks
+    lab = teacher_labels(docs)
+    n_pos = lab.where("is_q").count()
+    n_neg = lab.where("NOT is_q").count()
+    assert all(r.docs_pos == n_pos and r.docs_neg == n_neg for r in rows)
+    assert n_pos > 0 and n_neg > 0  # both classes present in testdata
+
+
+def test_nb_scorer_consumes_trained_weights(spark):
+    """VERDICT r9 item 6's scorer half: nb_score_frame turns the
+    trained count table into log-odds weights and reproduces the
+    teacher (the fixed linear classifier) on the training corpus well
+    above chance — NB distilling a linear model over the SAME hashed
+    features. Also pins the ledger shape: one score per tokenized
+    doc, n_tokens carried through."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import nb_score_frame, teacher_labels
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    model = Q["text_quality_nb_train"](spark, SF_SMALL)
+    scored = nb_score_frame(docs, model)
+    lab = {r.doc_id: r.is_q for r in teacher_labels(docs).collect()}
+    srows = scored.collect()
+    assert set(r.doc_id for r in srows) == set(lab)
+    agree = sum(bool(r.is_quality) == lab[r.doc_id] for r in srows)
+    assert agree / len(srows) >= 0.70, f"{agree}/{len(srows)}"
+    clf = {r.doc_id: r.n_tokens
+           for r in Q["text_quality_classifier"](spark, SF_SMALL).collect()}
+    assert all(r.n_tokens == clf[r.doc_id] for r in srows)
+
+
+def test_nb_score_frame_rejects_malformed_model(spark):
+    """The model collect is bounded by contract: a table that isn't
+    exactly the _CLF_D-row artifact raises instead of silently
+    mis-indexing weights."""
+    import pytest
+
+    from net7_etl_bus_spark.operators.text import nb_score_frame
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [(0, 1, 1, 1, 1)],
+        "bucket long, cnt_pos long, cnt_neg long, docs_pos long, docs_neg long",
+    )
+    with pytest.raises(ValueError, match="bucket rows"):
+        nb_score_frame(docs, bad)

@@ -411,3 +411,83 @@ def test_split_leakage_repair_recheck_at_both_thresholds(spark):
 
     with pytest.raises(ValueError, match="CC clustering tau"):
         _leakage_check_frame(docs, repaired, _CC_THRESHOLD - 0.01)
+
+
+def test_ivf_hier_assign_degenerates_to_exact_at_one_super(spark):
+    """The two-tier (IMI-style) scaled-K assignment cascade
+    (_hier_assign, r10): with n_super=1 every centroid and every
+    vector maps to the single super-group, so the second tier ranks
+    ALL K centroids — the cascade degenerates to the exact flat
+    argmin, and both ivf_search_frame variants must return identical
+    rows. This pins the cascade's plumbing (group map, per-tier
+    tie-breaks, probe tier) independently of its approximation."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.similarity import (
+        CENT_LO,
+        N_CENTROIDS,
+        ivf_search_frame,
+        ivfpq_search_frame,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cent = e.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+
+    flat = sorted(
+        ivf_search_frame(e, cent).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    hier = sorted(
+        ivf_search_frame(e, cent, n_super=1).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert [tuple(r) for r in flat] == [tuple(r) for r in hier]
+
+    flat_pq = sorted(
+        ivfpq_search_frame(e, cent).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    hier_pq = sorted(
+        ivfpq_search_frame(e, cent, n_super=1).collect(),
+        key=lambda r: (r.query_id, r.rk),
+    )
+    assert [tuple(r) for r in flat_pq] == [tuple(r) for r in hier_pq]
+
+
+def test_ivf_hier_assign_partition_complete_at_real_supers(spark):
+    """At a real super count (S=4 over K=16) the cascade is an
+    APPROXIMATE assignment but still a complete partition: every
+    vector lands in exactly one list, probe results keep the top-k
+    shape, and probed-candidate recall vs the flat path stays high on
+    the near-orthogonal synthetic vectors (identical here — each
+    vector's nearest centroid is overwhelmingly its own group's)."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.similarity import (
+        CENT_LO,
+        N_CENTROIDS,
+        _hier_assign,
+        ivf_search_frame,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cent = e.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+
+    assign = _hier_assign(e, cent, 4)
+    n = e.count()
+    assert assign.count() == n  # complete partition, no dup/loss
+    assert assign.select("vec_id").distinct().count() == n
+
+    res = ivf_search_frame(e, cent, n_super=4).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for qid, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 10
