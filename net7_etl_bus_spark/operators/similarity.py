@@ -1876,8 +1876,18 @@ def emb_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnorm2 = F.aggregate(
         "cq", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
     )
-    tc = cent.filter(cnorm2 > 0).select(
-        "cid", F.transform("cq", lambda x: x.cast("double")).alias("cent_emb")
+    # The trained-centroid relation is referenced THREE times downstream
+    # (semdedup_frame's ledger base + both pair-join sides); without
+    # persistence each reference re-runs the full 3-round Lloyd's
+    # training. localCheckpoint persists the K-row result on first
+    # computation, so training runs once per execution — the
+    # |K|-bounded intermediate class (dedup_cc precedent).
+    tc = (
+        cent.filter(cnorm2 > 0)
+        .select(
+            "cid", F.transform("cq", lambda x: x.cast("double")).alias("cent_emb")
+        )
+        .localCheckpoint(eager=False)
     )
     norm2 = F.aggregate(
         "embedding",

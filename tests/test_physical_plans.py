@@ -1063,3 +1063,37 @@ def test_token_budget_per_source_window_is_two_level(spark):
         re.search(r"windowspecdefinition\(source#\d+, b1#\d+L?, h#\d+", ln)
         for ln in lines
     ), f"raw-row window not bucketed by (source, b1):\n{plan}"
+
+
+def test_emb_semdedup_trained_trains_once_cluster_scoped(spark):
+    """emb_semdedup_trained (r10): the trained K-row centroid relation
+    is localCheckpointed, so the downstream semdedup tier references
+    it as a materialized scan (3 references — ledger base + both pair
+    sides) instead of re-running the 3-round Lloyd subplan per
+    reference; the semdedup tier itself keeps emb_semdedup's exact
+    shape — K-row broadcast nested-loops only, argmin via
+    WindowGroupLimit, the pair join a cid EQUI join, no cartesian,
+    no Python."""
+    plan = plan_of(spark, "emb_semdedup_trained", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan  # checkpoint reuse
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_text_quality_nb_train_counting_plan(spark):
+    """text_quality_nb_train (r10): training is COUNTING — token
+    explode + hash aggregates + one doc_id label equi-join
+    (broadcastable at this SF) + the bucket-spine equi-join; the
+    1-row priors relation is the only nested loop; no window, no
+    Python, no cartesian."""
+    plan = plan_of(spark, "text_quality_nb_train", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan  # 1-row priors
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
