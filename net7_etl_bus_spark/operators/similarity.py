@@ -1622,19 +1622,103 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = eq.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
     )
+    # checkpoint_rounds=False keeps the oracled key's fully-unrolled
+    # plan (the plan guard pins it; the oracle's CTEs mirror it)
+    return kmeans_train_frame(eq, cent, checkpoint_rounds=False)
+
+
+def _sqdist(a, b) -> Column:
+    """Exact integer squared distance between two quantized vectors —
+    order-independent, the emb_kmeans_train determinism contract."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _hier_assign_sq(eq: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
+    """:func:`_hier_assign`'s integer-distance twin for the k-means
+    UPDATE loop: two-tier argmin over quantized vectors (xq) and
+    centroids (cq), per-vector work S + K/S instead of K. Same
+    IMI-style approximation contract (n_super=1 degenerates to the
+    exact flat argmin — pytest-pinned); ties break (dist, cid/sid)
+    like the flat path. Emits (vec_id, xq, cid)."""
+    sup = (
+        cent.orderBy("cid")
+        .limit(n_super)
+        .select(F.col("cid").alias("sid"), F.col("cq").alias("sq"))
+    )
+    wc = Window.partitionBy("cid").orderBy("ds", "sid")
+    cmap = (
+        cent.crossJoin(F.broadcast(sup))
+        .withColumn("ds", _sqdist(F.col("cq"), F.col("sq")))
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("cid", "cq", "sid")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("ds", "sid")
+    vsel = (
+        eq.crossJoin(F.broadcast(sup))
+        .withColumn("ds", _sqdist(F.col("xq"), F.col("sq")))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "xq", "sid")
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        vsel.join(F.broadcast(cmap), "sid")
+        .withColumn("dist", _sqdist(F.col("xq"), F.col("cq")))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "xq", "cid")
+    )
+
+
+def kmeans_train_frame(
+    eq: DataFrame,
+    init_cent: DataFrame,
+    n_iters: int = _KM_ITERS,
+    n_super: int | None = None,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Distributed Lloyd's over ARBITRARY pre-quantized vectors
+    (vec_id, xq: array<long>) and initial centroids (cid, cq) — the
+    production trainer the registered emb_kmeans_train stands in for,
+    with the two knobs production needs:
+
+    * ``n_super``: two-tier (IMI-style) ASSIGNMENT cascade — the swap
+      emb_kmeans_train's docstring promises at production K
+      (K ~ sqrt(n) makes the flat broadcast argmin n*K ~ n^1.5; the
+      r10 annladder measured that exact failure on the search side,
+      exponent 1.09 flat vs 0.39 two-tier). The update side (integer
+      per-(cid, dim) means) is unchanged, as documented. n_super=1
+      degenerates to the exact flat argmin (pytest-pinned); at
+      n_super > 1 assignment is approximate in the standard ANN-
+      k-means sense, and the integer-mean update keeps every round
+      deterministic regardless.
+    * ``checkpoint_rounds``: localCheckpoint each round's K-row
+      centroid relation, so arbitrary n_iters doesn't build an
+      n_iters-deep unrolled plan and the two references per round
+      (group map + candidates) compute training once. The registered
+      key passes False to keep its oracle-mirrored unrolled plan.
+
+    Returns (cid, cq: array<long>, n: bigint). Callers quantize ONCE
+    with floor(x * 2^14) under the emb_kmeans_train domain contract
+    (|element| < 2^10, NaN/Inf-free) — see that docstring for the
+    int64-headroom derivation."""
+    cent = init_cent.select("cid", "cq")
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    for _ in range(_KM_ITERS):
-        dist = F.aggregate(
-            F.zip_with("xq", "cq", lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        assigned = (
-            eq.crossJoin(F.broadcast(cent))
-            .withColumn("dist", dist)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-        )
+    for _ in range(n_iters):
+        if n_super is None:
+            assigned = (
+                eq.crossJoin(F.broadcast(cent.select("cid", "cq")))
+                .withColumn("dist", _sqdist(F.col("xq"), F.col("cq")))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+            )
+        else:
+            assigned = _hier_assign_sq(eq, cent.select("cid", "cq"), n_super)
         cells = (
             assigned.select("cid", F.posexplode("xq").alias("d0", "x"))
             .groupBy("cid", F.col("d0"))
@@ -1655,6 +1739,8 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cq"),
             F.max("n").alias("n"),
         )
+        if checkpoint_rounds:
+            cent = cent.localCheckpoint(eager=False)
     return cent
 
 

@@ -644,3 +644,82 @@ def test_nb_score_frame_rejects_malformed_model(spark):
     )
     with pytest.raises(ValueError, match="bucket rows"):
         nb_score_frame(docs, bad)
+
+
+# --- production-K k-means trainer (kmeans_train_frame, r10) -------------
+
+
+def _km_inputs(spark):
+    from net7_etl_bus_spark.operators.similarity import (
+        _KM_K,
+        _KM_Q,
+        _km_eligible,
+    )
+
+    eq = _km_eligible(spark, SF_SMALL).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda y: F.floor(y.cast("double") * F.lit(_KM_Q)).cast("long"),
+        ).alias("xq"),
+    )
+    cent0 = eq.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    return eq, cent0
+
+
+def test_kmeans_train_frame_checkpointed_equals_registry(spark):
+    """kmeans_train_frame with per-round checkpointing (the arbitrary-
+    n_iters production mode) must train the EXACT same centroids as
+    the registered key's unrolled plan — checkpointing changes plan
+    depth, never values (integer arithmetic end-to-end)."""
+    from net7_etl_bus_spark.operators.similarity import kmeans_train_frame
+
+    eq, cent0 = _km_inputs(spark)
+    got = sorted(
+        (r.cid, tuple(r.cq), r.n)
+        for r in kmeans_train_frame(eq, cent0, checkpoint_rounds=True).collect()
+    )
+    reg = Q["emb_kmeans_train"](spark, SF_SMALL).collect()
+    by_cid = {}
+    for r in reg:
+        ent = by_cid.setdefault(r.cid, ([0] * 64, r.n_members))
+        ent[0][r.d - 1] = r.c_q
+    want = sorted((cid, tuple(v[0]), v[1]) for cid, v in by_cid.items())
+    assert got == want
+
+
+def test_kmeans_train_frame_hier_degenerates_at_one_super(spark):
+    """n_super=1: the two-tier integer-distance cascade ranks all K
+    centroids in its second tier — bit-identical to the flat argmin."""
+    from net7_etl_bus_spark.operators.similarity import kmeans_train_frame
+
+    eq, cent0 = _km_inputs(spark)
+    flat = sorted(
+        (r.cid, tuple(r.cq), r.n)
+        for r in kmeans_train_frame(eq, cent0).collect()
+    )
+    hier = sorted(
+        (r.cid, tuple(r.cq), r.n)
+        for r in kmeans_train_frame(eq, cent0, n_super=1).collect()
+    )
+    assert flat == hier
+
+
+def test_kmeans_train_frame_hier_conserves_members(spark):
+    """At a real super count (S=3 over K=8) assignment is approximate
+    but every vector still lands in exactly one cluster each round:
+    member counts sum to the corpus, surviving cids are seed cids,
+    centroids keep the 64-dim shape."""
+    from net7_etl_bus_spark.operators.similarity import (
+        _KM_K,
+        kmeans_train_frame,
+    )
+
+    eq, cent0 = _km_inputs(spark)
+    n = eq.count()
+    rows = kmeans_train_frame(eq, cent0, n_super=3).collect()
+    assert sum(r.n for r in rows) == n
+    assert all(0 <= r.cid < _KM_K for r in rows)
+    assert all(len(r.cq) == 64 for r in rows)
