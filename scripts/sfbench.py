@@ -80,6 +80,17 @@ DEFAULT_KEYS = [
     # the excluded exact all-pairs baselines and their LSH twins.
     "sim_search_ivf", "sim_search_ivfpq", "text_inverted_index",
     "join_skew_salted", "zorder_cluster",
+    # r10: emb_semdedup_trained is deliberately NOT enrolled for the
+    # same reason as emb_semdedup — its registry form pins the trained
+    # quantizer at fixed K=8 for oracle stability, so the (n/K)^2
+    # within-cluster pair term is superlinear by construction; the
+    # production path is semdedup_frame / kmeans_train_frame with K
+    # scaled ~ n (the adjudication in SCALE.md r9/r10).
+    # text_quality_nb_train needs no ladder row of its own: it is
+    # text_quality_classifier's scan + one more |docs|-bounded join
+    # and a 64-cell aggregate (same shape class as text_stats, 0.2x).
+    # The scaled-K ANN variants are measured by scripts/annladder.py
+    # (frame entries, per-SF sizing — outside the fixed-key protocol).
 ]
 
 
