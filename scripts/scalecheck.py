@@ -104,6 +104,15 @@ SCALE_QUERIES = [
     # aggregate — linear in vectors regardless of their values (so,
     # unlike the near-dup ops, replicated embeddings are fine here).
     "emb_kmeans_train",
+    # r10 NB trainer: token explode + |docs|-bounded teacher join + a
+    # 64-cell conditional-count aggregate — token-linear, and teacher
+    # labels are per-doc deterministic so replicated docs are fine.
+    # emb_semdedup_trained is deliberately NOT enrolled: replicated
+    # identical vectors are cos=1 near-dups of each other, so the
+    # within-cluster pair term grows quadratically WITH THE REPLICATION
+    # ITSELF — the same by-construction exclusion as emb_semdedup and
+    # the exact all-pairs baselines (SCALE.md r9/r10 adjudications).
+    "text_quality_nb_train",
 ]
 
 
