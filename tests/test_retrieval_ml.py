@@ -723,3 +723,40 @@ def test_kmeans_train_frame_hier_conserves_members(spark):
     assert sum(r.n for r in rows) == n
     assert all(0 <= r.cid < _KM_K for r in rows)
     assert all(len(r.cq) == 64 for r in rows)
+
+
+def test_nb_train_frame_external_labels_hand_corpus(spark):
+    """nb_train_frame's production shape: EXTERNAL labels (not the
+    teacher), verified against a hand computation — every token of a
+    labeled doc lands in its class's counter at the md5 bucket, docs
+    without a label row drop out (inner join), priors count label
+    rows, and the spine zero-fills untouched buckets."""
+    from net7_etl_bus_spark.operators.text import _CLF_D, nb_train_frame
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc"), (3, "dd"), (4, "unlabeled ee")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "doc_id long, is_q boolean"
+    )
+    rows = {r.bucket: r for r in nb_train_frame(docs, labels).collect()}
+    assert sorted(rows) == list(range(_CLF_D))
+
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _CLF_D
+
+    want_pos, want_neg = {}, {}
+    for toks, is_q in ((["aa", "bb", "aa"], True), (["bb", "cc"], False),
+                       (["dd"], True)):
+        for t in toks:
+            d = want_pos if is_q else want_neg
+            d[bucket(t)] = d.get(bucket(t), 0) + 1
+    for b in range(_CLF_D):
+        assert rows[b].cnt_pos == want_pos.get(b, 0), b
+        assert rows[b].cnt_neg == want_neg.get(b, 0), b
+        assert rows[b].docs_pos == 2 and rows[b].docs_neg == 1
+    # doc 4's tokens appear nowhere (no label row)
+    assert sum(r.cnt_pos + r.cnt_neg for r in rows.values()) == 6
