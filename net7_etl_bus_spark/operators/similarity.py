@@ -1988,6 +1988,97 @@ def emb_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_frame(fe, tc)
 
 
+@register(
+    "sim_search_ivf_trained",
+    oracle=f"""
+    WITH {_KM_CTES},
+    tc AS (
+      SELECT cid, list_transform(cq, x -> CAST(x AS DOUBLE)) AS cent_emb
+      FROM c{_KM_ITERS}
+      WHERE {_sql_norm("cq")} > 0),
+    fe AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE {_KM_ELIGIBLE_SQL}
+        AND {_sql_norm("embedding")} > 0),
+    ranked AS (
+      SELECT vec_id, label, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rkc
+      FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               {_sql_cos("e.embedding", "c.cent_emb")} AS cos_c
+        FROM fe e CROSS JOIN tc c) t),
+    assign AS (
+      SELECT vec_id, label, embedding, cid FROM ranked WHERE rkc = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cid
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rkc <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+             {_sql_cos("p.q_emb", "a.embedding")} AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= {TOP_K}
+    """,
+)
+def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN search chain under a driver verdict (VERDICT
+    r10 item 2) — the search half of what emb_semdedup_trained did for
+    dedup: :func:`ivf_search_frame` fed emb_kmeans_train's TRAINED
+    centroids instead of sim_search_ivf's fixed seed rows. Train the
+    coarse quantizer, assign the corpus to its lists, probe each
+    query's {N_PROBE} nearest lists, exact-rerank — the two-step
+    recipe both ops document as each other's production input, now
+    oracle-checked end to end by splicing the kmeans CTEs
+    (``_KM_CTES``) into the IVF probe CTEs.
+
+    Seam contracts mirror emb_semdedup_trained's: the searchable set
+    is the kmeans-ELIGIBLE set (finite, in-domain, exactly
+    {_KM_DIM}-dim) further requiring norm > 0 (zero vectors make
+    cosine NaN, which the two engines order differently around a
+    rank); trained centroids enter as their quantized integer
+    coordinates cast to double (cosine is scale-invariant, so
+    quantization perturbs only angles, never the ranking rule), any
+    all-zero centroid excluded for the same NaN reason. The exact
+    flat assignment path (``n_super=None``) keeps the oracle
+    expressible; the two-tier production cascade is pinned equal to
+    it at n_super=1 and measured on the scaled-K ladder (SCALE.md).
+
+    Scale shape is ivf_search_frame's unchanged: the K-row trained
+    centroid relation is localCheckpointed once (training runs once
+    across the assign and probe references) and broadcast; the corpus
+    never shuffles for assignment; the candidate join is an equi-join
+    on cid bounded by probed-list size.
+    """
+    cent = _kmeans_centroids(spark, sf_dir)
+    cnorm2 = F.aggregate(
+        "cq", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    tc = (
+        cent.filter(cnorm2 > 0)
+        .select(
+            "cid", F.transform("cq", lambda x: x.cast("double")).alias("cent_emb")
+        )
+        .localCheckpoint(eager=False)
+    )
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    fe = (
+        _km_eligible(spark, sf_dir)
+        .filter(norm2 > 0)
+        .select("vec_id", "label", "embedding")
+    )
+    return ivf_search_frame(fe, tc)
+
+
 # --- matryoshka (prefix-dimension) two-stage retrieval -----------------
 #
 # Matryoshka representation learning (Kusupati et al. 2022) trains

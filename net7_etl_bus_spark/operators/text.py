@@ -769,6 +769,22 @@ _CLF_W = [-9, -31, 0, 33, -44, -41, 18, -38, -4, 24, -43, 14, -23, -46, -39,
 _CLF_BIAS = 120
 
 
+def _clf_bucket(tok) -> Column:
+    """The shared token -> feature-bucket hash (md5 prefix mod _CLF_D)
+    used by text_quality_classifier, the NB trainer, and the NB scorer
+    — one bucketing so trained weights plug into the scorer shape."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % _CLF_D
+
+
+# Oracle-side twin of _clf_bucket — the ONE SQL source of truth for the
+# bucket hash, substituted into every oracle that buckets tokens
+# (classifier, quantile gate, NB trainer/scorer; ADVICE r10 removed the
+# two older inlined copies that could drift).
+_CLF_BUCKET_SQL = (
+    f"(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % {_CLF_D})"
+)
+
+
 @register(
     "text_quality_classifier",
     oracle=f"""
@@ -779,7 +795,7 @@ _CLF_BIAS = 120
       SELECT doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              SUM(([{", ".join(str(w) for w in _CLF_W)}])
-                 [(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % {_CLF_D}) + 1])
+                 [{_CLF_BUCKET_SQL} + 1])
                AS wsum
       FROM toks GROUP BY doc_id)
     SELECT doc_id, n_tokens,
@@ -841,18 +857,6 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the trained model itself carries a driver verdict; turning counts
 # into log-odds weights is a |2D|-sized driver-side closed form
 # (nb_score_frame), pytest-pinned against the teacher.
-
-
-def _clf_bucket(tok) -> Column:
-    """The shared token -> feature-bucket hash (md5 prefix mod _CLF_D)
-    used by text_quality_classifier, the NB trainer, and the NB scorer
-    — one bucketing so trained weights plug into the scorer shape."""
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % _CLF_D
-
-
-_CLF_BUCKET_SQL = (
-    f"(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % {_CLF_D})"
-)
 
 
 def nb_train_frame(docs: DataFrame, labels: DataFrame) -> DataFrame:
@@ -992,6 +996,14 @@ def nb_score_frame(docs: DataFrame, model: DataFrame, alpha: int = 1) -> DataFra
         raise ValueError(
             f"NB model must have exactly {_CLF_D} bucket rows, got {len(rows)}"
         )
+    # The priors are repeated per row so the table is self-contained;
+    # a model whose rows DISAGREE (merged shards, a hand-edited
+    # artifact) has no well-defined prior — reject it rather than
+    # silently scoring with row 0's values (ADVICE r10).
+    if len({(r.docs_pos, r.docs_neg) for r in rows}) != 1:
+        raise ValueError(
+            "NB model rows carry inconsistent (docs_pos, docs_neg) priors"
+        )
     tot_pos = sum(r.cnt_pos for r in rows) + alpha * _CLF_D
     tot_neg = sum(r.cnt_neg for r in rows) + alpha * _CLF_D
     weights = [
@@ -1101,8 +1113,7 @@ _QG_LO, _QG_HI = -32768, 32767  # clamped histogram domain (2^16 bins)
     scored AS (
       SELECT doc_id,
              CAST(SUM(([{", ".join(str(w) for w in _CLF_W)}])
-                 [(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
-                   % {_CLF_D}) + 1]) + {_CLF_BIAS} AS BIGINT) AS raw_score
+                 [{_CLF_BUCKET_SQL} + 1]) + {_CLF_BIAS} AS BIGINT) AS raw_score
       FROM toks GROUP BY doc_id),
     b AS (SELECT doc_id, raw_score,
                  GREATEST({_QG_LO}, LEAST({_QG_HI}, raw_score)) AS sb
