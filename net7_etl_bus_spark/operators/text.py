@@ -927,10 +927,11 @@ def teacher_labels(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_nb_train",
-    oracle=f"""
-    WITH toks AS (
+# The teacher-label + per-class-count training CTEs, shared verbatim
+# by the text_quality_nb_train oracle and the chained
+# text_quality_nb_scored oracle (which consumes agg/pri as its trained
+# model) — one source of truth, the _KM_CTES precedent.
+_NB_TRAIN_CTES = f"""toks AS (
       SELECT doc_id, {_CLF_BUCKET_SQL} AS bucket,
              ([{", ".join(str(w) for w in _CLF_W)}])[{_CLF_BUCKET_SQL} + 1] AS wt
       FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
@@ -946,7 +947,13 @@ def teacher_labels(docs: DataFrame) -> DataFrame:
     pri AS (
       SELECT CAST(COUNT(*) FILTER (is_q) AS BIGINT) AS docs_pos,
              CAST(COUNT(*) FILTER (NOT is_q) AS BIGINT) AS docs_neg
-      FROM lab)
+      FROM lab)"""
+
+
+@register(
+    "text_quality_nb_train",
+    oracle=f"""
+    WITH {_NB_TRAIN_CTES}
     SELECT b.bucket,
            CAST(COALESCE(a.cnt_pos, 0) AS BIGINT) AS cnt_pos,
            CAST(COALESCE(a.cnt_neg, 0) AS BIGINT) AS cnt_neg,
@@ -1031,6 +1038,171 @@ def nb_score_frame(docs: DataFrame, model: DataFrame, alpha: int = 1) -> DataFra
         "nb_score",
         (F.col("nb_score") >= 0).cast("bigint").alias("is_quality"),
     )
+
+
+_NB_Q = 1_000_000  # likelihood-ratio quantum (the text_lm_score 1e6)
+
+
+def nb_score_quantized_frame(
+    docs: DataFrame, model: DataFrame, alpha: int = 1
+) -> DataFrame:
+    """Score a corpus with a trained NB model using EXACT INTEGER
+    arithmetic — the oracle-expressible twin of :func:`nb_score_frame`
+    (VERDICT r10 item 4: the float log-odds scorer can't be
+    cross-engine-hashed, so the score half of the trained-NB loop had
+    no driver verdict).
+
+    Per-bucket evidence is the SYMMETRIZED Laplace-smoothed likelihood
+    ratio, each direction quantized by one integer floor-division of
+    positive operands (the text_lm_score precedent — floor == truncate
+    for non-negative quotients, so Spark `div` and DuckDB `//` agree):
+
+        w_q(b) = floor(r * {_NB_Q}) - floor((1/r) * {_NB_Q}),
+        r = ((cnt_pos+a) * tot_neg) / ((cnt_neg+a) * tot_pos)
+
+    Since r - 1/r = 2*ln(r) + O(ln^3 r), w_q tracks twice the NB
+    log-odds for the mild per-bucket ratios a {_CLF_D}-bucket hashed
+    model produces, and is exactly antisymmetric (swapping classes
+    flips the sign, like log-odds — the one-sided ratio mean the first
+    draft used biases positive because r + nothing cancels 1/r). The
+    prior enters on the same scale: prior_q = floor(p*{_NB_Q}) -
+    floor({_NB_Q}/p) with p the smoothed class-count odds. Decision:
+
+        is_quality = prior_q + sum over tokens of w_q(bucket) >= 0
+
+    The true-log version is nb_score_frame, which stays the production
+    default; on the test corpus the quantized decision agrees with it
+    on >99% of documents and with the teacher well above the float
+    scorer's own 70% pin (both pinned in tests/test_retrieval_ml.py).
+    ln() itself is quantization-hostile cross-engine (text_lm_score's
+    documented reason), which is why the proxy — not floor(ln*Q) — is
+    the oracle-expressible form. Products are carried in
+    DECIMAL(38,0)/HUGEINT (the bm25 overflow rule); per-doc sums
+    accumulate in DECIMAL(38,0) (a pathological single-bucket corpus
+    can push |w_q| toward ratio*{_NB_Q} ~ 1e14, and int64 partials
+    would wrap silently at ~1e4 such tokens).
+
+    Scale shape: the {_CLF_D}-row model is localCheckpointed once
+    (three bounded references: totals, weights, priors) and enters the
+    plan as broadcast relations — the corpus is touched once, one
+    explode + bucket equi-join against the {_CLF_D}-row weight
+    relation + one doc_id hash aggregate; nothing but (doc_id,
+    2 counters) ever shuffles. Emits (doc_id, n_tokens, nb_score_q,
+    is_quality)."""
+    m = model.select("bucket", "cnt_pos", "cnt_neg", "docs_pos", "docs_neg")
+    m = m.localCheckpoint(eager=False)
+    tot = m.agg(
+        (F.sum("cnt_pos") + alpha * _CLF_D).cast("bigint").alias("tot_pos"),
+        (F.sum("cnt_neg") + alpha * _CLF_D).cast("bigint").alias("tot_neg"),
+    )
+    w = (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST((CAST(cnt_pos + {alpha} AS DECIMAL(38,0))"
+                f" * tot_neg * {_NB_Q})"
+                f" div (CAST(cnt_neg + {alpha} AS DECIMAL(38,0)) * tot_pos)"
+                f" - (CAST(cnt_neg + {alpha} AS DECIMAL(38,0))"
+                f" * tot_pos * {_NB_Q})"
+                f" div (CAST(cnt_pos + {alpha} AS DECIMAL(38,0)) * tot_neg)"
+                f" AS BIGINT)"
+            ).alias("w_q"),
+        )
+    )
+    # priors repeat on every model row by construction (nb_train_frame's
+    # crossJoin); MAX picks the shared value without a driver collect —
+    # the float scorer's collect-side consistency raise guards the
+    # hand-edited-artifact case
+    pri = m.agg(
+        F.expr(
+            f"CAST((CAST(MAX(docs_pos) + {alpha} AS DECIMAL(38,0)) * {_NB_Q})"
+            f" div (MAX(docs_neg) + {alpha})"
+            f" - (CAST(MAX(docs_neg) + {alpha} AS DECIMAL(38,0)) * {_NB_Q})"
+            f" div (MAX(docs_pos) + {alpha}) AS BIGINT)"
+        ).alias("prior_q")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    )
+    scored = (
+        toks.select("doc_id", _clf_bucket("tok").alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("w_q").cast("decimal(38,0)")).alias("sw"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("prior_q") + F.col("sw")).cast("bigint").alias("nb_score_q"),
+            ((F.col("prior_q") + F.col("sw")) >= 0)
+            .cast("bigint")
+            .alias("is_quality"),
+        )
+    )
+
+
+@register(
+    "text_quality_nb_scored",
+    oracle=f"""
+    WITH {_NB_TRAIN_CTES},
+    model AS (
+      SELECT b.bucket,
+             CAST(COALESCE(a.cnt_pos, 0) AS BIGINT) AS cnt_pos,
+             CAST(COALESCE(a.cnt_neg, 0) AS BIGINT) AS cnt_neg
+      FROM (SELECT unnest(generate_series(0, {_CLF_D - 1})) AS bucket) b
+      LEFT JOIN agg a USING (bucket)),
+    tot AS (
+      SELECT CAST(SUM(cnt_pos) + {_CLF_D} AS BIGINT) AS tot_pos,
+             CAST(SUM(cnt_neg) + {_CLF_D} AS BIGINT) AS tot_neg
+      FROM model),
+    w AS (
+      SELECT m.bucket,
+             CAST((CAST(m.cnt_pos + 1 AS HUGEINT) * t.tot_neg * {_NB_Q})
+                  // (CAST(m.cnt_neg + 1 AS HUGEINT) * t.tot_pos)
+                  - (CAST(m.cnt_neg + 1 AS HUGEINT) * t.tot_pos * {_NB_Q})
+                  // (CAST(m.cnt_pos + 1 AS HUGEINT) * t.tot_neg)
+                  AS BIGINT) AS w_q
+      FROM model m CROSS JOIN tot t),
+    prq AS (
+      SELECT CAST((CAST(docs_pos + 1 AS HUGEINT) * {_NB_Q}) // (docs_neg + 1)
+                  - (CAST(docs_neg + 1 AS HUGEINT) * {_NB_Q}) // (docs_pos + 1)
+                  AS BIGINT) AS prior_q
+      FROM pri),
+    sc AS (
+      SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_q) AS HUGEINT) AS sw
+      FROM toks tk JOIN w ON w.bucket = tk.bucket
+      GROUP BY tk.doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           CAST(p.prior_q + s.sw AS BIGINT) AS nb_score_q,
+           CAST(p.prior_q + s.sw >= 0 AS BIGINT) AS is_quality
+    FROM sc s CROSS JOIN prq p
+    """,
+)
+def text_quality_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-NB quality loop CLOSED under one driver verdict
+    (VERDICT r10 item 4): train on the corpus with teacher labels
+    (text_quality_nb_train's exact counting pass), score every
+    document with the integer-quantized likelihood-ratio scorer, emit
+    the per-document keep/drop ledger. The oracle splices the NB-train
+    CTEs (``_NB_TRAIN_CTES``) into the scorer CTEs — both halves exact
+    integer arithmetic, so the chain hash-matches end to end.
+
+    Alpha is fixed at 1 (the default) in BOTH engines; quantization
+    and the arithmetic-mean decision rule are documented on
+    :func:`nb_score_quantized_frame`. Teacher agreement of this
+    quantized scorer is pinned in tests/test_text_gate.py alongside
+    the float scorer's.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    model = nb_train_frame(d, teacher_labels(d))
+    return nb_score_quantized_frame(d, model)
 
 
 # --- HTML strip (web-page -> training text) ---------------------------

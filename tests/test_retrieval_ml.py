@@ -646,6 +646,72 @@ def test_nb_score_frame_rejects_malformed_model(spark):
         nb_score_frame(docs, bad)
 
 
+def test_nb_quantized_scorer_tracks_float_scorer_and_teacher(spark):
+    """VERDICT r10 item 4: the integer-quantized NB scorer (the
+    oracle-expressible half of text_quality_nb_scored) must be a real
+    NB decision, not just hashable — pin (1) >=95% per-document
+    keep/drop agreement with the float log-odds scorer on the SAME
+    trained model (measured 99.4% at sf0.001/sf0.01; the symmetric
+    r - 1/r evidence tracks 2*log r for mild bucket ratios), (2)
+    teacher agreement at least as strong as the float scorer's own
+    70% pin (measured 87%), and (3) the ledger shape: one score per
+    tokenized doc, n_tokens carried through."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import (
+        nb_score_frame,
+        nb_score_quantized_frame,
+        teacher_labels,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    model = Q["text_quality_nb_train"](spark, SF_SMALL).localCheckpoint(
+        eager=False
+    )
+    qrows = nb_score_quantized_frame(docs, model).collect()
+    flt = {r.doc_id: bool(r.is_quality) for r in nb_score_frame(docs, model).collect()}
+    lab = {r.doc_id: r.is_q for r in teacher_labels(docs).collect()}
+    assert set(r.doc_id for r in qrows) == set(flt) == set(lab)
+    agree_float = sum(bool(r.is_quality) == flt[r.doc_id] for r in qrows)
+    assert agree_float / len(qrows) >= 0.95, f"{agree_float}/{len(qrows)}"
+    agree_teacher = sum(bool(r.is_quality) == lab[r.doc_id] for r in qrows)
+    assert agree_teacher / len(qrows) >= 0.70, f"{agree_teacher}/{len(qrows)}"
+    reg = {r.doc_id: r for r in Q["text_quality_nb_scored"](spark, SF_SMALL).collect()}
+    assert {d: bool(r.is_quality) for d, r in reg.items()} == {
+        r.doc_id: bool(r.is_quality) for r in qrows
+    }
+    clf = {r.doc_id: r.n_tokens
+           for r in Q["text_quality_classifier"](spark, SF_SMALL).collect()}
+    assert all(r.n_tokens == clf[r.doc_id] for r in qrows)
+
+
+def test_nb_quantized_scorer_antisymmetric_under_class_swap(spark):
+    """The symmetric ratio evidence's defining property (the reason the
+    one-sided ratio mean was rejected): swapping the classes — cnt_pos
+    <-> cnt_neg, docs_pos <-> docs_neg — exactly negates every
+    document's score, so the decision boundary is class-symmetric like
+    log-odds. (Scores with |score| < 1 quantum may keep is_quality on
+    both sides; exact negation is the pin.)"""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import nb_score_quantized_frame
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    model = Q["text_quality_nb_train"](spark, SF_SMALL).localCheckpoint(
+        eager=False
+    )
+    swapped = model.selectExpr(
+        "bucket",
+        "cnt_neg AS cnt_pos",
+        "cnt_pos AS cnt_neg",
+        "docs_neg AS docs_pos",
+        "docs_pos AS docs_neg",
+    )
+    a = {r.doc_id: r.nb_score_q for r in nb_score_quantized_frame(docs, model).collect()}
+    b = {r.doc_id: r.nb_score_q
+         for r in nb_score_quantized_frame(docs, swapped).collect()}
+    assert a and set(a) == set(b)
+    assert all(b[d] == -a[d] for d in a)
+
+
 # --- production-K k-means trainer (kmeans_train_frame, r10) -------------
 
 
