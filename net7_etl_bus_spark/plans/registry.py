@@ -74,47 +74,44 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-10 front of the line (r9 verdict item 1): the 2 keys NEW in
-# r10 (never attested: the production-shape semdedup chain and the NB
-# quality trainer), then ALL 40 keys whose latest driver verdict is
-# r5, then the first 8 (alphabetical) of the 43 r6-stale keys —
-# computed from CORRECTNESS_r01..r09.json via scripts/rotation.py
-# (which now skips FAILED verdict entries per ADVICE r9; composition
-# unchanged since every key's latest verdict passes). No oracle was
-# edited after its last verdict this round. After this sweep lands
-# green: zero keys with a verdict older than r6. The composition
-# (2 new + 40 r5-stale + 8 r6-stale) and the marker position are
-# pinned by tests/test_guards.py::test_sweep_rotation_arithmetic.
-# Keys not in the registry are ignored, so this list never breaks
-# registration.
+# Round-11 front of the line (r10 verdict item 1): the 2 keys NEW in
+# r11 (never attested: the trained-quantizer ANN search chain and the
+# quantized NB scoring chain), then ALL 35 keys whose latest driver
+# verdict is r6, then the first 13 (alphabetical) of the 50 r7-stale
+# keys — computed from CORRECTNESS_r01..r10.json via
+# scripts/rotation.py. No oracle was edited after its last verdict
+# this round (the _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations are
+# byte-identical after whitespace normalization, verified in-session).
+# After this sweep lands green: zero keys with a verdict older than
+# r7. The composition (2 new + 35 r6-stale + 13 r7-stale) and the
+# marker position are pinned by
+# tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
+# the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r10, never driver-attested (2 keys) ---
-    "emb_semdedup_trained", "text_quality_nb_train",
-    # --- last driver verdict: r5 (all 40 r5-stale keys) ---
-    "agg_decay_weighted", "agg_grouping_sets", "agg_hash",
-    "agg_histogram", "agg_median_iterative", "agg_percentile_approx",
-    "agg_percentile_disc", "agg_pivot", "agg_regr", "agg_rollup",
-    "agg_rollup_time", "agg_stats_moments", "agg_weighted_avg",
-    "dedup_apply_increment", "dedup_cc_clusters", "dedup_cc_survivors",
-    "dedup_lsh_jaccard_est", "dedup_minhash_mllib",
-    "dedup_ngram_jaccard", "emb_kmeans_train", "graph_triangle_count",
-    "join_bloom_prefilter", "pipeline_curation", "pipeline_rag_prep",
-    "q16_supplier_part_cnt", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "sample_exact_k_stratified",
-    "sample_mixture_epochs", "scan_hive_partitioned",
-    "scan_schema_evolution", "text_chunk_overlap", "text_html_strip",
-    "text_pack_sequences", "text_quality_quantile_gate",
-    "udaf_applyInPandas", "win_pct_change", "win_session",
-    # --- oldest 8 of the 43 r6-stale keys (alphabetical) ---
-    "agg_distinct", "checksum_sha256", "dedup_exact",
-    "dedup_exact_survivors", "dedup_minhash_lsh",
-    "dedup_minhash_signature", "dedup_simhash", "etl_run_snapshot",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r11: the remaining 35 r6-stale keys
-    # (locally diffcheck-green) ---
+    # --- NEW in r11, never driver-attested (2 keys) ---
+    "sim_search_ivf_trained", "text_quality_nb_scored",
+    # --- last driver verdict: r6 (all 35 r6-stale keys) ---
     "filter_pred", "fn_array", "fn_array_hof", "fn_date", "fn_math",
-    "fn_string",
+    "fn_string", "http_enrichment_mock", "join_anti", "join_asof",
+    "join_asof_pandas", "join_broadcast", "join_full_outer",
+    "join_inner_hash", "join_left_outer", "join_right_outer",
+    "join_semi", "join_skew_salted", "join_theta_range", "limit_n",
+    "mm_features", "mm_frame_sample", "parquet_scan", "project_expr",
+    "q10_returned_items", "q14_promo_revenue", "set_except",
+    "set_intersect", "set_union_all", "sort_orderby", "topk_per_group",
+    "ttl_freshness_filter", "udf_pandas_vectorized", "udf_scalar",
+    "udtf_surface", "win_running_agg",
+    # --- oldest 13 of the 50 r7-stale keys (alphabetical) ---
+    "anti_join_processed", "audit_timestamps", "completeness_filter",
+    "count_agg", "csv_scan", "dedup_by_key", "dedup_containment",
+    "dedup_containment_lsh", "dedup_containment_lsh_permissive",
+    "dedup_containment_recall", "derive_composite_key",
+    "emb_dedup_cosine", "emb_dedup_cosine_lsh",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r12: the remaining 37 r7-stale keys
+    # (locally diffcheck-green) ---
+    "events_funnel", "exists_agg", "file_checksum", "fn_json",
+    "fn_json_typed", "fn_map",
 )
 
 

@@ -371,11 +371,11 @@ def test_sweep_rotation_arithmetic():
        drops out of the front-50 via the ``if k in d`` filter);
     2. the budget-line marker comment in the SOURCE sits after exactly
        50 keys — the true driver cutoff;
-    3. the r10 front-50 equals the documented composition from the r9
-       verdict: the keys NEW in r10 (never attested), ALL 40 r5-stale
-       keys, and r6-stale fillers (verified against
-       CORRECTNESS_r01..r09.json when present — every front-50 key
-       must be never-attested, r5-stale, or r6-stale, and no r5-stale
+    3. the r11 front-50 equals the documented composition from the r10
+       verdict: the keys NEW in r11 (never attested), ALL 35 r6-stale
+       keys, and r7-stale fillers (verified against
+       CORRECTNESS_r01..r10.json when present — every front-50 key
+       must be never-attested, r6-stale, or r7-stale, and no r6-stale
        key may be left out).
 
     Ordering WITHIN the front-50 is deliberately unconstrained
@@ -414,7 +414,10 @@ def test_sweep_rotation_arithmetic():
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r0*.json")))
+    # r* not r0*: the two-digit rounds (r10+) must count — the r0* glob
+    # silently dropped CORRECTNESS_r10.json, leaving r10-attested keys
+    # looking r6-stale
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     if not files:
         return
     latest: dict[str, int] = {}
@@ -423,8 +426,8 @@ def test_sweep_rotation_arithmetic():
         if m is None:
             continue  # nonconforming file name (ADVICE r9)
         rnd = int(m.group(1))
-        if rnd > 9:
-            continue  # composition was computed from r01..r09
+        if rnd > 10:
+            continue  # composition was computed from r01..r10
         for k, v in json.load(open(p)).items():
             # failed entries don't attest (ADVICE r9) — mirror
             # scripts/rotation.py's rule
@@ -436,12 +439,12 @@ def test_sweep_rotation_arithmetic():
             ):
                 latest[k] = max(latest.get(k, 0), rnd)
     front = set(_SWEEP_PRIORITY[:50])
-    r5_stale = {k for k, v in latest.items() if v == 5}
-    assert r5_stale <= front, f"r5-stale keys missing from front-50: {r5_stale - front}"
-    leftover = front - r5_stale
-    assert all(latest.get(k) in (None, 6) for k in leftover), (
-        "front-50 fillers must be never-attested (new) or r6-stale, "
-        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 6)} }"
+    r6_stale = {k for k, v in latest.items() if v == 6}
+    assert r6_stale <= front, f"r6-stale keys missing from front-50: {r6_stale - front}"
+    leftover = front - r6_stale
+    assert all(latest.get(k) in (None, 7) for k in leftover), (
+        "front-50 fillers must be never-attested (new) or r7-stale, "
+        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 7)} }"
     )
 
     # Generator/checker agreement: the committed tuple's front-50 must
