@@ -2025,11 +2025,37 @@ def bpe_encode_frame(
     return _bpe_ledger(docs, encv)
 
 
+def _bpe_disjoint_prefix(
+    cands: list, quota: int
+) -> list[tuple[str, str, int]]:
+    """The batched-BPE acceptance rule: walk this round's top pair
+    candidates in winner order and keep the longest PREFIX whose
+    merges share no symbols — neither operands nor the symbols they
+    create ({x, y, x+y} must be fresh). Stop at the FIRST conflict
+    rather than skip it: a pair that shares a symbol with an accepted
+    merge has a stale count the moment that merge applies, and any
+    pair AFTER it in the ranking could in turn interact with the
+    skipped one — the strict prefix is the only cut where every
+    accepted count is still exact. The conflicting pair is simply
+    re-counted and re-won next round."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for r in cands:
+        if len(accepted) >= quota:
+            break
+        if used & {r.x, r.y, r.x + r.y}:
+            break
+        accepted.append((r.x, r.y, r.pair_n))
+        used |= {r.x, r.y, r.x + r.y}
+    return accepted
+
+
 def bpe_train_frame(
     corpus_or_wordcounts: DataFrame,
     n_merges: int,
     checkpoint_every: int = 8,
     max_word_len: int = 32,
+    n_batch: int = 1,
 ) -> DataFrame:
     """Arbitrary-K BPE training — the production trainer the unrolled
     registry keys stand in for (VERDICT r9 item 2: text_bpe_train is
@@ -2043,10 +2069,10 @@ def bpe_train_frame(
     Physical strategy: the corpus is touched ONCE (word counts,
     localCheckpoint — the text_lm_score c12 lesson); every merge round
     after that is |vocab|-bounded: one pair-count hash aggregate over
-    the checkpointed spaced-word table and ONE 1-row winner collect —
+    the checkpointed spaced-word table and ONE bounded winner collect —
     the sanctioned bounded-driver-decision idiom (a BPE winner is a
     driver decision by nature: it parameterizes the next round's
-    plan). The winning merge is applied as a LITERAL replace (no
+    plan). Winning merges are applied as LITERAL replaces (no
     crossJoin needed — the driver has the values), same cross-engine
     ' x y ' -> ' xy ' contract as the plan-level rounds, so the first
     {_BPE_ROUNDS} winners are pinned equal to text_bpe_train's in
@@ -2056,10 +2082,39 @@ def bpe_train_frame(
     way the unrolled plan would. Training stops early when no pair
     remains (vocabulary fully merged).
 
+    ``n_batch`` batches the driver round trips (VERDICT r10 item 3:
+    one collect per merge is 50k sequential Spark jobs at GPT-2 scale
+    — hours of pure scheduling latency at ANY corpus size). Each
+    round collects the top-``n_batch`` pair candidates and applies the
+    longest pairwise-DISJOINT prefix (no shared operand or created
+    symbol — :func:`_bpe_disjoint_prefix`) as stacked literal replaces
+    in one plan node, cutting collects up to n_batch-fold. n_batch=1
+    is exactly the one-at-a-time loop (pinned); n_batch>1 is the
+    standard batched-BPE approximation — counts for accepted merges
+    are exact (disjointness keeps them invariant under each other),
+    but a pair CREATED by an accepted merge cannot win until the next
+    round, so the merge ORDER can differ from strictly-sequential
+    training where a fresh pair would have outranked the round's
+    lower candidates (both orders are valid BPE vocabularies; pinned
+    divergence + conflict-deferral tests in test_retrieval_ml.py).
+
+    Replace-overlap contract (ADVICE r10): a merge is ONE
+    non-overlapping left-to-right literal replace of ' x y ' that
+    resumes AFTER the inserted text, so back-to-back repeats of the
+    winning pair merge only alternate occurrences per round —
+    ' a a a a ' -> ' aa a a ' (strict leftmost-greedy BPE would give
+    ' aa aa ') — because the shared delimiter space is consumed by
+    the first match. pair_n meanwhile counts every adjacent
+    occurrence, so merges-applied vs pair_n bookkeeping can diverge
+    from canonical BPE on such runs. This IS the registered keys'
+    pinned cross-engine contract (both engines' replace() is the same
+    scan — see the _BPE_ROUNDS note); callers needing canonical
+    counts should apply the replace to fixpoint per round instead.
+
     Scale shape per round: |vocab| rows × ≤max_word_len symbols explode into a
-    byte-pair hash aggregate (map-side combined) + a 1-row
+    byte-pair hash aggregate (map-side combined) + an n_batch-row
     TakeOrderedAndProject — corpus size never re-enters. GPT-2-scale
-    (50k merges) is 50k such rounds off ONE corpus scan; the
+    (50k merges) is 50k/~n_batch such rounds off ONE corpus scan; the
     per-round cost is seconds at any corpus size because it is
     vocabulary-bounded, the same reason production trainers (e.g.
     HuggingFace tokenizers) train on word counts, not raw text.
@@ -2082,11 +2137,14 @@ def bpe_train_frame(
         .select(_bpe_spaced("word").alias("w"), "cnt")
         .localCheckpoint(eager=False)
     )
+    if n_batch < 1:
+        raise ValueError(f"n_batch must be >= 1, got {n_batch}")
     merges: list[tuple[int, str, str, int]] = []
     prev_ckpt = w
-    for i in range(1, n_merges + 1):
+    since_ckpt = 0
+    while len(merges) < n_merges:
         syms = w.select(F.split(F.trim(F.col("w")), " ").alias("s"), "cnt")
-        top = (
+        cands = (
             syms.select(
                 F.posexplode(F.expr("slice(s, 1, size(s) - 1)")).alias("j0", "x"),
                 F.expr("s").alias("s"),
@@ -2096,23 +2154,23 @@ def bpe_train_frame(
             .groupBy("x", "y")
             .agg(F.sum("cnt").cast("bigint").alias("pair_n"))
             .orderBy(F.col("pair_n").desc(), "x", "y")
-            .limit(1)
+            .limit(n_batch)
             .collect()
         )
-        if not top:
+        if not cands:
             break  # vocabulary fully merged
-        x, y, pair_n = top[0].x, top[0].y, top[0].pair_n
-        merges.append((i, x, y, pair_n))
-        w = w.select(
-            F.replace(
-                "w", F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
-            ).alias("w"),
-            "cnt",
-        )
-        if i % checkpoint_every == 0:
+        batch = _bpe_disjoint_prefix(cands, n_merges - len(merges))
+        col = F.col("w")
+        for x, y, pair_n in batch:
+            merges.append((len(merges) + 1, x, y, pair_n))
+            col = F.replace(col, F.lit(f" {x} {y} "), F.lit(f" {x}{y} "))
+        w = w.select(col.alias("w"), "cnt")
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             nxt = w.localCheckpoint(eager=True)
             probes.release(prev_ckpt)
             prev_ckpt = w = nxt
+            since_ckpt = 0
     probes.release(prev_ckpt)
     return corpus_or_wordcounts.sparkSession.createDataFrame(
         merges, schema="round int, x string, y string, pair_n bigint"

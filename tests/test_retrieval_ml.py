@@ -576,6 +576,115 @@ def test_bpe_train_frame_accepts_wordcounts(spark):
     assert got == want and len(got) == 5
 
 
+def test_bpe_disjoint_prefix_rule():
+    """The batched-BPE acceptance rule in isolation (VERDICT r10 item
+    3): keep the longest prefix of winner-ordered candidates whose
+    merges share no operand OR created symbol; stop at (don't skip)
+    the first conflict; respect the remaining-merge quota."""
+    from collections import namedtuple
+
+    from net7_etl_bus_spark.operators.text import _bpe_disjoint_prefix
+
+    R = namedtuple("R", "x y pair_n")
+    # operand conflict: (b, e) shares b with accepted (a, b) — and the
+    # disjoint (f, g) BEHIND it must not be taken (strict prefix)
+    got = _bpe_disjoint_prefix(
+        [R("a", "b", 9), R("c", "d", 8), R("b", "e", 7), R("f", "g", 6)], 10
+    )
+    assert got == [("a", "b", 9), ("c", "d", 8)]
+    # created-symbol conflict: "ab" is what (a, b) just created
+    assert _bpe_disjoint_prefix([R("a", "b", 9), R("ab", "c", 8)], 10) == [
+        ("a", "b", 9)
+    ]
+    # a candidate CREATING an accepted operand conflicts too: (a, b)
+    # creates "ab" which equals the later candidate's x
+    assert _bpe_disjoint_prefix([R("x", "y", 9), R("a", "b", 8), R("ab", "z", 7)], 10) == [
+        ("x", "y", 9), ("a", "b", 8)
+    ]
+    # quota cuts the prefix
+    assert _bpe_disjoint_prefix(
+        [R("a", "b", 9), R("c", "d", 8), R("e", "f", 7)], 2
+    ) == [("a", "b", 9), ("c", "d", 8)]
+
+
+def test_bpe_train_frame_batched_equals_sequential_when_disjoint(spark):
+    """On a corpus whose top pairs are symbol-disjoint, one batched
+    round produces the EXACT sequential merge list (disjointness keeps
+    every accepted count invariant under the batch's other merges) —
+    and in fewer driver round trips (collect calls counted)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # parent in Spark 4 and its collect is overridden
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from net7_etl_bus_spark.operators.text import bpe_train_frame
+
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(10)] + [(100 + i, "cd") for i in range(8)],
+        "doc_id long, text string",
+    )
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    DataFrame.collect = counting
+    try:
+        seq = [(r["round"], r.x, r.y, r.pair_n)
+               for r in orig(bpe_train_frame(docs, 2, n_batch=1))]
+        seq_calls = calls["n"]
+        calls["n"] = 0
+        bat = [(r["round"], r.x, r.y, r.pair_n)
+               for r in orig(bpe_train_frame(docs, 2, n_batch=2))]
+        bat_calls = calls["n"]
+    finally:
+        DataFrame.collect = orig
+    assert seq == bat == [(1, "a", "b", 10), (2, "c", "d", 8)]
+    assert (seq_calls, bat_calls) == (2, 1)
+
+
+def test_bpe_train_frame_batched_defers_conflicting_merge(spark):
+    """On a corpus where the top-M interact ('abc' x10: (a,b) and
+    (b,c) both count 10 and share b), the disjoint-prefix rule must
+    DROP the conflicting (b,c) from the batch; next round's recount
+    then finds (ab,c) — so (b,c) never merges at all, exactly as
+    sequential training decides."""
+    from net7_etl_bus_spark.operators.text import bpe_train_frame
+
+    docs = spark.createDataFrame(
+        [(i, "abc") for i in range(10)], "doc_id long, text string"
+    )
+    bat = [(r["round"], r.x, r.y, r.pair_n)
+           for r in bpe_train_frame(docs, 2, n_batch=2).collect()]
+    assert bat == [(1, "a", "b", 10), (2, "ab", "c", 10)]
+    seq = [(r["round"], r.x, r.y, r.pair_n)
+           for r in bpe_train_frame(docs, 2, n_batch=1).collect()]
+    assert bat == seq
+
+
+def test_bpe_train_frame_batched_documented_divergence(spark):
+    """n_batch > 1 is an approximation with ONE documented divergence
+    mode: a pair created by an accepted merge cannot win until the
+    next batch boundary, so merge ORDER can differ from sequential
+    once multi-char symbols make the (count, x, y) tiebreak
+    non-monotone under concatenation. Pin the real-corpus behavior:
+    first divergence at merge 15 (sequential promotes the created
+    pair ('co','lu'), the batch had already committed ('lu','m')), a
+    shared 14-merge prefix, and both lists carrying exact counts."""
+    from net7_etl_bus_spark.data import load_table
+    from net7_etl_bus_spark.operators.text import bpe_train_frame
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    seq = [(r["round"], r.x, r.y, r.pair_n)
+           for r in bpe_train_frame(docs, 16).collect()]
+    bat = [(r["round"], r.x, r.y, r.pair_n)
+           for r in bpe_train_frame(docs, 16, n_batch=8).collect()]
+    assert seq[:14] == bat[:14]
+    assert seq[14][1:3] == ("co", "lu") and bat[14][1:3] == ("lu", "m")
+    assert all(n > 0 for *_ignored, n in seq) and all(n > 0 for *_ignored, n in bat)
+
+
 # --- Naive-Bayes quality training (r10) ---------------------------------
 
 
