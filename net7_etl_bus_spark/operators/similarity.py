@@ -392,7 +392,12 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_frame(e, cent)
 
 
-def _hier_assign(e: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
+def _hier_assign(
+    e: DataFrame,
+    cent: DataFrame,
+    n_super: int | None,
+    super_cent: DataFrame | None = None,
+) -> DataFrame:
     """Two-tier (IMI-style) coarse assignment: nearest of ``n_super``
     super-centroids first, then nearest centroid WITHIN that super's
     group — per-vector cosine work drops from K to ~(S + K/S), minimal
@@ -407,15 +412,25 @@ def _hier_assign(e: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
     n_super=1 the cascade degenerates to the exact flat argmin
     (pytest-pinned), so exactness is a parameter choice.
 
-    Super-centroids are the first ``n_super`` centroids by cid —
-    deterministic, and as good as any subset for grouping purposes
-    (production would k-means the centroids; the plan is identical).
-    Emits (vec_id, label, embedding, cid)."""
-    sup = (
-        cent.orderBy("cid")
-        .limit(n_super)
-        .select(F.col("cid").alias("sid"), F.col("cent_emb").alias("sup_emb"))
-    )
+    Super-centroids default to the first ``n_super`` centroids by cid
+    — deterministic, but worst-case occupancy is unbounded (an
+    adversarial centroid set can funnel most centroids into one
+    super-group, eroding the S + K/S bound). Pass ``super_cent``
+    (sid, sup_emb) — e.g. :func:`train_super_centroids` output, a
+    K-row (tiny) k-means over the centroid relation itself — to make
+    the bound structural; the plan shape is identical either way
+    (VERDICT r10 item 5; occupancy spread measured in SCALE.md r11).
+    Emits ``e``'s columns plus cid (callers carry different payloads:
+    IVF search has a label column, semdedup doesn't)."""
+    cols = list(e.columns)
+    if super_cent is not None:
+        sup = super_cent.select("sid", "sup_emb")
+    else:
+        sup = (
+            cent.orderBy("cid")
+            .limit(n_super)
+            .select(F.col("cid").alias("sid"), F.col("cent_emb").alias("sup_emb"))
+        )
     wc = Window.partitionBy("cid").orderBy(F.col("cs").desc(), "sid")
     cmap = (
         cent.crossJoin(F.broadcast(sup))
@@ -430,7 +445,7 @@ def _hier_assign(e: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
         .withColumn("cs", _cosine(F.col("embedding"), F.col("sup_emb")))
         .withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "embedding", "sid")
+        .select(*cols, "sid")
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
     return (
@@ -438,7 +453,7 @@ def _hier_assign(e: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
         .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cent_emb")))
         .withColumn("rkc", F.row_number().over(wa))
         .filter(F.col("rkc") == 1)
-        .select("vec_id", "label", "embedding", "cid")
+        .select(*cols, "cid")
     )
 
 
@@ -449,6 +464,7 @@ def ivf_search_frame(
     top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
     n_super: int | None = None,
+    super_cent: DataFrame | None = None,
 ) -> DataFrame:
     """sim_search_ivf's body over an ARBITRARY centroid relation
     (cid, cent_emb) and probe/top-k sizing — the production entry
@@ -462,7 +478,7 @@ def ivf_search_frame(
     1.09 on the r10 growth ladder; queries still rank ALL K centroids
     exactly (n_queries rows — free) so the probe tier is unchanged.
     scripts/annladder.py measures both variants for SCALE.md."""
-    if n_super is None:
+    if n_super is None and super_cent is None:
         ac = e.join(F.broadcast(cent)).withColumn(
             "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
         )
@@ -475,7 +491,7 @@ def ivf_search_frame(
         )
         probe_src = ranked
     else:
-        assign = _hier_assign(e, cent, n_super)
+        assign = _hier_assign(e, cent, n_super, super_cent=super_cent)
         wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
         probe_src = (
             e.filter(F.col("vec_id") < n_queries)
@@ -1211,6 +1227,7 @@ def ivfpq_search_frame(
     n_probe: int = N_PROBE,
     n_queries: int = N_QUERIES,
     n_super: int | None = None,
+    super_cent: DataFrame | None = None,
 ) -> DataFrame:
     """sim_search_ivfpq's body over an ARBITRARY coarse-quantizer
     relation (cid, cent_emb) — the scaled-K production entry point
@@ -1219,7 +1236,7 @@ def ivfpq_search_frame(
     artifacts independent of K, so only the coarse assign/probe tier
     changes with corpus size). Measured at scaled K by
     scripts/annladder.py for the SCALE.md ladder."""
-    if n_super is None:
+    if n_super is None and super_cent is None:
         w_assign = Window.partitionBy("vec_id").orderBy(
             F.col("cos_c").desc(), "cid"
         )
@@ -1231,7 +1248,7 @@ def ivfpq_search_frame(
         assign = ranked.filter(F.col("rkc") == 1)
         probe_src = ranked
     else:
-        assign = _hier_assign(e, cent, n_super)
+        assign = _hier_assign(e, cent, n_super, super_cent=super_cent)
         wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
         probe_src = (
             e.filter(F.col("vec_id") < n_queries)
@@ -1637,18 +1654,28 @@ def _sqdist(a, b) -> Column:
     )
 
 
-def _hier_assign_sq(eq: DataFrame, cent: DataFrame, n_super: int) -> DataFrame:
+def _hier_assign_sq(
+    eq: DataFrame,
+    cent: DataFrame,
+    n_super: int | None,
+    super_cent: DataFrame | None = None,
+) -> DataFrame:
     """:func:`_hier_assign`'s integer-distance twin for the k-means
     UPDATE loop: two-tier argmin over quantized vectors (xq) and
     centroids (cq), per-vector work S + K/S instead of K. Same
     IMI-style approximation contract (n_super=1 degenerates to the
     exact flat argmin — pytest-pinned); ties break (dist, cid/sid)
-    like the flat path. Emits (vec_id, xq, cid)."""
-    sup = (
-        cent.orderBy("cid")
-        .limit(n_super)
-        .select(F.col("cid").alias("sid"), F.col("cq").alias("sq"))
-    )
+    like the flat path. ``super_cent`` (sid, sq) overrides the
+    first-S-by-cid default with trained super-centroids — see
+    :func:`_hier_assign`'s occupancy note. Emits (vec_id, xq, cid)."""
+    if super_cent is not None:
+        sup = super_cent.select("sid", "sq")
+    else:
+        sup = (
+            cent.orderBy("cid")
+            .limit(n_super)
+            .select(F.col("cid").alias("sid"), F.col("cq").alias("sq"))
+        )
     wc = Window.partitionBy("cid").orderBy("ds", "sid")
     cmap = (
         cent.crossJoin(F.broadcast(sup))
@@ -1681,6 +1708,7 @@ def kmeans_train_frame(
     n_iters: int = _KM_ITERS,
     n_super: int | None = None,
     checkpoint_rounds: bool = True,
+    super_cent: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's over ARBITRARY pre-quantized vectors
     (vec_id, xq: array<long>) and initial centroids (cid, cq) — the
@@ -1710,7 +1738,7 @@ def kmeans_train_frame(
     cent = init_cent.select("cid", "cq")
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     for _ in range(n_iters):
-        if n_super is None:
+        if n_super is None and super_cent is None:
             assigned = (
                 eq.crossJoin(F.broadcast(cent.select("cid", "cq")))
                 .withColumn("dist", _sqdist(F.col("xq"), F.col("cq")))
@@ -1718,7 +1746,9 @@ def kmeans_train_frame(
                 .filter(F.col("rk") == 1)
             )
         else:
-            assigned = _hier_assign_sq(eq, cent.select("cid", "cq"), n_super)
+            assigned = _hier_assign_sq(
+                eq, cent.select("cid", "cq"), n_super, super_cent=super_cent
+            )
         cells = (
             assigned.select("cid", F.posexplode("xq").alias("d0", "x"))
             .groupBy("cid", F.col("d0"))
@@ -1742,6 +1772,72 @@ def kmeans_train_frame(
         if checkpoint_rounds:
             cent = cent.localCheckpoint(eager=False)
     return cent
+
+
+def train_super_centroids(
+    cent: DataFrame, n_super: int, n_iters: int = 2
+) -> DataFrame:
+    """K-means the CENTROIDS (VERDICT r10 item 5): a K-row (tiny)
+    Lloyd's run over the centroid relation (cid, cq) whose output
+    becomes the ``super_cent`` relation for the two-tier assignment
+    cascade — replacing the first-S-by-cid default, whose worst-case
+    super-group occupancy is unbounded, with supers that sit where
+    the centroids actually cluster, making the S + K/S work bound
+    structural (occupancy spread measured in SCALE.md r11).
+
+    Cost: the input has K rows, so training is K x S integer
+    distances per round for ``n_iters`` (default 2) rounds — noise
+    next to one corpus assignment pass. The trained relation is
+    localCheckpointed by kmeans_train_frame's round checkpointing, so
+    its two downstream references (centroid group map + vector
+    super-assign) reuse one computation. Returns (sid, sq: the
+    integer super-centroid, sup_emb: the same as double) — the
+    columns :func:`_hier_assign_sq` (sq) and :func:`_hier_assign`
+    (sup_emb) each select.
+
+    Seeding is COORDINATE-based, not id-based: deterministic
+    farthest-point traversal (greedy k-center — start at the point
+    farthest from the coordinate-wise mean, then repeatedly take the
+    point maximizing min-distance to the chosen set; ties break by
+    cid). Seeding from the first S cids (the default supers' rule)
+    defeats the whole point: an adversarial cid layout putting a
+    tight clump at the low ids hands Lloyd's clumped seeds it cannot
+    escape, and a 1-D distance-to-mean stride collapses on
+    near-orthogonal data where that projection is ~constant (both
+    measured — SCALE.md r11; farthest-point holds the spread at the
+    natural layout's level under the adversarial relabeling, because
+    it never takes a second clump member while spread points remain).
+    The traversal is a bounded driver decision over the K-row
+    centroid relation (the nb_score_frame collect idiom — S scans of
+    K x dim numpy, trivial at any real K); everything after is the
+    integer-exact distributed trainer. With n_super=1 the single
+    seed trains to one all-member super, so the cascade stays pinned
+    equal to the flat argmin."""
+    import numpy as np
+
+    rows = sorted(cent.select("cid", "cq").collect(), key=lambda r: r.cid)
+    if not rows:
+        raise ValueError("train_super_centroids: empty centroid relation")
+    x = np.asarray([r.cq for r in rows], dtype=np.float64)
+    start = int(np.argmax(((x - x.mean(axis=0)) ** 2).sum(axis=1)))
+    chosen = [start]
+    mind = ((x - x[start]) ** 2).sum(axis=1)
+    while len(chosen) < min(n_super, len(rows)):
+        nxt = int(np.argmax(mind))  # ties: first index = smallest cid
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((x - x[nxt]) ** 2).sum(axis=1))
+    spark = cent.sparkSession
+    init = spark.createDataFrame(
+        [(rows[i].cid, list(rows[i].cq)) for i in sorted(chosen)],
+        "cid bigint, cq array<bigint>",
+    )
+    eqc = cent.select(F.col("cid").alias("vec_id"), F.col("cq").alias("xq"))
+    trained = kmeans_train_frame(eqc, init, n_iters=n_iters)
+    return trained.select(
+        F.col("cid").alias("sid"),
+        F.col("cq").alias("sq"),
+        F.transform("cq", lambda x: x.cast("double")).alias("sup_emb"),
+    )
 
 
 # --- SemDeDup: embedding-cluster-scoped near-duplicate removal --------
@@ -1845,7 +1941,11 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_frame(
-    vectors: DataFrame, centroids: DataFrame, tau: float = _SD_TAU
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = _SD_TAU,
+    n_super: int | None = None,
+    super_cent: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup over arbitrary ``vectors`` (vec_id, embedding —
     already validity-filtered) and caller-supplied ``centroids``
@@ -1862,16 +1962,28 @@ def semdedup_frame(
     registry key keeps the fixed 16 seed centroids so its oracle
     stays byte-stable. Plan shape is identical either way: broadcast
     K-row centroid join + per-vector argmin, one cid shuffle, cid
-    equi-join bounded by cluster size."""
-    ac = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
-    assign = (
-        ac.withColumn("rkc", F.row_number().over(w))
-        .filter(F.col("rkc") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    equi-join bounded by cluster size. At scaled K the flat argmin is
+    the n*K assign-tier disease the r10 annladder measured — pass
+    ``n_super`` / ``super_cent`` to run assignment through the
+    two-tier cascade (:func:`_hier_assign`), same contracts as
+    ivf_search_frame's knobs (n_super=1 pinned equal to flat)."""
+    if n_super is None and super_cent is None:
+        ac = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+            "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+        assign = (
+            ac.withColumn("rkc", F.row_number().over(w))
+            .filter(F.col("rkc") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+    else:
+        assign = _hier_assign(
+            vectors.select("vec_id", "embedding"),
+            centroids,
+            n_super,
+            super_cent=super_cent,
+        )
     a = assign.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
     )

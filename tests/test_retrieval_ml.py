@@ -274,6 +274,28 @@ def test_semdedup_frame_scaled_k_shrinks_pair_term(spark):
     assert sum(r.n_kept for r in ledger) == len(ledger)
 
 
+def test_semdedup_frame_cascade_degenerates_at_one_super(spark):
+    """semdedup_frame's r11 scale knob: at scaled K its flat
+    assignment argmin is the same n*K disease the r10 annladder
+    measured on search, so the frame now takes n_super/super_cent.
+    n_super=1 (the cascade ranking all K in tier 2) must reproduce
+    the flat ledger row for row — exactness is a parameter choice,
+    as on ivf_search_frame."""
+    from net7_etl_bus_spark.operators.similarity import (
+        CENT_LO,
+        N_CENTROIDS,
+        semdedup_frame,
+    )
+
+    fe = _semdedup_vectors(spark)
+    cent = fe.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    flat = sorted(map(tuple, semdedup_frame(fe, cent).collect()))
+    hier = sorted(map(tuple, semdedup_frame(fe, cent, n_super=1).collect()))
+    assert flat == hier
+
+
 def test_lm_score_self_scoring_semantics(spark):
     """text_lm_score invariants beyond the oracle hash, including the
     documented SELF-SCORING caveat: (1) an all-unique-words doc scores
@@ -898,6 +920,65 @@ def test_kmeans_train_frame_hier_conserves_members(spark):
     assert sum(r.n for r in rows) == n
     assert all(0 <= r.cid < _KM_K for r in rows)
     assert all(len(r.cq) == 64 for r in rows)
+
+
+def test_trained_supers_preserve_degeneracy_and_conserve(spark):
+    """VERDICT r10 item 5: trained super-centroids
+    (train_super_centroids — k-means over the K-row centroid relation)
+    thread through the cascade as super_cent. Pin (1) a single TRAINED
+    super degenerates to the exact flat argmin, same as n_super=1 (the
+    one group contains all K centroids, so tier 2 ranks everything);
+    (2) at S=3 trained supers, assignment stays conservative: every
+    vector lands in exactly one cluster, cids are seed cids; (3)
+    passing super_cent ALONE (no n_super) activates the cascade."""
+    from net7_etl_bus_spark.operators.similarity import (
+        _KM_K,
+        kmeans_train_frame,
+        train_super_centroids,
+    )
+
+    eq, cent0 = _km_inputs(spark)
+    sup1 = train_super_centroids(cent0, 1)
+    flat = sorted(
+        (r.cid, tuple(r.cq), r.n)
+        for r in kmeans_train_frame(eq, cent0).collect()
+    )
+    t1 = sorted(
+        (r.cid, tuple(r.cq), r.n)
+        for r in kmeans_train_frame(eq, cent0, super_cent=sup1).collect()
+    )
+    assert flat == t1
+    sup3 = train_super_centroids(cent0, 3)
+    rows = kmeans_train_frame(eq, cent0, super_cent=sup3).collect()
+    assert sum(r.n for r in rows) == eq.count()
+    assert all(0 <= r.cid < _KM_K for r in rows)
+    assert all(len(r.cq) == 64 for r in rows)
+
+
+def test_ivf_search_frame_trained_supers_degenerate_at_one(spark):
+    """The cosine-space cascade with ONE trained super (sup_emb
+    column) must be row-identical to the exact flat IVF search — the
+    search-side twin of the kmeans degeneracy pin."""
+    from net7_etl_bus_spark.operators.similarity import (
+        ivf_search_frame,
+        train_super_centroids,
+    )
+
+    eq, cent0 = _km_inputs(spark)
+    from net7_etl_bus_spark.data import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").where(
+        "embedding IS NOT NULL"
+    )
+    # double centroids for the search frame; quantized ints for the
+    # super trainer (integer-valued doubles -> exact long round-trip)
+    cent = cent0.selectExpr(
+        "cid", "transform(cq, x -> CAST(x AS DOUBLE)) AS cent_emb"
+    )
+    sup1 = train_super_centroids(cent0, 1)
+    flat = sorted(map(tuple, ivf_search_frame(e, cent).collect()))
+    t1 = sorted(map(tuple, ivf_search_frame(e, cent, super_cent=sup1).collect()))
+    assert flat == t1
 
 
 def test_nb_train_frame_external_labels_hand_corpus(spark):
