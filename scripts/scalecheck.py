@@ -113,6 +113,13 @@ SCALE_QUERIES = [
     # ITSELF — the same by-construction exclusion as emb_semdedup and
     # the exact all-pairs baselines (SCALE.md r9/r10 adjudications).
     "text_quality_nb_train",
+    # r11 quantized NB scoring chain: the trainer above + one 64-row
+    # broadcast weight join + a doc_id hash aggregate — token-linear
+    # end to end, same replication-safety argument as the trainer.
+    # sim_search_ivf_trained is NOT enrolled: it composes two shapes
+    # that already carry rows (emb_kmeans_train here; the IVF probe
+    # plan in sfbench at 0.44) and adds no new growth mechanism.
+    "text_quality_nb_scored",
 ]
 
 
