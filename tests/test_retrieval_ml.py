@@ -979,6 +979,14 @@ def test_ivf_search_frame_trained_supers_degenerate_at_one(spark):
     flat = sorted(map(tuple, ivf_search_frame(e, cent).collect()))
     t1 = sorted(map(tuple, ivf_search_frame(e, cent, super_cent=sup1).collect()))
     assert flat == t1
+    # and the IVF-PQ twin, same contract
+    from net7_etl_bus_spark.operators.similarity import ivfpq_search_frame
+
+    pq_flat = sorted(map(tuple, ivfpq_search_frame(e, cent).collect()))
+    pq_t1 = sorted(
+        map(tuple, ivfpq_search_frame(e, cent, super_cent=sup1).collect())
+    )
+    assert pq_flat == pq_t1
 
 
 def test_nb_train_frame_external_labels_hand_corpus(spark):
