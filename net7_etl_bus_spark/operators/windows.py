@@ -81,18 +81,34 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
                           OVER w AS DOUBLE)
            END AS running_spend,
-           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS BIGINT)
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST, o_totalprice NULLS FIRST) AS BIGINT)
              AS order_seq
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST, o_totalprice NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) sum per customer. Decimal accumulation
-    keeps the prefix sums exact so both engines agree bit-for-bit."""
+    keeps the prefix sums exact so both engines agree bit-for-bit.
+
+    The ORDER BY ends with the summed measure itself: on real data
+    (o_orderdate, o_orderkey) is already a total order per customer,
+    but a ROWS-frame prefix sum is engine-dependent the moment two
+    rows tie on the full sort key while DIFFERING in the measure —
+    their interleaving position gets S+p1 vs S+p2 depending on which
+    engine put which row first. The r11 chaos fuzz (seed 6) produced
+    exactly that: two hot-custkey rows with both date and orderkey
+    nulled and distinct prices, 1/1545 rows diverging. With the
+    measure as the final key, fully-tied rows are identical in every
+    output column, so any tie order yields the same row multiset
+    (NaN sorts greatest in BOTH engines' ORDER BY, unlike its
+    comparison semantics, so the poison rows order consistently
+    too)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "o_totalprice"
+    )
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Extremes poison contract over the running frame: a NaN/Inf/out-
     # of-decimal-domain price makes every prefix sum that includes it

@@ -79,9 +79,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # quantized NB scoring chain), then ALL 35 keys whose latest driver
 # verdict is r6, then the first 13 (alphabetical) of the 50 r7-stale
 # keys — computed from CORRECTNESS_r01..r10.json via
-# scripts/rotation.py. No oracle was edited after its last verdict
-# this round (the _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations are
-# byte-identical after whitespace normalization, verified in-session).
+# scripts/rotation.py. One oracle was edited after its last verdict
+# this round: win_running_agg gained an o_totalprice ORDER BY tiebreak
+# (chaos fuzz seed 6 found a fully-tied sort key with differing
+# prices making the ROWS prefix engine-dependent) — it sits IN this
+# front-50, so it receives a fresh verdict on the fixed form this
+# round. The _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations are
+# byte-identical after whitespace normalization (verified in-session).
 # After this sweep lands green: zero keys with a verdict older than
 # r7. The composition (2 new + 35 r6-stale + 13 r7-stale) and the
 # marker position are pinned by
