@@ -105,12 +105,12 @@ _T2 = "2024-01-20 00:00:00"
     oracle=f"""
     WITH ranked AS (
       SELECT user_id, event_type AS state, value, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_new,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, event_type DESC NULLS LAST, value DESC NULLS LAST) AS rn_new,
              CASE WHEN ts < TIMESTAMP '{_T1}' THEN
                ROW_NUMBER() OVER (PARTITION BY user_id, (ts < TIMESTAMP '{_T1}')
-                                  ORDER BY ts DESC, event_id DESC)
+                                  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, event_type DESC NULLS LAST, value DESC NULLS LAST)
              END AS rn_old
-      FROM events WHERE ts < TIMESTAMP '{_T2}'),
+      FROM events WHERE ts < TIMESTAMP '{_T2}' AND user_id IS NOT NULL),
     new_snap AS (SELECT user_id, state, value FROM ranked WHERE rn_new = 1),
     old_snap AS (SELECT user_id, state, value FROM ranked WHERE rn_old = 1)
     SELECT n.user_id,
@@ -136,10 +136,24 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and shuffle the log twice and join two entity-sized
     relations; this does the diff in the aggregate's output row.
     """
+    # CDC record contract (same as scd2_dimension, r11 chaos find,
+    # seed 7): a change-log row MUST carry an entity key. Spark's
+    # one-aggregate plan groups NULL keys together while the oracle's
+    # snapshot JOIN (like any SQL equi-join) never matches NULL — the
+    # entity-less rows are invalid input and dropped, not diffed.
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit(_T2).cast("timestamp")
+        (F.col("ts") < F.lit(_T2).cast("timestamp"))
+        & F.col("user_id").isNotNull()
     )
-    ord_key = F.struct("ts", "event_id")
+    # The picked payload (state, value) is part of the ordering key
+    # (r11 chaos find, seed 7: mutation tied two rows on (ts, event_id)
+    # with different payloads and max_by picked engine-arbitrarily —
+    # 12/21 output rows diverged). With the payload in the key, a
+    # remaining tie means the payloads are equal too, so the pick is
+    # well-defined. Null/NaN ordering is consistent: Spark struct
+    # comparison treats a NULL field as smallest and NaN as greatest,
+    # exactly DuckDB's DESC NULLS LAST (verified empirically r11).
+    ord_key = F.struct("ts", "event_id", F.col("event_type").alias("state"), "value")
     pick = F.struct(F.col("event_type").alias("state"), "value")
     old_gate = F.when(F.col("ts") < F.lit(_T1).cast("timestamp"), ord_key)
     snap = e.groupBy("user_id").agg(

@@ -47,17 +47,24 @@ def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts,
-           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_ts,
-           LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_value
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST) AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST) AS next_ts,
+           LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST, value NULLS FIRST) AS prev_value
     FROM events
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead over per-user event time — the building block for
-    sessionization and as-of logic."""
+    sessionization and as-of logic.
+
+    `value` ends the ORDER BY for the same reason win_running_agg's
+    measure does (r11 chaos find): (ts, event_id) is a total order on
+    real data, but under mutation two rows can tie on both while
+    differing in value, making prev_value engine-dependent; with the
+    lagged measure in the key, fully-tied rows are identical in every
+    output column, so any tie order yields the same row multiset."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "value")
     return e.select(
         "event_id",
         "user_id",
@@ -465,7 +472,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, event_type, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST, event_type NULLS FIRST)
              - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS island
       FROM events)
@@ -496,7 +503,12 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     no blowup.
     """
     e = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_type ends w_all's ORDER BY (r11 chaos-find class): two
+    # rows tying on (ts, event_id) under mutation while differing in
+    # type would otherwise get engine-arbitrary w_all positions and
+    # shift island ids; with the type in the key, remaining ties are
+    # identical rows, and inside w_typ the type is constant anyway.
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     marked = e.select(
         "user_id",

@@ -79,13 +79,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # quantized NB scoring chain), then ALL 35 keys whose latest driver
 # verdict is r6, then the first 13 (alphabetical) of the 50 r7-stale
 # keys — computed from CORRECTNESS_r01..r10.json via
-# scripts/rotation.py. One oracle was edited after its last verdict
-# this round: win_running_agg gained an o_totalprice ORDER BY tiebreak
-# (chaos fuzz seed 6 found a fully-tied sort key with differing
-# prices making the ROWS prefix engine-dependent) — it sits IN this
-# front-50, so it receives a fresh verdict on the fixed form this
-# round. The _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations are
-# byte-identical after whitespace normalization (verified in-session).
+# scripts/rotation.py. Five oracles were edited after their last
+# verdict this round (the r11 chaos-fuzz finds and their disease-class
+# siblings): win_running_agg sits in the stale tier below; the other
+# four are listed in _REVERIFY and take front-50 slots ahead of the
+# stale fillers — an edited oracle makes a key effectively
+# never-attested ON ITS CURRENT FORM, so it outranks stale-but-
+# verified keys. The _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations
+# are byte-identical after whitespace normalization (verified
+# in-session) and do NOT reset attestation.
+
+# Keys whose oracle text changed since their latest driver verdict —
+# rotated to the front like never-attested keys, and REMOVED from
+# this tuple once the fresh verdict lands (the guard test exempts
+# them from the stale-composition arithmetic while listed).
+_REVERIFY: tuple[str, ...] = (
+    # r11 measure-tiebreak hardening (chaos seeds 6/7: fully-tied
+    # window sort keys with differing measures; NULL-entity join
+    # contract) — win_lag_lead, win_gaps_islands, ts_rolling_stats,
+    # cdc_snapshot_diff; win_running_agg is already in the stale tier.
+    "win_lag_lead", "win_gaps_islands", "ts_rolling_stats",
+    "cdc_snapshot_diff",
+)
 # After this sweep lands green: zero keys with a verdict older than
 # r7. The composition (2 new + 35 r6-stale + 13 r7-stale) and the
 # marker position are pinned by
@@ -94,6 +109,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- NEW in r11, never driver-attested (2 keys) ---
     "sim_search_ivf_trained", "text_quality_nb_scored",
+    # --- oracle edited after last verdict (the _REVERIFY keys; the
+    # guard test pins _REVERIFY ⊆ front-50) ---
+    "win_lag_lead", "win_gaps_islands", "ts_rolling_stats",
+    "cdc_snapshot_diff",
     # --- last driver verdict: r6 (all 35 r6-stale keys) ---
     "filter_pred", "fn_array", "fn_array_hof", "fn_date", "fn_math",
     "fn_string", "http_enrichment_mock", "join_anti", "join_asof",
@@ -105,17 +124,17 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "set_intersect", "set_union_all", "sort_orderby", "topk_per_group",
     "ttl_freshness_filter", "udf_pandas_vectorized", "udf_scalar",
     "udtf_surface", "win_running_agg",
-    # --- oldest 13 of the 50 r7-stale keys (alphabetical) ---
+    # --- oldest 9 of the 50 r7-stale keys (alphabetical; the last 4
+    # slots went to _REVERIFY) ---
     "anti_join_processed", "audit_timestamps", "completeness_filter",
     "count_agg", "csv_scan", "dedup_by_key", "dedup_containment",
     "dedup_containment_lsh", "dedup_containment_lsh_permissive",
-    "dedup_containment_recall", "derive_composite_key",
-    "emb_dedup_cosine", "emb_dedup_cosine_lsh",
     # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r12: the remaining 37 r7-stale keys
+    # --- next in line for r12: the remaining 41 r7-stale keys
     # (locally diffcheck-green) ---
-    "events_funnel", "exists_agg", "file_checksum", "fn_json",
-    "fn_json_typed", "fn_map",
+    "dedup_containment_recall", "derive_composite_key",
+    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "events_funnel",
+    "exists_agg",
 )
 
 

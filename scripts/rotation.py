@@ -55,6 +55,12 @@ def _verdict_passed(v: dict) -> bool:
 
 
 def latest_verdicts(through: int | None) -> dict[str, int]:
+    """Each key's latest PASSING verdict round — except keys declared
+    in ``registry._REVERIFY`` (oracle text edited since that verdict),
+    which are treated as never-attested: a verdict on the OLD oracle
+    form doesn't attest the current one."""
+    from net7_etl_bus_spark.plans.registry import _REVERIFY
+
     latest: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", p)
@@ -65,7 +71,7 @@ def latest_verdicts(through: int | None) -> dict[str, int]:
         if through is not None and rnd > through:
             continue
         for k, v in json.load(open(p)).items():
-            if _verdict_passed(v):
+            if _verdict_passed(v) and k not in _REVERIFY:
                 latest[k] = max(latest.get(k, 0), rnd)
     return latest
 

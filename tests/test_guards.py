@@ -438,12 +438,19 @@ def test_sweep_rotation_arithmetic():
                 and v.get("hash_match") is not False
             ):
                 latest[k] = max(latest.get(k, 0), rnd)
+    from net7_etl_bus_spark.plans.registry import _REVERIFY
+
     front = set(_SWEEP_PRIORITY[:50])
+    # Keys whose oracle was edited since their latest verdict are
+    # effectively never-attested on their current form: they take
+    # front slots regardless of verdict age (and must be in front).
+    assert set(_REVERIFY) <= front, "every _REVERIFY key must be in the front-50"
     r6_stale = {k for k, v in latest.items() if v == 6}
     assert r6_stale <= front, f"r6-stale keys missing from front-50: {r6_stale - front}"
-    leftover = front - r6_stale
+    leftover = front - r6_stale - set(_REVERIFY)
     assert all(latest.get(k) in (None, 7) for k in leftover), (
-        "front-50 fillers must be never-attested (new) or r7-stale, "
+        "front-50 fillers must be never-attested (new), r7-stale, or "
+        "declared in _REVERIFY, "
         f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 7)} }"
     )
 
@@ -459,7 +466,10 @@ def test_sweep_rotation_arithmetic():
         from rotation import front50
     finally:
         sys.path.pop(0)
-    assert front == set(front50(list(q), latest)), (
+    # mirror rotation.latest_verdicts' _REVERIFY rule: an edited-oracle
+    # key counts as never-attested for the generator too
+    latest_rv = {k: v for k, v in latest.items() if k not in _REVERIFY}
+    assert front == set(front50(list(q), latest_rv)), (
         "committed front-50 disagrees with scripts/rotation.py"
     )
 
