@@ -48,23 +48,47 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 SIZING = {"small": (16, 4, 4), "big": (50, 12, 7)}
 
 
-def build(frame_fn, spark, sf_dir: str, k: int, n_probe: int, n_super):
+def build(frame_fn, spark, sf_dir: str, k: int, n_probe: int, n_super,
+          trained_supers: bool = False):
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + k)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    if trained_supers:
+        # r11 variant: super_cent from train_super_centroids (farthest-
+        # point seeded k-means over the quantized centroid relation) —
+        # measures whether the layout-invariant supers hold the cascade
+        # exponents of the first-S default.
+        from net7_etl_bus_spark.operators.similarity import (
+            _KM_Q,
+            train_super_centroids,
+        )
+
+        cq = cent.select(
+            "cid",
+            F.transform(
+                "cent_emb",
+                lambda y: F.floor(y.cast("double") * F.lit(_KM_Q)).cast("long"),
+            ).alias("cq"),
+        )
+        sup = train_super_centroids(cq, n_super).select(
+            "sid", (F.col("sup_emb") ).alias("sup_emb")
+        )
+        return frame_fn(e, cent, n_probe=n_probe, super_cent=sup)
     return frame_fn(e, cent, n_probe=n_probe, n_super=n_super)
 
 
-def run_median(spark, frame_fn, sf_dir, k, n_probe, n_super) -> float:
+def run_median(spark, frame_fn, sf_dir, k, n_probe, n_super,
+               trained_supers: bool = False) -> float:
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        build(frame_fn, spark, sf_dir, k, n_probe, n_super).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        build(
+            frame_fn, spark, sf_dir, k, n_probe, n_super,
+            trained_supers=trained_supers,
+        ).write.mode("overwrite").format("noop").save()
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 
@@ -79,17 +103,21 @@ def main() -> None:
         ("sim_search_ivf_scaledK", ivf_search_frame),
         ("sim_search_ivfpq_scaledK", ivfpq_search_frame),
     ):
-        for variant, use_hier in (("flat", False), ("hier", True)):
+        for variant, use_hier, trained in (
+            ("flat", False, False),
+            ("hier", True, False),
+            ("hier_trained", True, True),
+        ):
             ks, ps, ss = SIZING["small"]
             kb, pb, sb = SIZING["big"]
             s_sup = ss if use_hier else None
             b_sup = sb if use_hier else None
             # warmup (JIT/codegen) on the small side, untimed
-            build(fn, spark, small, ks, ps, s_sup).write.mode(
+            build(fn, spark, small, ks, ps, s_sup, trained_supers=trained).write.mode(
                 "overwrite"
             ).format("noop").save()
-            t_s = run_median(spark, fn, small, ks, ps, s_sup)
-            t_b = run_median(spark, fn, big, kb, pb, b_sup)
+            t_s = run_median(spark, fn, small, ks, ps, s_sup, trained_supers=trained)
+            t_b = run_median(spark, fn, big, kb, pb, b_sup, trained_supers=trained)
             out[f"{name}_{variant}"] = {
                 "t_small": round(t_s, 3),
                 "t_big": round(t_b, 3),
