@@ -598,33 +598,34 @@ def test_bpe_train_frame_accepts_wordcounts(spark):
     assert got == want and len(got) == 5
 
 
-def test_bpe_disjoint_prefix_rule():
+def test_bpe_disjoint_batch_rule():
     """The batched-BPE acceptance rule in isolation (VERDICT r10 item
-    3): keep the longest prefix of winner-ordered candidates whose
-    merges share no operand OR created symbol; stop at (don't skip)
-    the first conflict; respect the remaining-merge quota."""
+    3): accept winner-ordered candidates sharing no operand OR created
+    symbol with anything already accepted; SKIP conflicting ones (a
+    skipped merge is never applied, so exactness is untouched — see
+    the rule's docstring); respect the remaining-merge quota."""
     from collections import namedtuple
 
-    from net7_etl_bus_spark.operators.text import _bpe_disjoint_prefix
+    from net7_etl_bus_spark.operators.text import _bpe_disjoint_batch
 
     R = namedtuple("R", "x y pair_n")
-    # operand conflict: (b, e) shares b with accepted (a, b) — and the
-    # disjoint (f, g) BEHIND it must not be taken (strict prefix)
-    got = _bpe_disjoint_prefix(
+    # operand conflict: (b, e) shares b with accepted (a, b) and is
+    # skipped; the disjoint (f, g) BEHIND it is still taken
+    got = _bpe_disjoint_batch(
         [R("a", "b", 9), R("c", "d", 8), R("b", "e", 7), R("f", "g", 6)], 10
     )
-    assert got == [("a", "b", 9), ("c", "d", 8)]
+    assert got == [("a", "b", 9), ("c", "d", 8), ("f", "g", 6)]
     # created-symbol conflict: "ab" is what (a, b) just created
-    assert _bpe_disjoint_prefix([R("a", "b", 9), R("ab", "c", 8)], 10) == [
+    assert _bpe_disjoint_batch([R("a", "b", 9), R("ab", "c", 8)], 10) == [
         ("a", "b", 9)
     ]
     # a candidate CREATING an accepted operand conflicts too: (a, b)
     # creates "ab" which equals the later candidate's x
-    assert _bpe_disjoint_prefix([R("x", "y", 9), R("a", "b", 8), R("ab", "z", 7)], 10) == [
+    assert _bpe_disjoint_batch([R("x", "y", 9), R("a", "b", 8), R("ab", "z", 7)], 10) == [
         ("x", "y", 9), ("a", "b", 8)
     ]
-    # quota cuts the prefix
-    assert _bpe_disjoint_prefix(
+    # quota cuts acceptance even with disjoint candidates remaining
+    assert _bpe_disjoint_batch(
         [R("a", "b", 9), R("c", "d", 8), R("e", "f", 7)], 2
     ) == [("a", "b", 9), ("c", "d", 8)]
 
@@ -686,14 +687,16 @@ def test_bpe_train_frame_batched_defers_conflicting_merge(spark):
 
 
 def test_bpe_train_frame_batched_documented_divergence(spark):
-    """n_batch > 1 is an approximation with ONE documented divergence
-    mode: a pair created by an accepted merge cannot win until the
-    next batch boundary, so merge ORDER can differ from sequential
-    once multi-char symbols make the (count, x, y) tiebreak
-    non-monotone under concatenation. Pin the real-corpus behavior:
-    first divergence at merge 15 (sequential promotes the created
-    pair ('co','lu'), the batch had already committed ('lu','m')), a
-    shared 14-merge prefix, and both lists carrying exact counts."""
+    """n_batch > 1 is an approximation with a documented divergence
+    mode: merges accepted later in a batch were ranked on batch-START
+    counts, so merge ORDER differs from sequential training (where
+    each merge's application re-ranks everything before the next
+    pick). Pin the real-corpus behavior under the skip rule: the
+    round-1 winner is always identical (the global top pair is always
+    accepted first), sequential's second merge is ('o','r') while the
+    batch had already committed ('i','n') — both with exact
+    batch-start counts — and both lists stay well-formed (sequential
+    rounds, positive exact counts)."""
     from net7_etl_bus_spark.data import load_table
     from net7_etl_bus_spark.operators.text import bpe_train_frame
 
@@ -702,8 +705,10 @@ def test_bpe_train_frame_batched_documented_divergence(spark):
            for r in bpe_train_frame(docs, 16).collect()]
     bat = [(r["round"], r.x, r.y, r.pair_n)
            for r in bpe_train_frame(docs, 16, n_batch=8).collect()]
-    assert seq[:14] == bat[:14]
-    assert seq[14][1:3] == ("co", "lu") and bat[14][1:3] == ("lu", "m")
+    assert seq[0] == bat[0]
+    assert seq[1][1:3] == ("o", "r") and bat[1][1:3] == ("i", "n")
+    assert [r for r, *_ in seq] == list(range(1, 17))
+    assert [r for r, *_ in bat] == list(range(1, 17))
     assert all(n > 0 for *_ignored, n in seq) and all(n > 0 for *_ignored, n in bat)
 
 
