@@ -472,10 +472,10 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, event_type, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST, event_type NULLS FIRST)
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
              - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS island
-      FROM events)
+      FROM events WHERE event_id IS NOT NULL)
     SELECT user_id, event_type,
            MIN(ts) AS island_start,
            MAX(ts) AS island_end,
@@ -495,20 +495,26 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both row_numbers share the user_id shuffle (the second adds
     event_type to the partition key but Spark plans it over the same
     exchange-compatible sort), and the island aggregate groups by the
-    difference — constant within a run by construction. Total order
-    (ts, event_id) makes every island boundary deterministic.
+    difference — constant within a run by construction.
+
+    Sequencing requires event IDENTITY (the win_running_distinct
+    contract, re-found by the r11 ties fuzz): the two-row_number
+    technique pairs each ROW's positions under two different windows,
+    and two rows tied on EVERY order column — possible once event_id
+    can be NULL — get engine-arbitrary cross-pairings that can split
+    or merge islands (an ORDER BY tiebreak cannot fix identical rows;
+    the pairing itself is the ambiguity). NULL-event_id rows are
+    dropped, after which the unique non-null event_id makes both
+    window orders total and every island boundary deterministic.
 
     Scale shape: one user_id shuffle + per-user sorts, then a hash
     aggregate whose key count is the number of runs — no self-join,
     no blowup.
     """
-    e = load_table(spark, sf_dir, "events")
-    # event_type ends w_all's ORDER BY (r11 chaos-find class): two
-    # rows tying on (ts, event_id) under mutation while differing in
-    # type would otherwise get engine-arbitrary w_all positions and
-    # shift island ids; with the type in the key, remaining ties are
-    # identical rows, and inside w_typ the type is constant anyway.
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     marked = e.select(
         "user_id",

@@ -42,7 +42,13 @@ same order, but every table becomes a DIRECTORY of part files with
 seeded uneven boundaries, mixed row-group sizes, and one EMPTY part
 file — the multi-file steady state of any lake table; rate = number
 of parts. Catches operators that assume one input file or choke on
-zero-row fragments).
+zero-row fragments), or ``ties`` (manufacture FULLY-TIED window sort
+keys with differing payloads: seeded row pairs get their primary-key
+and time/date columns NULLED and the victim's FK group keys copied
+from the donor — the r11 chaos-find disease class made dense. Any
+divergence is a real total-order gap: an ORDER BY missing the
+measure, a two-window pairing assuming row identity, a keeper
+without a total order).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -241,6 +247,56 @@ def mutate_table(
                 t = t.set_column(i, field, pa.array(out, type=field.type))
         pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
         return
+    if mode == "ties":
+        # Manufacture FULLY-TIED window sort keys with DIFFERING
+        # payloads — the r11 chaos-find disease class (win_running_agg
+        # seed 6, cdc_snapshot_diff seed 7), made dense instead of
+        # measure-zero. For seeded disjoint row PAIRS: the pair's
+        # primary-key and time/date columns are NULLED on both rows
+        # (the de-facto input contract: keys may be NULL — ops must
+        # then filter or stay order-insensitive — while NON-NULL keys
+        # stay unique, which this never violates), and the victim's
+        # FK-ish group keys are COPIED from the donor so the pair
+        # lands in the same window partition / join group. Result: two
+        # rows identical in every partition and order column, NULL
+        # order keys, original differing measures — any engine
+        # divergence is a real total-order gap.
+        name = os.path.basename(src).replace(".parquet", "")
+        rng = np.random.default_rng(zlib.crc32(f"{name}:ties:{seed}".encode()))
+        n = len(t)
+        if n >= 2:
+            pk = set(_TABLE_KEYS.get(name, ()))
+            null_cols = {
+                f.name
+                for f in t.schema
+                if f.name in pk
+                or pa.types.is_timestamp(f.type)
+                or pa.types.is_date(f.type)
+                or f.name.endswith("date")
+            }
+            group_cols = {
+                f.name
+                for f in t.schema
+                if f.name not in pk
+                and pa.types.is_integer(f.type)
+                and (f.name.endswith("key") or f.name.endswith("_id"))
+            }
+            n_pairs = max(1, int(n * rate / 2))
+            idx = rng.choice(n, size=min(2 * n_pairs, n - (n % 2)), replace=False)
+            pairs = idx.reshape(-1, 2)
+            for i, field in enumerate(t.schema):
+                if field.name not in null_cols and field.name not in group_cols:
+                    continue
+                vals = t.column(i).to_pylist()
+                for a, b in pairs:
+                    if field.name in null_cols:
+                        vals[int(a)] = None
+                        vals[int(b)] = None
+                    else:
+                        vals[int(b)] = vals[int(a)]
+                t = t.set_column(i, field, pa.array(vals, type=field.type))
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
     if mode in ("dupes", "both"):
         # Append a seeded sample of CONTENT duplicates with FRESH keys
         # (max+1..): the real 100 TB duplication phenomenon — re-crawled
@@ -417,7 +473,7 @@ def main() -> int:
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
-        "boundary", "reorder", "split",
+        "boundary", "reorder", "split", "ties",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest
