@@ -1082,8 +1082,11 @@ def nb_score_quantized_frame(
     can push |w_q| toward ratio*{_NB_Q} ~ 1e14, and int64 partials
     would wrap silently at ~1e4 such tokens).
 
-    Scale shape: the {_CLF_D}-row model is localCheckpointed once
-    (three bounded references: totals, weights, priors) and enters the
+    Scale shape: the {_CLF_D}-row model is localCheckpointed once,
+    validated with one bounded aggregate (exactly {_CLF_D} distinct
+    bucket rows, consistent priors — nb_score_frame's guards, ADVICE
+    r11), then referenced three ways (totals, weights, priors) and
+    enters the
     plan as broadcast relations — the corpus is touched once, one
     explode + bucket equi-join against the {_CLF_D}-row weight
     relation + one doc_id hash aggregate; nothing but (doc_id,
@@ -1091,6 +1094,28 @@ def nb_score_quantized_frame(
     is_quality)."""
     m = model.select("bucket", "cnt_pos", "cnt_neg", "docs_pos", "docs_neg")
     m = m.localCheckpoint(eager=False)
+    # Same model validation as nb_score_frame (ADVICE r11: the scorers
+    # must agree on ledger SHAPE for malformed input too — the inner
+    # token->weight join silently drops tokens whose bucket row is
+    # missing, deflating n_tokens AND the score, and independent
+    # MAX(docs_pos)/MAX(docs_neg) silently combines inconsistent
+    # priors). One bounded aggregate over the checkpointed {_CLF_D}-row
+    # relation — a driver decision on a model artifact, not a corpus
+    # collect; it also warms the checkpoint so scoring reuses it.
+    chk = m.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.countDistinct("docs_pos", "docs_neg").alias("n_pri"),
+    ).first()
+    if chk.n_rows != _CLF_D or chk.n_buckets != _CLF_D:
+        raise ValueError(
+            f"NB model must have exactly {_CLF_D} distinct bucket rows, "
+            f"got {chk.n_rows} rows / {chk.n_buckets} buckets"
+        )
+    if chk.n_pri != 1:
+        raise ValueError(
+            "NB model rows carry inconsistent (docs_pos, docs_neg) priors"
+        )
     tot = m.agg(
         (F.sum("cnt_pos") + alpha * _CLF_D).cast("bigint").alias("tot_pos"),
         (F.sum("cnt_neg") + alpha * _CLF_D).cast("bigint").alias("tot_neg"),
@@ -1111,9 +1136,9 @@ def nb_score_quantized_frame(
         )
     )
     # priors repeat on every model row by construction (nb_train_frame's
-    # crossJoin); MAX picks the shared value without a driver collect —
-    # the float scorer's collect-side consistency raise guards the
-    # hand-edited-artifact case
+    # crossJoin); MAX picks the shared value without a per-row collect —
+    # safe because the validation above already raised on inconsistent
+    # priors
     pri = m.agg(
         F.expr(
             f"CAST((CAST(MAX(docs_pos) + {alpha} AS DECIMAL(38,0)) * {_NB_Q})"

@@ -74,67 +74,56 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-11 front of the line (r10 verdict item 1): the 2 keys NEW in
-# r11 (never attested: the trained-quantizer ANN search chain and the
-# quantized NB scoring chain), then ALL 35 keys whose latest driver
-# verdict is r6, then the first 13 (alphabetical) of the 50 r7-stale
-# keys — computed from CORRECTNESS_r01..r10.json via
-# scripts/rotation.py. Five oracles were edited after their last
-# verdict this round (the r11 chaos-fuzz finds and their disease-class
-# siblings): win_running_agg sits in the stale tier below; the other
-# four are listed in _REVERIFY and take front-50 slots ahead of the
-# stale fillers — an edited oracle makes a key effectively
-# never-attested ON ITS CURRENT FORM, so it outranks stale-but-
-# verified keys. The _CLF_BUCKET_SQL / _NB_TRAIN_CTES consolidations
-# are byte-identical after whitespace normalization (verified
-# in-session) and do NOT reset attestation.
+# Round-12 front of the line (r11 verdict item 1): the 1 key NEW in
+# r12 (never attested: the trained IVF-PQ search chain completing the
+# trained-quantizer trilogy), then ALL 41 keys whose latest driver
+# verdict is r7, then the first 8 (alphabetical) of the 50 r8-stale
+# keys — computed from CORRECTNESS_r01..r11.json via
+# scripts/rotation.py.
 
 # Keys whose oracle text changed since their latest driver verdict —
-# rotated to the front like never-attested keys, and REMOVED from
-# this tuple once the fresh verdict lands (the guard test exempts
-# them from the stale-composition arithmetic while listed).
-_REVERIFY: tuple[str, ...] = (
-    # r11 measure-tiebreak hardening (chaos seeds 6/7: fully-tied
-    # window sort keys with differing measures; NULL-entity join
-    # contract) — win_lag_lead, win_gaps_islands, ts_rolling_stats,
-    # cdc_snapshot_diff; win_running_agg is already in the stale tier.
-    "win_lag_lead", "win_gaps_islands", "ts_rolling_stats",
-    "cdc_snapshot_diff",
-)
+# rotated to the front like never-attested keys. Each entry maps the
+# key to the ROUND ITS ORACLE WAS EDITED IN: verdicts from rounds at
+# or before that round attest the OLD oracle form and are ignored;
+# the first LATER verdict re-attests the current form and the entry
+# expires on its own (ADVICE r11: the previous bare-tuple form masked
+# post-edit verdicts too, so a forgotten manual removal would pin the
+# key as never-attested forever). Entries should still be deleted at
+# the next rotation for legibility — the r11 four (win_lag_lead,
+# win_gaps_islands, ts_rolling_stats, cdc_snapshot_diff) landed green
+# in CORRECTNESS_r11 and are gone per that contract.
+_REVERIFY: dict[str, int] = {}
 # After this sweep lands green: zero keys with a verdict older than
-# r7. The composition (2 new + 35 r6-stale + 13 r7-stale) and the
+# r8. The composition (1 new + 40 r7-stale + 9 r8-stale) and the
 # marker position are pinned by
 # tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
 # the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r11, never driver-attested (2 keys) ---
-    "sim_search_ivf_trained", "text_quality_nb_scored",
-    # --- oracle edited after last verdict (the _REVERIFY keys; the
-    # guard test pins _REVERIFY ⊆ front-50) ---
-    "win_lag_lead", "win_gaps_islands", "ts_rolling_stats",
-    "cdc_snapshot_diff",
-    # --- last driver verdict: r6 (all 35 r6-stale keys) ---
-    "filter_pred", "fn_array", "fn_array_hof", "fn_date", "fn_math",
-    "fn_string", "http_enrichment_mock", "join_anti", "join_asof",
-    "join_asof_pandas", "join_broadcast", "join_full_outer",
-    "join_inner_hash", "join_left_outer", "join_right_outer",
-    "join_semi", "join_skew_salted", "join_theta_range", "limit_n",
-    "mm_features", "mm_frame_sample", "parquet_scan", "project_expr",
-    "q10_returned_items", "q14_promo_revenue", "set_except",
-    "set_intersect", "set_union_all", "sort_orderby", "topk_per_group",
-    "ttl_freshness_filter", "udf_pandas_vectorized", "udf_scalar",
-    "udtf_surface", "win_running_agg",
-    # --- oldest 9 of the 50 r7-stale keys (alphabetical; the last 4
-    # slots went to _REVERIFY) ---
-    "anti_join_processed", "audit_timestamps", "completeness_filter",
-    "count_agg", "csv_scan", "dedup_by_key", "dedup_containment",
-    "dedup_containment_lsh", "dedup_containment_lsh_permissive",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r12: the remaining 41 r7-stale keys
-    # (locally diffcheck-green) ---
+    # --- NEW in r12, never driver-attested (1 key) ---
+    "sim_search_ivfpq_trained",
+    # --- last driver verdict: r7 (all 40 r7-stale keys) ---
     "dedup_containment_recall", "derive_composite_key",
     "emb_dedup_cosine", "emb_dedup_cosine_lsh", "events_funnel",
-    "exists_agg",
+    "exists_agg", "file_checksum", "fn_json", "fn_json_typed", "fn_map",
+    "graph_label_propagation", "json_scan", "knn_classify",
+    "lookup_by_id", "orc_scan", "project_widen", "run_gate_predicate",
+    "semi_join_incoming", "shuffle_epoch_shards",
+    "sim_search_binary_rerank", "sim_search_ivf", "sim_search_lsh",
+    "sim_search_matryoshka", "sim_search_topk", "split_leakage_check",
+    "split_leakage_repair", "stream_dedup_first_event",
+    "stream_dedup_keys", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_stats", "text_token_count",
+    "watermark_late_data", "win_ntile_percent", "win_range_frame",
+    "win_rank_dense_rownum", "win_sliding", "win_tumbling", "xml_scan",
+    # --- oldest 9 of the 50 r8-stale keys (alphabetical) ---
+    "agg_mode", "agg_unpivot", "anomaly_zscore",
+    "dedup_minhash_verified", "dedup_paragraph", "dedup_prefix",
+    "dq_audit", "emb_semdedup", "extract_nested_json",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r13: the remaining 41 r8-stale keys
+    # (locally diffcheck-green) ---
+    "graph_degree_stats", "graph_pagerank", "profile_columns",
+    "q11_important_stock", "q12_priority_shipping", "q13_order_count_dist",
 )
 
 

@@ -55,10 +55,14 @@ def _verdict_passed(v: dict) -> bool:
 
 
 def latest_verdicts(through: int | None) -> dict[str, int]:
-    """Each key's latest PASSING verdict round — except keys declared
-    in ``registry._REVERIFY`` (oracle text edited since that verdict),
-    which are treated as never-attested: a verdict on the OLD oracle
-    form doesn't attest the current one."""
+    """Each key's latest PASSING verdict round — except that for keys
+    in ``registry._REVERIFY`` (mapping key -> round its oracle was
+    edited in), verdicts from rounds AT OR BEFORE the edit round are
+    ignored: they attest the OLD oracle form, not the current one. A
+    verdict from a later round re-attests the current form and makes
+    the entry inert (ADVICE r11: the previous unconditional mask kept
+    ignoring fresh post-edit verdicts until someone remembered to
+    empty the tuple, pinning those keys in the front-50 forever)."""
     from net7_etl_bus_spark.plans.registry import _REVERIFY
 
     latest: dict[str, int] = {}
@@ -71,7 +75,7 @@ def latest_verdicts(through: int | None) -> dict[str, int]:
         if through is not None and rnd > through:
             continue
         for k, v in json.load(open(p)).items():
-            if _verdict_passed(v) and k not in _REVERIFY:
+            if _verdict_passed(v) and rnd > _REVERIFY.get(k, 0):
                 latest[k] = max(latest.get(k, 0), rnd)
     return latest
 

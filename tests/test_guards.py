@@ -371,11 +371,11 @@ def test_sweep_rotation_arithmetic():
        drops out of the front-50 via the ``if k in d`` filter);
     2. the budget-line marker comment in the SOURCE sits after exactly
        50 keys — the true driver cutoff;
-    3. the r11 front-50 equals the documented composition from the r10
-       verdict: the keys NEW in r11 (never attested), ALL 35 r6-stale
-       keys, and r7-stale fillers (verified against
-       CORRECTNESS_r01..r10.json when present — every front-50 key
-       must be never-attested, r6-stale, or r7-stale, and no r6-stale
+    3. the r12 front-50 equals the documented composition from the r11
+       verdict: the keys NEW in r12 (never attested), ALL 40 r7-stale
+       keys, and r8-stale fillers (verified against
+       CORRECTNESS_r01..r11.json when present — every front-50 key
+       must be never-attested, r7-stale, or r8-stale, and no r7-stale
        key may be left out).
 
     Ordering WITHIN the front-50 is deliberately unconstrained
@@ -420,38 +420,49 @@ def test_sweep_rotation_arithmetic():
     files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     if not files:
         return
+    from net7_etl_bus_spark.plans.registry import _REVERIFY
+
     latest: dict[str, int] = {}
     for p in files:
         m = re.search(r"_r0*(\d+)\.json$", p)
         if m is None:
             continue  # nonconforming file name (ADVICE r9)
         rnd = int(m.group(1))
-        if rnd > 10:
-            continue  # composition was computed from r01..r10
+        if rnd > 11:
+            continue  # composition was computed from r01..r11
         for k, v in json.load(open(p)).items():
-            # failed entries don't attest (ADVICE r9) — mirror
-            # scripts/rotation.py's rule
+            # failed entries don't attest (ADVICE r9), and verdicts at
+            # or before a key's _REVERIFY oracle-edit round attest the
+            # OLD oracle form (ADVICE r11) — mirror
+            # scripts/rotation.py's rules
             if (
                 v.get("err") is None
                 and v.get("rows_match") is True
                 and v.get("schema_match") is True
                 and v.get("hash_match") is not False
+                and rnd > _REVERIFY.get(k, 0)
             ):
                 latest[k] = max(latest.get(k, 0), rnd)
-    from net7_etl_bus_spark.plans.registry import _REVERIFY
 
     front = set(_SWEEP_PRIORITY[:50])
     # Keys whose oracle was edited since their latest verdict are
     # effectively never-attested on their current form: they take
-    # front slots regardless of verdict age (and must be in front).
-    assert set(_REVERIFY) <= front, "every _REVERIFY key must be in the front-50"
-    r6_stale = {k for k, v in latest.items() if v == 6}
-    assert r6_stale <= front, f"r6-stale keys missing from front-50: {r6_stale - front}"
-    leftover = front - r6_stale - set(_REVERIFY)
-    assert all(latest.get(k) in (None, 7) for k in leftover), (
-        "front-50 fillers must be never-attested (new), r7-stale, or "
-        "declared in _REVERIFY, "
-        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 7)} }"
+    # front slots regardless of verdict age (and must be in front)
+    # UNTIL a post-edit verdict lands, at which point the dict-scoped
+    # rule above stops masking them and the entry is inert (ADVICE
+    # r11: the old unconditional mask pinned attested keys forever).
+    unattested_rv = {k for k in _REVERIFY if k not in latest}
+    assert unattested_rv <= front, (
+        f"_REVERIFY keys without a post-edit verdict must be in the "
+        f"front-50: {unattested_rv - front}"
+    )
+    r7_stale = {k for k, v in latest.items() if v == 7}
+    assert r7_stale <= front, f"r7-stale keys missing from front-50: {r7_stale - front}"
+    leftover = front - r7_stale
+    assert all(latest.get(k) in (None, 8) for k in leftover), (
+        "front-50 fillers must be never-attested (new or edited-oracle) "
+        "or r8-stale, "
+        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 8)} }"
     )
 
     # Generator/checker agreement: the committed tuple's front-50 must
@@ -466,10 +477,7 @@ def test_sweep_rotation_arithmetic():
         from rotation import front50
     finally:
         sys.path.pop(0)
-    # mirror rotation.latest_verdicts' _REVERIFY rule: an edited-oracle
-    # key counts as never-attested for the generator too
-    latest_rv = {k: v for k, v in latest.items() if k not in _REVERIFY}
-    assert front == set(front50(list(q), latest_rv)), (
+    assert front == set(front50(list(q), latest)), (
         "committed front-50 disagrees with scripts/rotation.py"
     )
 

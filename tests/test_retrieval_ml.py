@@ -1029,3 +1029,170 @@ def test_nb_train_frame_external_labels_hand_corpus(spark):
         assert rows[b].docs_pos == 2 and rows[b].docs_neg == 1
     # doc 4's tokens appear nowhere (no label row)
     assert sum(r.cnt_pos + r.cnt_neg for r in rows.values()) == 6
+
+
+def test_hier_assign_conserves_under_empty_trained_super(spark):
+    """ADVICE r11 (medium): with a trained super_cent, a super can own
+    ZERO centroids in cmap's argmin, and the (previously inner)
+    vsel-cmap join silently dropped every vector whose nearest super
+    was empty. Pin conservation on a constructed empty-super set for
+    BOTH cascades: centroids all align with super s0, so s1 owns
+    nothing; a vector pointing at s1 must still land in a cluster
+    (its next-nearest LIVE super), not vanish."""
+    from net7_etl_bus_spark.operators.similarity import (
+        _hier_assign,
+        _hier_assign_sq,
+    )
+
+    # cosine cascade: both centroids within 6 deg of +x; super s1 = -x
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.05]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "cid long, cent_emb array<double>",
+    )
+    sup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "sid long, sup_emb array<double>",
+    )
+    rows = _hier_assign(e, cent, None, super_cent=sup).collect()
+    assert len(rows) == 3, "vector nearest the empty super was dropped"
+    got = {r.vec_id: r.cid for r in rows}
+    assert set(got) == {0, 1, 2}
+    assert all(c in (0, 1) for c in got.values())
+
+    # integer-sqdist cascade: same construction in quantized space
+    eq = spark.createDataFrame(
+        [(0, [10, 0]), (1, [-10, 1]), (2, [0, 10])],
+        "vec_id long, xq array<long>",
+    )
+    centq = spark.createDataFrame(
+        [(0, [10, 0]), (1, [9, 1])], "cid long, cq array<long>"
+    )
+    supq = spark.createDataFrame(
+        [(0, [10, 0]), (1, [-10, 0])], "sid long, sq array<long>"
+    )
+    rq = _hier_assign_sq(eq, centq, None, super_cent=supq).collect()
+    assert len(rq) == 3, "vector nearest the empty super was dropped (sq)"
+    assert {r.vec_id for r in rq} == {0, 1, 2}
+
+
+def test_train_super_centroids_duplicate_coordinates(spark):
+    """ADVICE r11 (low): when the centroid relation has fewer DISTINCT
+    coordinates than n_super, the farthest-point loop used to argmax
+    an all-zero min-distance array and re-pick index 0, emitting
+    duplicate (cid, cq) init rows. Pin: duplicates stop the traversal
+    — the trained relation has at most as many supers as distinct
+    coordinates, with no duplicate sids, and every vector still
+    assigns (conservation downstream)."""
+    from net7_etl_bus_spark.operators.similarity import (
+        _hier_assign_sq,
+        train_super_centroids,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [5, 5]), (1, [5, 5]), (2, [5, 5]), (3, [-5, 5])],
+        "cid long, cq array<long>",
+    )
+    sup = train_super_centroids(cent, 3)
+    rows = sup.collect()
+    assert len(rows) <= 2, "more supers than distinct coordinates"
+    assert len({r.sid for r in rows}) == len(rows), "duplicate sids"
+    # downstream conservation with the truncated super set
+    eq = spark.createDataFrame(
+        [(0, [5, 5]), (1, [-5, 5]), (2, [0, 0])],
+        "vec_id long, xq array<long>",
+    )
+    got = _hier_assign_sq(eq, cent, None, super_cent=sup).collect()
+    assert {r.vec_id for r in got} == {0, 1, 2}
+
+
+def test_nb_quantized_frame_rejects_malformed_model(spark):
+    """ADVICE r11 (low): nb_score_quantized_frame must apply the same
+    model validation as nb_score_frame — without it, the inner
+    token->weight join silently dropped tokens whose bucket row was
+    missing (deflating n_tokens AND the score), and MAX-combined
+    inconsistent priors, so the two scorers disagreed on ledger shape
+    for the same malformed input."""
+    import pytest
+
+    from net7_etl_bus_spark.operators.text import (
+        _CLF_D,
+        nb_score_quantized_frame,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    short = spark.createDataFrame(
+        [(0, 1, 1, 1, 1)],
+        "bucket long, cnt_pos long, cnt_neg long, docs_pos long, docs_neg long",
+    )
+    with pytest.raises(ValueError, match="bucket rows"):
+        nb_score_quantized_frame(docs, short)
+
+    # right row count, inconsistent priors
+    incons = spark.range(_CLF_D).selectExpr(
+        "id AS bucket",
+        "CAST(1 AS BIGINT) AS cnt_pos",
+        "CAST(1 AS BIGINT) AS cnt_neg",
+        "CAST(id AS BIGINT) AS docs_pos",
+        "CAST(1 AS BIGINT) AS docs_neg",
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        nb_score_quantized_frame(docs, incons)
+
+    # duplicate buckets masking a missing one: count right, distinct wrong
+    dup = spark.range(_CLF_D).selectExpr(
+        f"least(id, {_CLF_D - 2}) AS bucket",
+        "CAST(1 AS BIGINT) AS cnt_pos",
+        "CAST(1 AS BIGINT) AS cnt_neg",
+        "CAST(2 AS BIGINT) AS docs_pos",
+        "CAST(1 AS BIGINT) AS docs_neg",
+    )
+    with pytest.raises(ValueError, match="bucket rows"):
+        nb_score_quantized_frame(docs, dup)
+
+
+def test_sim_search_ivfpq_trained_shape_and_rank(spark):
+    """The trained IVF-PQ chain (r12's new key): per-query ranks are
+    dense from 1 and capped at _ADC_K, queries are query ids, corpus
+    ids never collide with query ids. Value parity runs through the
+    spliced _KM_CTES oracle in test_oracle_parity.py / the driver."""
+    from net7_etl_bus_spark.operators.similarity import _ADC_K, N_QUERIES
+
+    rows = Q["sim_search_ivfpq_trained"](spark, SF_SMALL).collect()
+    assert rows, "empty trained IVF-PQ result"
+    by_q = {}
+    for r in rows:
+        assert r.query_id < N_QUERIES
+        assert r.neighbor_id >= N_QUERIES
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), q
+        assert max(rks) <= _ADC_K
+
+
+def test_recommended_k_sizing_rule():
+    """VERDICT r11 item 3: the K ~ n sizing rule as executable code.
+    Pin linearity (10x vectors -> 10x K, the 0.60-vs-0.82 ladder
+    distinction), the SemDeDup-protocol ballpark, edge behavior, and
+    argument validation."""
+    import pytest
+
+    from net7_etl_bus_spark.operators.similarity import recommended_k
+
+    assert recommended_k(160_000, 1000) == 160  # the r11 ladder row
+    assert recommended_k(16_000, 1000) == 16
+    # linear in n: the whole point vs sqrt-sizing
+    assert recommended_k(10 * 1_048_576) == 10 * recommended_k(1_048_576)
+    # ceil, never 0; tiny corpora get one cluster
+    assert recommended_k(1) == 1
+    assert recommended_k(0) == 1
+    assert recommended_k(1025, 1024) == 2
+    # SemDeDup protocol ballpark: LAION-440M at ~8.8k/cluster -> 50k
+    assert recommended_k(440_000_000, 8800) == 50_000
+    with pytest.raises(ValueError):
+        recommended_k(-1)
+    with pytest.raises(ValueError):
+        recommended_k(100, 0)
