@@ -116,9 +116,10 @@ SCALE_QUERIES = [
     # r11 quantized NB scoring chain: the trainer above + one 64-row
     # broadcast weight join + a doc_id hash aggregate — token-linear
     # end to end, same replication-safety argument as the trainer.
-    # sim_search_ivf_trained is NOT enrolled: it composes two shapes
-    # that already carry rows (emb_kmeans_train here; the IVF probe
-    # plan in sfbench at 0.44) and adds no new growth mechanism.
+    # sim_search_ivf_trained / sim_search_ivfpq_trained (r12) are NOT
+    # enrolled: they compose shapes that already carry rows
+    # (emb_kmeans_train here; the IVF / IVF-PQ probe plans on the
+    # annladder at 0.38/0.44) and add no new growth mechanism.
     "text_quality_nb_scored",
 ]
 
