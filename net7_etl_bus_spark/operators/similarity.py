@@ -634,7 +634,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A vector with any non-finite ELEMENT cannot be absmax-quantized
     # (inf/absmax = NaN, NaN poisons every code) — such vectors emit
     # NULL codes and NaN scale/error, surfaced not laundered
-    # (array-element extremes fuzz).
+    # (array-element extremes fuzz). An EMPTY vector has no absmax at
+    # all: scale and error are NULL by propagation, and q8 must be
+    # NULL too — Spark's array_join over an empty array is '' while
+    # the oracle's NULL-scale CASE yields NULL (ragged fuzz, r12).
     inf = F.lit(float("inf"))
     badv = F.exists(
         "embedding", lambda y: F.isnan(xd(y)) | (F.abs(xd(y)) == inf)
@@ -647,7 +650,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.col("bad"), nan).otherwise(F.col("scale")).alias("scale"),
         F.when(
-            ~F.col("bad"),
+            ~F.col("bad") & (F.size("embedding") > 0),
             F.array_join(F.transform("embedding", lambda y: q(y).cast("string")), ","),
         ).alias("q8"),
         F.when(F.col("bad"), nan)
@@ -666,6 +669,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- broadcast-index ANN (the Arrow/numpy scale path) -----------------
 
 _Q_SCALE = 1 << 20  # power of two: double * 2^20 only shifts the exponent
+_BC_DIM = 64  # the broadcast index's declared dimension: the numpy
+# matmul kernel requires one fixed dim per index artifact (np.stack
+# over a ragged Arrow batch raises — a single off-dim vector would
+# kill the executor task at scale; ragged fuzz, r12)
 
 
 def _sql_int_dot(a: str, b: str) -> str:
@@ -691,6 +698,7 @@ def _sql_int_dot(a: str, b: str) -> str:
     WITH fe AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {_BC_DIM}
         AND NOT list_bool_or(list_transform(embedding,
               y -> isnan(CAST(y AS DOUBLE)) OR abs(CAST(y AS DOUBLE)) >= 4398046511104.0))),
     scored AS (
@@ -734,10 +742,14 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The integer-exact kernel REQUIRES finite vectors (floor(x*2^20)
     # of NaN/Inf is int64 garbage) — corrupt vectors are excluded like
     # NULL ones, unlike the IEEE-path ops where NaN cosines rank
-    # identically in both engines.
+    # identically in both engines. Off-dim vectors are excluded the
+    # same way (_BC_DIM): np.stack over a ragged batch RAISES and one
+    # bad row would kill the whole executor task; a d'-dim vector has
+    # no defined score against a d-dim index anyway (ragged fuzz, r12).
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & F.col("vec_id").isNotNull()
+        & (F.size("embedding") == _BC_DIM)
         & ~F.exists(
             "embedding",
             # NaN, Inf, or beyond the quantization domain (|y| * 2^20
@@ -1015,14 +1027,14 @@ _PQ_CENTS = _pq_centroids()
 _PQ_ORACLE = f"""
 WITH d AS (
   SELECT vec_id,
-         embedding IS NULL AS is_null,
+         embedding IS NULL OR len(embedding) <> {_PQ_M * _PQ_SUB} AS not_codable,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
   FROM embeddings)
 SELECT vec_id,
-       CASE WHEN is_null THEN NULL ELSE
+       CASE WHEN not_codable THEN NULL ELSE
        {" || '-' || ".join(f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS VARCHAR)" for m in range(_PQ_M))}
        END AS pq_code,
-       CASE WHEN is_null THEN NULL ELSE
+       CASE WHEN not_codable THEN NULL ELSE
        {" + ".join(f"list_min(d{m})" for m in range(_PQ_M))} END AS recon_err
 FROM d
 ORDER BY vec_id
@@ -1047,11 +1059,23 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plan literal (broadcast-variable-sized in a real build), so
     quantizing N vectors is embarrassingly parallel with zero
     shuffles; only the tiny (vec_id, code, err) result moves.
+
+    DIMENSION CONTRACT (ragged fuzz, r12): the codebook is a
+    {_PQ_M}x{_PQ_SUB}-dim artifact — a vector whose length is not
+    exactly {_PQ_M * _PQ_SUB} is NOT PQ-encodable against it, and the
+    engines' NULL-in-list argmin semantics diverge on the partial
+    subspace distances a ragged vector produces (Spark's array_min
+    propagates the NULL tail products; DuckDB's list_min skips them).
+    Off-dim vectors keep their row and emit NULL code/err — surfaced,
+    not laundered, exactly the NULL-embedding rule.
     """
     e = load_table(spark, sf_dir, "embeddings")
     d = e.select(
         "vec_id",
-        F.col("embedding").isNull().alias("is_null"),
+        (
+            F.col("embedding").isNull()
+            | (F.size("embedding") != _PQ_M * _PQ_SUB)
+        ).alias("not_codable"),
         *[
             F.expr(_pq_spark_dists(m, _PQ_CENTS[m])).alias(f"d{m}")
             for m in range(_PQ_M)
@@ -1069,12 +1093,13 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.array_min(F.col("d0"))
     for m in range(1, _PQ_M):
         err = err + F.array_min(F.col(f"d{m}"))
-    # NULL embedding -> NULL code/err (null propagation, matching the
-    # oracle's CASE): concat_ws would otherwise silently emit ''.
+    # NULL / off-dim embedding -> NULL code/err (matching the oracle's
+    # CASE): concat_ws would otherwise silently emit '' or a partial
+    # code string.
     return d.select(
         "vec_id",
-        F.when(~F.col("is_null"), code).alias("pq_code"),
-        F.when(~F.col("is_null"), err).alias("recon_err"),
+        F.when(~F.col("not_codable"), code).alias("pq_code"),
+        F.when(~F.col("not_codable"), err).alias("recon_err"),
     ).orderBy("vec_id")
 
 
@@ -1089,11 +1114,13 @@ WITH corpus AS (
   FROM (
     SELECT vec_id,
            {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
-    FROM embeddings WHERE vec_id >= {N_QUERIES} AND embedding IS NOT NULL) cd),
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND embedding IS NOT NULL
+      AND len(embedding) = {_PQ_M * _PQ_SUB}) cd),
 queries AS (
   SELECT vec_id AS query_id,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS t{m}" for m in range(_PQ_M))}
-  FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
+  FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
+    AND len(embedding) = {_PQ_M * _PQ_SUB}),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          {" + ".join(f"q.t{m}[c.k{m}]" for m in range(_PQ_M))} AS adc_dist
@@ -1127,9 +1154,14 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pruning to k per query before the shuffle.
     """
     # NULL embeddings are not searchable (corpus) and have no
-    # neighborhood (queries) - excluded on both sides, fuzz-pinned.
+    # neighborhood (queries) — excluded on both sides, fuzz-pinned.
+    # Off-dim vectors are excluded the same way (ragged fuzz, r12):
+    # PQ codes and ADC tables only exist against the
+    # {_PQ_M}x{_PQ_SUB}-dim codebook — see emb_pq_quantize's
+    # dimension contract.
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == _PQ_M * _PQ_SUB)
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1169,7 +1201,7 @@ _IVFPQ_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
   WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
-    AND embedding IS NOT NULL
+    AND embedding IS NOT NULL AND len(embedding) = {_PQ_M * _PQ_SUB}
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cid,
@@ -1177,7 +1209,7 @@ ranked AS (
                             ORDER BY {_sql_cos("e.embedding", "c.cent_emb")} DESC,
                                      c.cid) AS rkc
   FROM embeddings e CROSS JOIN cent c
-  WHERE e.embedding IS NOT NULL
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) = {_PQ_M * _PQ_SUB}
 ),
 corpus AS (
   SELECT r.vec_id,
@@ -1226,10 +1258,16 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is oracle-checked: assignment, probing, codes, and ADC
     tables all reduce to the same bit-exact fold/argmin machinery as
-    the component ops.
+    the component ops. Off-dim vectors are excluded with the NULL ones
+    (ragged fuzz, r12): the fine-scoring tier only exists against the
+    fixed-dim PQ codebook — emb_pq_quantize's dimension contract.
+    ivfpq_search_frame callers own this gate (sim_search_ivfpq_trained
+    gates via the kmeans-eligible set, which pins the same dim).
     """
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()  # not clusterable, not searchable
+        # not clusterable, not searchable; not PQ-codable off-dim
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _PQ_M * _PQ_SUB)
     )
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)

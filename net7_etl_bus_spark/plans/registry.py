@@ -81,26 +81,43 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # keys — computed from CORRECTNESS_r01..r11.json via
 # scripts/rotation.py.
 
-# Keys whose oracle text changed since their latest driver verdict —
-# rotated to the front like never-attested keys. Each entry maps the
-# key to the ROUND ITS ORACLE WAS EDITED IN: verdicts from rounds at
-# or before that round attest the OLD oracle form and are ignored;
-# the first LATER verdict re-attests the current form and the entry
-# expires on its own (ADVICE r11: the previous bare-tuple form masked
-# post-edit verdicts too, so a forgotten manual removal would pin the
-# key as never-attested forever). Entries should still be deleted at
-# the next rotation for legibility — the r11 four (win_lag_lead,
-# win_gaps_islands, ts_rolling_stats, cdc_snapshot_diff) landed green
-# in CORRECTNESS_r11 and are gone per that contract.
-_REVERIFY: dict[str, int] = {}
+# Keys whose query or oracle SEMANTICS changed since their latest
+# driver verdict — rotated to the front like never-attested keys.
+# Each entry maps the key to the LAST ROUND WHOSE VERDICTS PREDATE
+# THE EDIT: verdicts from rounds at or before that value attest the
+# OLD form and are ignored; the first later verdict (normally the
+# edit round's own end-of-round sweep) re-attests the current form
+# and the entry expires on its own (ADVICE r11: the previous
+# bare-tuple form masked post-edit verdicts too, so a forgotten
+# manual removal would pin the key as never-attested forever).
+# Entries should still be deleted at the next rotation for
+# legibility — the r11 four (win_lag_lead, win_gaps_islands,
+# ts_rolling_stats, cdc_snapshot_diff) landed green in
+# CORRECTNESS_r11 and are gone per that contract.
+_REVERIFY: dict[str, int] = {
+    # r12 ragged-fuzz hardening (the new `ragged` mutation class's
+    # first run found all five): the PQ family + the broadcast MIPS
+    # index gained explicit fixed-dimension gates (oracle edits), and
+    # emb_quantize_int8's q8 is NULL (not '') on empty vectors
+    # (Spark-side semantics edit; its oracle already said NULL).
+    "emb_pq_quantize": 11,
+    "sim_search_pq": 11,
+    "sim_search_ivfpq": 11,
+    "sim_search_bcast_index": 11,
+    "emb_quantize_int8": 11,
+}
 # After this sweep lands green: zero keys with a verdict older than
-# r8. The composition (1 new + 40 r7-stale + 9 r8-stale) and the
-# marker position are pinned by
+# r8. The composition (1 new + 5 reverify + 40 r7-stale + 4 r8-stale)
+# and the marker position are pinned by
 # tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
 # the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- NEW in r12, never driver-attested (1 key) ---
     "sim_search_ivfpq_trained",
+    # --- query/oracle semantics edited after last verdict (the five
+    # r12 ragged-fuzz hardenings in _REVERIFY) ---
+    "emb_pq_quantize", "emb_quantize_int8", "sim_search_bcast_index",
+    "sim_search_ivfpq", "sim_search_pq",
     # --- last driver verdict: r7 (all 40 r7-stale keys) ---
     "dedup_containment_recall", "derive_composite_key",
     "emb_dedup_cosine", "emb_dedup_cosine_lsh", "events_funnel",
@@ -115,15 +132,15 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_quality", "text_stats", "text_token_count",
     "watermark_late_data", "win_ntile_percent", "win_range_frame",
     "win_rank_dense_rownum", "win_sliding", "win_tumbling", "xml_scan",
-    # --- oldest 9 of the 50 r8-stale keys (alphabetical) ---
+    # --- oldest 4 of the 50 r8-stale keys (alphabetical; 5 slots
+    # went to the _REVERIFY keys) ---
     "agg_mode", "agg_unpivot", "anomaly_zscore",
-    "dedup_minhash_verified", "dedup_paragraph", "dedup_prefix",
-    "dq_audit", "emb_semdedup", "extract_nested_json",
+    "dedup_minhash_verified",
     # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r13: the remaining 41 r8-stale keys
+    # --- next in line for r13: the remaining 46 r8-stale keys
     # (locally diffcheck-green) ---
-    "graph_degree_stats", "graph_pagerank", "profile_columns",
-    "q11_important_stock", "q12_priority_shipping", "q13_order_count_dist",
+    "dedup_paragraph", "dedup_prefix", "dq_audit", "emb_semdedup",
+    "extract_nested_json", "graph_degree_stats",
 )
 
 

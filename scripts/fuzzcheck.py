@@ -48,7 +48,13 @@ and time/date columns NULLED and the victim's FK group keys copied
 from the donor — the r11 chaos-find disease class made dense. Any
 divergence is a real total-order gap: an ORDER BY missing the
 measure, a two-window pairing assuming row identity, a keeper
-without a total order).
+without a total order), or ``ragged`` (append re-keyed copies whose
+float-ARRAY columns get LENGTH mutations — truncations incl. the
+8-dim matryoshka prefix, the empty array, extensions — the
+bad-embedding-writer failure mode; values stay in-domain, so any
+divergence is a real dimension-handling gap: zip_with null-padding
+vs indexed generate_series, fixed-subspace PQ slices, 64-bit sign
+packs, len()-gated eligibility).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -297,6 +303,71 @@ def mutate_table(
                 t = t.set_column(i, field, pa.array(vals, type=field.type))
         pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
         return
+    if mode == "ragged":
+        # Append re-keyed copies whose float-ARRAY columns get LENGTH
+        # mutations: truncations (63 — off-by-one; 32; 8 — exactly the
+        # matryoshka prefix dim; 1), the EMPTY array, and extensions
+        # (+1, +16) built from the vector's own in-domain values (no
+        # NaN/Inf — `extremes` owns value corruption; the ONLY new
+        # phenomenon here is length variance). This is the
+        # bad-embedding-writer failure mode at 100 TB: a model change
+        # or truncating serializer ships mixed-dim vectors into a
+        # corpus whose readers all assume dim=64. Every dimension-
+        # sensitive kernel (zip_with null-padding vs generate_series
+        # indexing, fixed-subspace PQ slices, 64-bit sign packs,
+        # prefix-dim coarse scores, len()-gated eligible sets) must
+        # agree cross-engine on the ragged rows. Tables without a
+        # float-array column are left byte-identical.
+        name = os.path.basename(src).replace(".parquet", "")
+        list_cols = [
+            f.name
+            for f in t.schema
+            if pa.types.is_list(f.type) and pa.types.is_floating(f.type.value_type)
+        ]
+        if list_cols:
+            rng = np.random.default_rng(
+                zlib.crc32(f"{name}:ragged:{seed}".encode())
+            )
+            idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
+            dup = t.take(pa.array(np.sort(idx)))
+            for key_col in _TABLE_KEYS.get(name, ()):
+                i = t.schema.get_field_index(key_col)
+                maxv = pc.max(t.column(key_col)).as_py() or 0
+                fresh = pa.array(
+                    np.arange(maxv + 1, maxv + 1 + len(dup)),
+                    type=t.schema.field(i).type,
+                )
+                dup = dup.set_column(i, t.schema.field(i), fresh)
+            for cname in list_cols:
+                i = dup.schema.get_field_index(cname)
+                field = dup.schema.field(i)
+                lists = dup.column(i).to_pylist()
+                out = []
+                for j, lv in enumerate(lists):
+                    if not lv:
+                        out.append(lv)
+                        continue
+                    lv = list(lv)
+                    variant = (j + seed) % 7
+                    if variant == 0:
+                        lv = lv[:-1]          # off-by-one short
+                    elif variant == 1:
+                        lv = lv[: max(1, len(lv) // 2)]
+                    elif variant == 2:
+                        lv = lv[:8]           # the matryoshka prefix dim
+                    elif variant == 3:
+                        lv = lv[:1]
+                    elif variant == 4:
+                        lv = []               # empty, NOT null
+                    elif variant == 5:
+                        lv = lv + lv[:1]      # one element long
+                    else:
+                        lv = lv + lv[:16]
+                    out.append(lv)
+                dup = dup.set_column(i, field, pa.array(out, type=field.type))
+            t = pa.concat_tables([t, dup])
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
     if mode in ("dupes", "both"):
         # Append a seeded sample of CONTENT duplicates with FRESH keys
         # (max+1..): the real 100 TB duplication phenomenon — re-crawled
@@ -473,7 +544,7 @@ def main() -> int:
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
-        "boundary", "reorder", "split", "ties",
+        "boundary", "reorder", "split", "ties", "ragged",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

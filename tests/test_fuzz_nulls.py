@@ -572,3 +572,82 @@ def test_split_fuzz_parity(spark, split_dir, split_duck, key):
     odf = split_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# The 5 keys the new `ragged` mode (r12: float-array LENGTH mutations —
+# truncations, the empty array, extensions) diverged or CRASHED on in
+# its first run: the PQ family's fixed-subspace slices hit engine-
+# divergent NULL-in-list argmin semantics, the broadcast MIPS index's
+# np.stack raised on a ragged Arrow batch, and empty-array array_join
+# emitted '' where the oracle said NULL. All fixed with explicit
+# fixed-dimension gates (the codebook/index dimension contract) and
+# the empty-vector NULL rule. The passing-but-dimension-sensitive
+# kernels are pinned alongside so a refactor can't silently regress
+# their ragged handling (null-padded zip_with, prefix-dim slices,
+# len()-gated eligibility).
+RAGGED_REGRESSION_KEYS = [
+    "emb_pq_quantize", "emb_quantize_int8", "sim_search_bcast_index",
+    "sim_search_ivfpq", "sim_search_pq",
+    # passed the first run; pinned as dimension-sensitive
+    "sim_search_topk", "sim_search_matryoshka", "emb_norm_stats",
+    "sim_search_binary_rerank", "emb_centroid",
+]
+
+
+@pytest.fixture(scope="module")
+def ragged_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("ragged_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.1,
+            SEED,
+            "ragged",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def ragged_duck(ragged_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{ragged_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_ragged_mirror_is_ragged(ragged_dir):
+    """Sharpness: the embeddings mirror must actually contain every
+    length-mutation variant (empty, truncated incl. the 8-dim
+    matryoshka prefix, extended) — else the class degenerates to a
+    plain dupes run."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(ragged_dir, "embeddings.parquet"))
+    lens = {
+        len(v) if v is not None else None
+        for v in t.column("embedding").to_pylist()
+    }
+    assert 0 in lens, "no empty arrays"
+    assert 8 in lens, "no matryoshka-prefix truncation"
+    assert 63 in lens, "no off-by-one truncation"
+    assert 65 in lens, "no +1 extension"
+    assert 80 in lens, "no +16 extension"
+    assert 64 in lens, "original vectors vanished"
+
+
+@pytest.mark.parametrize("key", RAGGED_REGRESSION_KEYS)
+def test_ragged_fuzz_parity(spark, ragged_dir, ragged_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, ragged_dir).toPandas()
+    odf = ragged_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
