@@ -606,3 +606,75 @@ def test_epoch_shards_append_shifts_only_touched_shards(spark, corpus, extra):
             if r.shard == sh and r.doc_id in base_ids
         ]
         assert orig_order == new_order, "append reordered existing docs"
+
+
+# --- two-tier assignment cascade: conservation + exactness ------------
+#
+# The r12 ADVICE fix made _hier_assign_sq rank vectors only over
+# supers that own >= 1 centroid (a trained super's Voronoi cell can be
+# empty, and the inner assign join then silently dropped vectors).
+# The constructed-case pin lives in test_retrieval_ml; this property
+# generalizes it: for ARBITRARY vector / centroid / super relations
+# (duplicates, clumps, empty cells, supers nowhere near any centroid),
+# the cascade must emit EXACTLY one row per vector, every cid must be
+# a real centroid id, and the assigned centroid must be the exact
+# argmin WITHIN the chosen super's group (the IMI contract: tier-2
+# exactness given the tier-1 choice).
+
+_vecs2 = st.lists(
+    st.lists(st.integers(-9, 9), min_size=2, max_size=2),
+    min_size=1,
+    max_size=8,
+)
+_cents2 = st.lists(
+    st.lists(st.integers(-9, 9), min_size=2, max_size=2),
+    min_size=1,
+    max_size=6,
+)
+_sups2 = st.lists(
+    st.lists(st.integers(-9, 9), min_size=2, max_size=2),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _sq(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+@given(vecs=_vecs2, cents=_cents2, sups=_sups2)
+@settings(**_SETTINGS)
+def test_hier_assign_sq_conserves_and_is_groupwise_exact(
+    spark, vecs, cents, sups
+):
+    from net7_etl_bus_spark.operators.similarity import _hier_assign_sq
+
+    eq = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, xq array<long>"
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid long, cq array<long>"
+    )
+    sup = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sups)], "sid long, sq array<long>"
+    )
+    got = {r.vec_id: r.cid for r in _hier_assign_sq(eq, cent, None, super_cent=sup).collect()}
+
+    # conservation: exactly one assignment per vector, real cids
+    assert sorted(got) == list(range(len(vecs)))
+    assert all(0 <= c < len(cents) for c in got.values())
+
+    # python model: centroid -> owning super (ties: smallest sid),
+    # then each vector ranks only LIVE supers (ties: smallest sid)
+    # and takes the exact argmin within that super's group
+    # (ties: smallest cid)
+    own = {
+        ci: min(range(len(sups)), key=lambda si: (_sq(c, sups[si]), si))
+        for ci, c in enumerate(cents)
+    }
+    live = sorted(set(own.values()))
+    for vi, v in enumerate(vecs):
+        s_best = min(live, key=lambda si: (_sq(v, sups[si]), si))
+        group = [ci for ci in range(len(cents)) if own[ci] == s_best]
+        want = min(group, key=lambda ci: (_sq(v, cents[ci]), ci))
+        assert got[vi] == want, (vi, v, got[vi], want)
