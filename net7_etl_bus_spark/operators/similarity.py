@@ -614,7 +614,7 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * scale / 127.0)))
            END AS max_abs_err
     FROM s ORDER BY vec_id
-    """.format(bad="""list_bool_or(list_transform(embedding, y -> isnan(CAST(y AS DOUBLE)) OR isinf(CAST(y AS DOUBLE))))"""),
+    """.format(bad="""list_bool_or(list_transform(embedding, y -> y IS NULL OR isnan(CAST(y AS DOUBLE)) OR isinf(CAST(y AS DOUBLE))))"""),
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector absmax int8 quantization of the embedding column —
@@ -634,13 +634,20 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A vector with any non-finite ELEMENT cannot be absmax-quantized
     # (inf/absmax = NaN, NaN poisons every code) — such vectors emit
     # NULL codes and NaN scale/error, surfaced not laundered
-    # (array-element extremes fuzz). An EMPTY vector has no absmax at
-    # all: scale and error are NULL by propagation, and q8 must be
-    # NULL too — Spark's array_join over an empty array is '' while
-    # the oracle's NULL-scale CASE yields NULL (ragged fuzz, r12).
+    # (array-element extremes fuzz). A MISSING element (NULL inside a
+    # non-null array — the missing-feature writer, holes fuzz r12) is
+    # the same contract: both engines' join/aggregate kernels SKIP
+    # null elements, which silently loses the hole's position from
+    # the q8 fingerprint — and they skip differently enough to
+    # diverge — so hole-vectors are bad too. An EMPTY vector has no
+    # absmax at all: scale and error are NULL by propagation, and q8
+    # must be NULL too — Spark's array_join over an empty array is ''
+    # while the oracle's NULL-scale CASE yields NULL (ragged fuzz,
+    # r12).
     inf = F.lit(float("inf"))
     badv = F.exists(
-        "embedding", lambda y: F.isnan(xd(y)) | (F.abs(xd(y)) == inf)
+        "embedding",
+        lambda y: y.isNull() | F.isnan(xd(y)) | (F.abs(xd(y)) == inf),
     )
     scale = F.array_max(F.transform("embedding", lambda y: F.abs(xd(y))))
     s = e.select("vec_id", "embedding", badv.alias("bad"), scale.alias("scale"))
@@ -700,7 +707,8 @@ def _sql_int_dot(a: str, b: str) -> str:
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = {_BC_DIM}
         AND NOT list_bool_or(list_transform(embedding,
-              y -> isnan(CAST(y AS DOUBLE)) OR abs(CAST(y AS DOUBLE)) >= 4398046511104.0))),
+              y -> y IS NULL OR isnan(CAST(y AS DOUBLE))
+                   OR abs(CAST(y AS DOUBLE)) >= 4398046511104.0))),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_sql_int_dot('q.embedding', 'c.embedding')} AS dot_q
@@ -752,9 +760,13 @@ def sim_search_bcast_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("embedding") == _BC_DIM)
         & ~F.exists(
             "embedding",
-            # NaN, Inf, or beyond the quantization domain (|y| * 2^20
-            # must stay inside int64 -> |y| < 2^42)
-            lambda y: F.isnan(y.cast("double"))
+            # missing (NULL element — np.stack->astype would turn it
+            # into INT64_MIN garbage; the explicit leg also keeps the
+            # EXISTS definite where DuckDB's bool_or skips nulls —
+            # holes fuzz, r12), NaN, Inf, or beyond the quantization
+            # domain (|y| * 2^20 must stay inside int64 -> |y| < 2^42)
+            lambda y: y.isNull()
+            | F.isnan(y.cast("double"))
             | (F.abs(y.cast("double")) >= F.lit(float(2**42))),
         )
     )
@@ -1027,7 +1039,9 @@ _PQ_CENTS = _pq_centroids()
 _PQ_ORACLE = f"""
 WITH d AS (
   SELECT vec_id,
-         embedding IS NULL OR len(embedding) <> {_PQ_M * _PQ_SUB} AS not_codable,
+         embedding IS NULL OR len(embedding) <> {_PQ_M * _PQ_SUB}
+           OR list_bool_or(list_transform(embedding, y -> y IS NULL))
+           AS not_codable,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
   FROM embeddings)
 SELECT vec_id,
@@ -1075,6 +1089,9 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("embedding").isNull()
             | (F.size("embedding") != _PQ_M * _PQ_SUB)
+            # missing features (holes fuzz, r12): NULL-tail products
+            # hit the same divergent NULL-in-list argmin as ragged
+            | F.exists("embedding", lambda y: y.isNull())
         ).alias("not_codable"),
         *[
             F.expr(_pq_spark_dists(m, _PQ_CENTS[m])).alias(f"d{m}")
@@ -1115,12 +1132,14 @@ WITH corpus AS (
     SELECT vec_id,
            {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS d{m}" for m in range(_PQ_M))}
     FROM embeddings WHERE vec_id >= {N_QUERIES} AND embedding IS NOT NULL
-      AND len(embedding) = {_PQ_M * _PQ_SUB}) cd),
+      AND len(embedding) = {_PQ_M * _PQ_SUB}
+      AND NOT list_bool_or(list_transform(embedding, y -> y IS NULL))) cd),
 queries AS (
   SELECT vec_id AS query_id,
          {", ".join(f"{_pq_duck_dists(m, _PQ_CENTS[m])} AS t{m}" for m in range(_PQ_M))}
   FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
-    AND len(embedding) = {_PQ_M * _PQ_SUB}),
+    AND len(embedding) = {_PQ_M * _PQ_SUB}
+    AND NOT list_bool_or(list_transform(embedding, y -> y IS NULL))),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          {" + ".join(f"q.t{m}[c.k{m}]" for m in range(_PQ_M))} AS adc_dist
@@ -1155,13 +1174,14 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # NULL embeddings are not searchable (corpus) and have no
     # neighborhood (queries) — excluded on both sides, fuzz-pinned.
-    # Off-dim vectors are excluded the same way (ragged fuzz, r12):
-    # PQ codes and ADC tables only exist against the
-    # {_PQ_M}x{_PQ_SUB}-dim codebook — see emb_pq_quantize's
-    # dimension contract.
+    # Off-dim and missing-feature vectors are excluded the same way
+    # (ragged + holes fuzz, r12): PQ codes and ADC tables only exist
+    # against the {_PQ_M}x{_PQ_SUB}-dim codebook — see
+    # emb_pq_quantize's dimension contract.
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & (F.size("embedding") == _PQ_M * _PQ_SUB)
+        & ~F.exists("embedding", lambda y: y.isNull())
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1202,6 +1222,7 @@ WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
   WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
     AND embedding IS NOT NULL AND len(embedding) = {_PQ_M * _PQ_SUB}
+    AND NOT list_bool_or(list_transform(embedding, y -> y IS NULL))
 ),
 ranked AS (
   SELECT e.vec_id, e.embedding, c.cid,
@@ -1210,6 +1231,7 @@ ranked AS (
                                      c.cid) AS rkc
   FROM embeddings e CROSS JOIN cent c
   WHERE e.embedding IS NOT NULL AND len(e.embedding) = {_PQ_M * _PQ_SUB}
+    AND NOT list_bool_or(list_transform(e.embedding, y -> y IS NULL))
 ),
 corpus AS (
   SELECT r.vec_id,
@@ -1265,9 +1287,11 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates via the kmeans-eligible set, which pins the same dim).
     """
     e = load_table(spark, sf_dir, "embeddings").filter(
-        # not clusterable, not searchable; not PQ-codable off-dim
+        # not clusterable, not searchable; not PQ-codable off-dim or
+        # with missing features (ragged + holes fuzz, r12)
         F.col("embedding").isNotNull()
         & (F.size("embedding") == _PQ_M * _PQ_SUB)
+        & ~F.exists("embedding", lambda y: y.isNull())
     )
     cent = e.filter(
         (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
@@ -1360,12 +1384,17 @@ def ivfpq_search_frame(
                   ELSE {_sql_norm("embedding")} END AS l2,
              len(embedding) AS dim,
              len(list_filter(embedding, x -> x = 0)) AS n_zero,
-             embedding IS NULL AS is_null
+             embedding IS NULL AS is_null,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE list_bool_or(list_transform(embedding,
+                         y -> y IS NULL)) END AS has_hole
       FROM embeddings)
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null_vectors,
+           CAST(SUM(CASE WHEN has_hole THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hole_vectors,
            CAST(MIN(dim) AS BIGINT) AS min_dim,
            CAST(MAX(dim) AS BIGINT) AS max_dim,
            MIN(l2) AS min_norm,
@@ -1405,6 +1434,16 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         l2.alias("l2"),
         F.size("embedding").alias("dim"),
+        F.col("embedding").isNull().alias("is_null"),
+        # a NULL ELEMENT inside a non-null vector — the missing-
+        # feature writer (holes fuzz, r12). Counted as its own
+        # phenomenon: such vectors have NULL l2 (the fold propagates)
+        # so they silently vanish from the norm stats on both engines;
+        # the profile's job is to SURFACE them. NB: l2 IS NULL is NOT
+        # a proxy for embedding IS NULL once holes exist — the old
+        # proxy counted hole-vectors as null vectors while the oracle
+        # counted embedding IS NULL, the class's first find.
+        F.exists("embedding", lambda x: x.isNull()).alias("has_hole"),
         (
             F.size(F.filter(F.col("embedding"), lambda x: x == 0)) == F.size("embedding")
         ).alias("all_zero"),
@@ -1418,9 +1457,12 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the norm/dim stats — l2 and dim are NULL for them, and
             # min/max/sum skip NULLs identically in both engines; the
             # mean divides by the non-null count.
-            F.sum(F.when(F.col("l2").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("is_null"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_null_vectors"),
+            F.sum(F.when(F.col("has_hole"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hole_vectors"),
             F.min("dim").cast("bigint").alias("min_dim"),
             F.max("dim").cast("bigint").alias("max_dim"),
             F.min("l2").alias("min_norm"),
@@ -1605,7 +1647,8 @@ _KM_ELIGIBLE_SQL = f"""
       vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = {_KM_DIM}
         AND NOT list_bool_or(list_transform(embedding,
-              y -> isnan(CAST(y AS DOUBLE))
+              y -> y IS NULL
+                   OR isnan(CAST(y AS DOUBLE))
                    OR abs(CAST(y AS DOUBLE)) >= {_KM_DOM!r}))"""
 
 _KM_CTES = f"""eq AS (
@@ -1664,14 +1707,22 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-means-eligible vector set (the Spark twin of
     ``_KM_ELIGIBLE_SQL``): non-null, exactly ``_KM_DIM`` wide, every
-    element finite and inside the integer-headroom domain."""
+    element PRESENT (non-NULL), finite, and inside the integer-headroom
+    domain. The explicit ``y IS NULL`` leg matters doubly (holes fuzz,
+    r12): a missing feature is not trainable, AND without it the two
+    engines silently disagree on the eligible set itself — Spark's
+    EXISTS over a hole-vector returns NULL (no true, some null), so
+    ``~exists`` drops the row, while DuckDB's list_bool_or IGNORES
+    null elements and keeps it. The eligible-set contract feeds every
+    trained chain, so that asymmetry diverged four keys at once."""
     return load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == _KM_DIM)
         & ~F.exists(
             "embedding",
-            lambda y: F.isnan(y.cast("double"))
+            lambda y: y.isNull()
+            | F.isnan(y.cast("double"))
             | (F.abs(y.cast("double")) >= F.lit(_KM_DOM)),
         )
     )

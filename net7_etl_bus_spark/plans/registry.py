@@ -105,19 +105,34 @@ _REVERIFY: dict[str, int] = {
     "sim_search_ivfpq": 11,
     "sim_search_bcast_index": 11,
     "emb_quantize_int8": 11,
+    # r12 holes-fuzz hardening (the new `holes` class — NULL ELEMENTS
+    # inside float arrays — found nine on its first run): the
+    # kmeans-ELIGIBLE contract now excludes missing-feature vectors
+    # explicitly (Spark's EXISTS returned NULL where DuckDB's
+    # list_bool_or skipped nulls — the eligible-set asymmetry diverged
+    # every trained chain at once), and emb_norm_stats surfaces holes
+    # as n_hole_vectors instead of mis-counting them as NULL vectors.
+    # sim_search_ivfpq_trained is also holes-hardened but is r12-new
+    # (never attested), so it needs no entry.
+    "emb_kmeans_train": 11,
+    "emb_norm_stats": 11,
+    "emb_semdedup_trained": 11,
+    "sim_search_ivf_trained": 11,
 }
 # After this sweep lands green: zero keys with a verdict older than
-# r8. The composition (1 new + 5 reverify + 40 r7-stale + 4 r8-stale)
-# and the marker position are pinned by
+# r8. The composition (1 new + 9 reverify + 40 r7-stale — the ragged
+# and holes fuzz hardenings consumed every filler slot) and the
+# marker position are pinned by
 # tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
 # the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # --- NEW in r12, never driver-attested (1 key) ---
     "sim_search_ivfpq_trained",
-    # --- query/oracle semantics edited after last verdict (the five
-    # r12 ragged-fuzz hardenings in _REVERIFY) ---
+    # --- query/oracle semantics edited after last verdict (the nine
+    # r12 ragged/holes-fuzz hardenings in _REVERIFY) ---
     "emb_pq_quantize", "emb_quantize_int8", "sim_search_bcast_index",
-    "sim_search_ivfpq", "sim_search_pq",
+    "sim_search_ivfpq", "sim_search_pq", "emb_kmeans_train",
+    "emb_norm_stats", "emb_semdedup_trained", "sim_search_ivf_trained",
     # --- last driver verdict: r7 (all 40 r7-stale keys) ---
     "dedup_containment_recall", "derive_composite_key",
     "emb_dedup_cosine", "emb_dedup_cosine_lsh", "events_funnel",
@@ -132,15 +147,11 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "text_quality", "text_stats", "text_token_count",
     "watermark_late_data", "win_ntile_percent", "win_range_frame",
     "win_rank_dense_rownum", "win_sliding", "win_tumbling", "xml_scan",
-    # --- oldest 4 of the 50 r8-stale keys (alphabetical; 5 slots
-    # went to the _REVERIFY keys) ---
-    "agg_mode", "agg_unpivot", "anomaly_zscore",
-    "dedup_minhash_verified",
     # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r13: the remaining 46 r8-stale keys
+    # --- next in line for r13: the 50 r8-stale keys, oldest first
     # (locally diffcheck-green) ---
-    "dedup_paragraph", "dedup_prefix", "dq_audit", "emb_semdedup",
-    "extract_nested_json", "graph_degree_stats",
+    "agg_mode", "agg_unpivot", "anomaly_zscore",
+    "dedup_minhash_verified", "dedup_paragraph", "dedup_prefix",
 )
 
 

@@ -54,7 +54,13 @@ float-ARRAY columns get LENGTH mutations — truncations incl. the
 bad-embedding-writer failure mode; values stay in-domain, so any
 divergence is a real dimension-handling gap: zip_with null-padding
 vs indexed generate_series, fixed-subspace PQ slices, 64-bit sign
-packs, len()-gated eligibility).
+packs, len()-gated eligibility), or ``holes`` (append re-keyed copies
+whose float-ARRAY columns get NULL ELEMENTS punched into seeded
+positions — the missing-feature writer; lengths and values otherwise
+untouched, so any divergence is a real null-element semantics gap:
+EXISTS-over-holes returning NULL vs list_bool_or skipping nulls,
+null-skipping list aggregates corrupting positional fingerprints,
+NULL-poisoned folds silently vacating profile stats).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -368,6 +374,62 @@ def mutate_table(
             t = pa.concat_tables([t, dup])
         pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
         return
+    if mode == "holes":
+        # Append re-keyed copies whose float-ARRAY columns get NULL
+        # ELEMENTS punched into seeded positions (lengths unchanged —
+        # `ragged` owns length variance; values otherwise untouched —
+        # `extremes` owns NaN/Inf). A NULL inside a non-null array
+        # cell is the missing-feature writer phenomenon: invisible to
+        # IS NULL on the column, skipped by some engines' list
+        # aggregates (DuckDB list_max) while propagating through
+        # others' fold expressions (acc + NULL). Any divergence is a
+        # real null-element semantics gap in the array kernels.
+        name = os.path.basename(src).replace(".parquet", "")
+        list_cols = [
+            f.name
+            for f in t.schema
+            if pa.types.is_list(f.type) and pa.types.is_floating(f.type.value_type)
+        ]
+        if list_cols:
+            rng = np.random.default_rng(
+                zlib.crc32(f"{name}:holes:{seed}".encode())
+            )
+            idx = rng.choice(len(t), size=max(1, int(len(t) * rate)), replace=True)
+            dup = t.take(pa.array(np.sort(idx)))
+            for key_col in _TABLE_KEYS.get(name, ()):
+                i = t.schema.get_field_index(key_col)
+                maxv = pc.max(t.column(key_col)).as_py() or 0
+                fresh = pa.array(
+                    np.arange(maxv + 1, maxv + 1 + len(dup)),
+                    type=t.schema.field(i).type,
+                )
+                dup = dup.set_column(i, t.schema.field(i), fresh)
+            for cname in list_cols:
+                i = dup.schema.get_field_index(cname)
+                field = dup.schema.field(i)
+                lists = dup.column(i).to_pylist()
+                out = []
+                for j, lv in enumerate(lists):
+                    if not lv:
+                        out.append(lv)
+                        continue
+                    lv = list(lv)
+                    # 1-3 holes per vector at seeded positions; every
+                    # third vector additionally gets a LEADING hole
+                    # (position-0 edge) and every fifth an all-null
+                    # vector (the degenerate case)
+                    if (j + seed) % 5 == 4:
+                        lv = [None] * len(lv)
+                    else:
+                        for h in range(1 + (j + seed) % 3):
+                            lv[(j * 7 + h * 13) % len(lv)] = None
+                        if (j + seed) % 3 == 2:
+                            lv[0] = None
+                    out.append(lv)
+                dup = dup.set_column(i, field, pa.array(out, type=field.type))
+            t = pa.concat_tables([t, dup])
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
     if mode in ("dupes", "both"):
         # Append a seeded sample of CONTENT duplicates with FRESH keys
         # (max+1..): the real 100 TB duplication phenomenon — re-crawled
@@ -544,7 +606,7 @@ def main() -> int:
     rest = argv[1:] if argv and os.path.isdir(argv[0]) else argv
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
-        "boundary", "reorder", "split", "ties", "ragged",
+        "boundary", "reorder", "split", "ties", "ragged", "holes",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

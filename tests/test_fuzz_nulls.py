@@ -651,3 +651,79 @@ def test_ragged_fuzz_parity(spark, ragged_dir, ragged_duck, key):
     odf = ragged_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# The 9 keys the new `holes` mode (r12: NULL ELEMENTS punched into
+# float arrays — the missing-feature writer; lengths and values
+# otherwise untouched) diverged on in its first run, plus the latent
+# tenth (sim_search_bcast_index: Spark's EXISTS-over-holes returned
+# NULL so ~exists dropped the rows, DuckDB's list_bool_or skipped the
+# nulls and kept them — invisible at top-k only because hole-vectors'
+# NULL scores rank last). Root causes, all fixed: the kmeans-ELIGIBLE
+# contract needed an explicit `y IS NULL` leg (the eligible-set
+# asymmetry diverged every trained chain at once), the PQ gates and
+# int8 bad-vector contract extend to missing features, and
+# emb_norm_stats stopped proxying `embedding IS NULL` with
+# `l2 IS NULL` (a hole-vector has NULL l2 but is not a null vector)
+# and now surfaces holes as n_hole_vectors.
+HOLES_REGRESSION_KEYS = [
+    "emb_kmeans_train", "emb_norm_stats", "emb_pq_quantize",
+    "emb_quantize_int8", "emb_semdedup_trained", "sim_search_ivf_trained",
+    "sim_search_ivfpq", "sim_search_ivfpq_trained", "sim_search_pq",
+    "sim_search_bcast_index",
+]
+
+
+@pytest.fixture(scope="module")
+def holes_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("holes_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.1,
+            SEED,
+            "holes",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def holes_duck(holes_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{holes_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_holes_mirror_has_holes(holes_dir):
+    """Sharpness: the embeddings mirror must contain vectors with
+    interior NULL elements, a position-0 hole, and an all-null vector,
+    all at the ORIGINAL length — else the class degenerates."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(holes_dir, "embeddings.parquet"))
+    vecs = [v for v in t.column("embedding").to_pylist() if v is not None]
+    holed = [v for v in vecs if any(x is None for x in v)]
+    assert holed, "no hole vectors"
+    assert all(len(v) == 64 for v in holed), "holes changed lengths"
+    assert any(v[0] is None for v in holed), "no position-0 hole"
+    assert any(all(x is None for x in v) for v in holed), "no all-null vector"
+    assert any(sum(x is None for x in v) in (1, 2, 3) for v in holed)
+
+
+@pytest.mark.parametrize("key", HOLES_REGRESSION_KEYS)
+def test_holes_fuzz_parity(spark, holes_dir, holes_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, holes_dir).toPandas()
+    odf = holes_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"

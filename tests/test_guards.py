@@ -372,8 +372,9 @@ def test_sweep_rotation_arithmetic():
     2. the budget-line marker comment in the SOURCE sits after exactly
        50 keys — the true driver cutoff;
     3. the r12 front-50 equals the documented composition from the r11
-       verdict: the keys NEW in r12 (never attested), ALL 40 r7-stale
-       keys, and r8-stale fillers (verified against
+       verdict plus the r12 fuzz hardenings: the keys NEW in r12 or
+       with edited semantics (never attested on their current form —
+       1 + 9), plus ALL 40 r7-stale keys (verified against
        CORRECTNESS_r01..r11.json when present — every front-50 key
        must be never-attested, r7-stale, or r8-stale, and no r7-stale
        key may be left out).
