@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line to stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ..., plus the
+canary-normalized totals and per-query medians}. The FULL verbose
+record (raw runs, composites, host block) goes to stderr as a
+"# full: {...}" line — stdout stays small enough that the driver's
+2000-char tail capture always yields a parseable artifact (VERDICT
+r12 item 4: every prior BENCH_r*.json landed parsed=null because the
+verbose JSON truncated mid-object).
 
 Each query is forced end-to-end with the noop sink (full execution,
 no driver-side collect cost, no output materialization).
@@ -201,6 +207,36 @@ def wait_for_quiet_host(
     return load_before, gate
 
 
+def compact_line(full: dict) -> str:
+    """The stdout artifact: a compact single-line JSON projection of
+    the full record, guaranteed to fit inside the driver's 2000-char
+    stdout tail capture (VERDICT r12 item 4). Keeps the documented
+    driver contract fields (metric/value/unit/queries/sf), the
+    canary-normalized totals, and both per-query normalized median
+    maps; if the line ever threatens the capture window, the
+    normalized maps are dropped in redundancy order — the raw
+    ``queries`` map always stays."""
+    compact = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "sf", "queries", "close_total",
+            "drift_pct", "spread_max_pct", "canary_ref",
+            "open_total_canary_norm", "close_total_canary_norm",
+            "composites_total", "extended_total",
+            "queries_canary_norm", "close_queries_canary_norm",
+        )
+    }
+    compact["canary"] = full["host"]["cpu_canary_sec"]
+    compact["hot_start"] = full["host"]["load_gate"]["hot_start"]
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("queries_canary_norm", "close_queries_canary_norm"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -273,50 +309,61 @@ def main() -> None:
         ),
         1,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "composites": composites,
-                "composites_total": round(sum(composites.values()), 3),
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "close": close,
-                "close_total": close_total,
-                "drift_pct": round((close_total - total) / total * 100.0, 1)
-                if total > 0
-                else 0.0,
-                "spread_max_pct": spread_max_pct,
-                # host-speed-adjusted totals and per-query medians:
-                # raw × (CANARY_REF / canary_measured); CANARY_REF is
-                # pinned in BASELINE.md §canary (= BENCH_r09 open)
-                "canary_ref": CANARY_REF,
-                "open_total_canary_norm": round(total * norm_open, 3),
-                "close_total_canary_norm": round(close_total * norm_close, 3),
-                "queries_canary_norm": {
-                    n: round(v * norm_open, 3) for n, v in timings.items()
-                },
-                "host": {
-                    "loadavg_before": load_before,
-                    "loadavg_after": load_after,
-                    "cpus": os.cpu_count(),
-                    "load_gate": load_gate,
-                    # fixed pure-CPU workload, sec (lower = faster
-                    # host); open vs close = speed drift DURING the run
-                    "cpu_canary_sec": [canary_open, canary_close],
-                },
-                "protocol": (
-                    f"untimed warmup + median-of-{REPS}, "
-                    "open+close headline passes"
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "composites": composites,
+        "composites_total": round(sum(composites.values()), 3),
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "close": close,
+        "close_total": close_total,
+        "drift_pct": round((close_total - total) / total * 100.0, 1)
+        if total > 0
+        else 0.0,
+        "spread_max_pct": spread_max_pct,
+        # host-speed-adjusted totals and per-query medians:
+        # raw × (CANARY_REF / canary_measured); CANARY_REF is
+        # pinned in BASELINE.md §canary (= BENCH_r09 open)
+        "canary_ref": CANARY_REF,
+        "open_total_canary_norm": round(total * norm_open, 3),
+        "close_total_canary_norm": round(close_total * norm_close, 3),
+        "queries_canary_norm": {
+            n: round(v * norm_open, 3) for n, v in timings.items()
+        },
+        # the cross-round per-query comparator (r12 showed the open
+        # pass swinging ±15% while close stayed within 2%)
+        "close_queries_canary_norm": {
+            n: round(v * norm_close, 3) for n, v in close.items()
+        },
+        "host": {
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
+            "cpus": os.cpu_count(),
+            "load_gate": load_gate,
+            # fixed pure-CPU workload, sec (lower = faster
+            # host); open vs close = speed drift DURING the run
+            "cpu_canary_sec": [canary_open, canary_close],
+        },
+        "protocol": (
+            f"untimed warmup + median-of-{REPS}, "
+            "open+close headline passes"
+        ),
+        "sf": sf,
+    }
+    # Full verbose record to STDERR (local tooling / ROUNDLOG capture);
+    # stdout carries ONLY the compact line below. Rationale (VERDICT
+    # r12 item 4): the driver records the LAST 2000 chars of stdout —
+    # the ~4 KB verbose JSON always truncated mid-object, so every
+    # BENCH_r*.json in the series landed with parsed=null and an
+    # unusable tail fragment. The compact line keeps the headline
+    # scalars plus both per-query canary-normalized median maps (the
+    # series comparators) and stays well inside the capture window.
+    print("# full: " + json.dumps(full), file=sys.stderr)
+    print(compact_line(full))
     spark.stop()
 
 

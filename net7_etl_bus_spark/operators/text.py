@@ -1106,13 +1106,22 @@ def nb_score_quantized_frame(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("bucket").alias("n_buckets"),
         F.countDistinct("docs_pos", "docs_neg").alias("n_pri"),
+        # countDistinct SKIPS rows with a NULL in either prior column,
+        # so a model with some NULL-prior rows and one consistent
+        # non-null pair would pass n_pri == 1 and silently score via
+        # MAX while nb_score_frame's Python-set check on the same
+        # artifact raises (ADVICE r12) — count NULL priors explicitly
+        # so both scorers reject the same malformed artifacts.
+        F.sum(
+            (F.col("docs_pos").isNull() | F.col("docs_neg").isNull()).cast("int")
+        ).alias("n_null_pri"),
     ).first()
     if chk.n_rows != _CLF_D or chk.n_buckets != _CLF_D:
         raise ValueError(
             f"NB model must have exactly {_CLF_D} distinct bucket rows, "
             f"got {chk.n_rows} rows / {chk.n_buckets} buckets"
         )
-    if chk.n_pri != 1:
+    if chk.n_pri != 1 or chk.n_null_pri:
         raise ValueError(
             "NB model rows carry inconsistent (docs_pos, docs_neg) priors"
         )

@@ -46,8 +46,15 @@ def run_one(docs: DataFrame, n_merges: int, n_batch: int) -> dict:
     def counting_batch(cands, room):
         out = orig_batch(cands, room)
         counts["rounds"] += 1
-        counts["cands_seen"] += len(cands)
-        counts["accepted"] += len(out)
+        # accept_rate counters cover only rounds whose acceptance was
+        # NOT capped by the remaining-merges room (len(out) == room
+        # means the loop may have stopped for room, not conflicts —
+        # counting such a round deflates the rate artificially; ADVICE
+        # r12: the previous code counted ALL rounds while the comment
+        # claimed otherwise, biasing the SCALE.md r12 table).
+        if len(out) < room:
+            counts["cands_seen"] += len(cands)
+            counts["accepted"] += len(out)
         return out
 
     cls.collect = counting_collect
@@ -62,7 +69,8 @@ def run_one(docs: DataFrame, n_merges: int, n_batch: int) -> dict:
     wall = time.monotonic() - t0
     # acceptance rate over rounds that actually had a full candidate
     # slate to conflict within (the last round is usually truncated by
-    # the remaining-merges room, which caps accepted artificially)
+    # the remaining-merges room, which caps accepted artificially —
+    # counting_batch excludes room-capped rounds from both counters)
     return {
         "n_batch": n_batch,
         "merges": int(got),

@@ -30,7 +30,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            # Spark results arrive tz-aware (toArrow stamps the UTC
+            # session zone); DuckDB's are naive UTC wall times — strip
+            # the zone, don't convert (same instant, same wall time).
+            # NEVER route through pd.to_datetime here: it coerces to
+            # datetime64[ns], which overflows at year 9999 / before
+            # 1677 — the exact far-range values the `clock` fuzz class
+            # exists to probe (r13).
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
@@ -106,7 +115,13 @@ def main() -> int:
             skipped.append(name)
             continue
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
+            # toArrow (Spark 4), NOT toPandas: toPandas hardcodes a
+            # timestamp[us] -> datetime64[ns] cast that overflows at
+            # year 9999 / past 2262-04-11 — the clock fuzz class's
+            # far-range values crashed the FETCH before the engines
+            # were ever compared (r13 first-run find). Arrow-side
+            # to_pandas keeps the µs unit end-to-end.
+            sdf = qs[name](spark, sf_dir).toArrow().to_pandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:500]}")

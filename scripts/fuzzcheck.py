@@ -60,7 +60,16 @@ positions — the missing-feature writer; lengths and values otherwise
 untouched, so any divergence is a real null-element semantics gap:
 EXISTS-over-holes returning NULL vs list_bool_or skipping nulls,
 null-skipping list aggregates corrupting positional fingerprints,
-NULL-poisoned folds silently vacating profile stats).
+NULL-poisoned folds silently vacating profile stats), or ``signs``
+(IN-PLACE overwrite of float cells and float-array elements with
+signed zeros and subnormals — -0.0 meeting +0.0 in the same
+group/sort/join key, subnormal underflow, sign-preserving casts;
+`extremes` emits -0.0 too but never makes the collision dense), or
+``clock`` (IN-PLACE overwrite of timestamp cells with
+precision/extreme specials — sub-second µs residues, the epoch and
+the µs before it, the datetime64[ns] range edges, 1582/1777/9999 —
+the truncation and range seams of every datetime kernel and of the
+comparison harness itself).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -374,6 +383,131 @@ def mutate_table(
             t = pa.concat_tables([t, dup])
         pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
         return
+    if mode == "signs":
+        # IN-PLACE overwrite of a seeded fraction of float cells with
+        # SIGNED-ZERO and SUBNORMAL specials — the IEEE edge surface
+        # none of the other classes makes dense (`extremes` emits -0.0
+        # and 5e-324 but one special per duplicated row, so a -0.0
+        # meeting a +0.0 in the SAME group/sort/join key is
+        # measure-zero there; this class manufactures the collision on
+        # the ORIGINAL rows). Divergence surfaces: group-key equality
+        # (Spark normalizes -0.0 to +0.0 in hash keys — does the other
+        # engine?), ORDER BY ties between -0.0 and +0.0, CAST TO
+        # VARCHAR sign preservation, subnormal products/sums
+        # (underflow-to-zero must agree), sqrt/division on ±0.
+        # float32 ARRAY elements get float32-domain subnormals
+        # (5e-324 would just flush to +0.0 in a float32 lane).
+        # Values are valid in-domain IEEE doubles seen identically by
+        # both engines: every oracle must still match.
+        name = os.path.basename(src).replace(".parquet", "")
+        f64_pool = [
+            -0.0, 0.0, 5e-324, -5e-324,
+            2.2250738585072009e-308,   # max subnormal
+            -2.2250738585072014e-308,  # -min normal
+            1e-310, -1e-310,
+        ]
+        f32_pool = [
+            -0.0, 0.0,
+            1.401298464324817e-45, -1.401298464324817e-45,    # min subnormal
+            1.1754942106924411e-38, -1.1754942106924411e-38,  # max subnormal
+        ]
+        for i, field in enumerate(t.schema):
+            rng = np.random.default_rng(
+                zlib.crc32(f"{name}:{field.name}:signs:{seed}".encode())
+            )
+            if pa.types.is_floating(field.type):
+                mask = rng.random(len(t)) < rate
+                vals = t.column(i).to_pylist()
+                out = [
+                    f64_pool[int(rng.integers(len(f64_pool)))]
+                    if mask[j] and v is not None
+                    else v
+                    for j, v in enumerate(vals)
+                ]
+                t = t.set_column(i, field, pa.array(out, type=field.type))
+            elif pa.types.is_list(field.type) and pa.types.is_floating(
+                field.type.value_type
+            ):
+                mask = rng.random(len(t)) < rate
+                lists = t.column(i).to_pylist()
+                out = []
+                for j, lv in enumerate(lists):
+                    if mask[j] and lv:
+                        lv = list(lv)
+                        # several specials per vector, and ALWAYS a
+                        # -0.0/+0.0 PAIR so zero-sign collisions inside
+                        # one dot product / norm / sign-LSH bit are
+                        # dense, not incidental
+                        for _ in range(int(rng.integers(2, 5))):
+                            lv[int(rng.integers(len(lv)))] = f32_pool[
+                                int(rng.integers(len(f32_pool)))
+                            ]
+                        lv[j % len(lv)] = -0.0
+                        lv[(j + 1) % len(lv)] = 0.0
+                    out.append(lv)
+                t = t.set_column(i, field, pa.array(out, type=field.type))
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
+    if mode == "clock":
+        # IN-PLACE overwrite of a seeded fraction of TIMESTAMP cells
+        # with precision/extreme specials: sub-second microsecond
+        # residues (.000001 / .999999 / .5 — the second-truncation and
+        # window-grid seams), the epoch and the microsecond BEFORE it
+        # (negative fractional epoch seconds — the classic
+        # floor-vs-truncate integer-division divergence), the
+        # datetime64[ns] range edges (2262-04-11T23:47:16.854775 is
+        # the last ns-representable microsecond — anything later
+        # overflows any ns-backed pandas path in the comparison
+        # harness or either engine's arrow conversion), the proleptic
+        # Gregorian switch (1582-10-15), and the far past/future
+        # (1777, 9999-12-31T23:59:59.999999). Values are valid
+        # timestamp[us] bytes seen identically by both engines: every
+        # oracle must still match, and every datetime kernel (interval
+        # arithmetic, date_trunc, window grids, year extraction,
+        # TTL/watermark comparisons) must agree on the edges.
+        import datetime
+
+        name = os.path.basename(src).replace(".parquet", "")
+        _D = datetime.datetime
+        _US = datetime.timedelta(microseconds=1)
+        pool = [
+            _D(1582, 10, 15, 0, 0, 0),
+            _D(1777, 7, 4, 12, 0, 0, 1),
+            _D(1969, 12, 31, 23, 59, 59, 999999),
+            _D(1970, 1, 1, 0, 0, 0),
+            _D(2262, 4, 11, 23, 47, 16, 854775),  # datetime64[ns] max µs
+            _D(2262, 4, 12, 0, 0, 0),             # just past ns range
+            _D(9999, 12, 31, 23, 59, 59, 999999),
+        ]
+        for i, field in enumerate(t.schema):
+            if not pa.types.is_timestamp(field.type):
+                continue
+            rng = np.random.default_rng(
+                zlib.crc32(f"{name}:{field.name}:clock:{seed}".encode())
+            )
+            mask = rng.random(len(t)) < rate
+            vals = t.column(i).to_pylist()
+            out = []
+            for j, v in enumerate(vals):
+                if not mask[j] or v is None:
+                    out.append(v)
+                    continue
+                r = rng.random()
+                if r < 0.4:
+                    out.append(pool[int(rng.integers(len(pool)))])
+                elif r < 0.6:
+                    out.append(v + _US)  # sub-second µs residue
+                elif r < 0.8:
+                    out.append(
+                        v.replace(microsecond=999999)  # 1µs before the
+                    )                                  # next second
+                else:
+                    out.append(v.replace(microsecond=500000))
+            t = t.set_column(
+                i, field, pa.array(out, type=field.type)
+            )
+        pq.write_table(t, dst, use_deprecated_int96_timestamps=False)
+        return
     if mode == "holes":
         # Append re-keyed copies whose float-ARRAY columns get NULL
         # ELEMENTS punched into seeded positions (lengths unchanged —
@@ -607,6 +741,7 @@ def main() -> int:
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
         "boundary", "reorder", "split", "ties", "ragged", "holes",
+        "signs", "clock",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

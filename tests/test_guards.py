@@ -547,3 +547,58 @@ def test_bench_quiet_host_gate_paths():
     slept.clear()
     load, gate = bench.wait_for_quiet_host(loadavg=lambda: [], sleep=fake_sleep)
     assert load == [] and not slept and not gate["hot_start"]
+
+
+def test_bench_compact_line_fits_tail_capture():
+    """VERDICT r12 item 4: every BENCH_r*.json in the series landed
+    parsed=null because the ~4 KB verbose JSON truncated inside the
+    driver's 2000-char stdout tail capture. Pin the new stdout
+    artifact: a realistic full record's compact projection parses,
+    stays under the capture window, keeps the documented driver
+    contract fields, and degrades by dropping the NORMALIZED per-query
+    maps (never the raw ``queries`` map) when bloated."""
+    import json
+
+    import bench
+
+    names = bench.BENCH_QUERIES
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 8.9,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {n: 0.512 for n in names},
+        "close_total": 8.1,
+        "drift_pct": -9.0,
+        "spread_max_pct": 21.4,
+        "canary_ref": bench.CANARY_REF,
+        "open_total_canary_norm": 7.371,
+        "close_total_canary_norm": 6.544,
+        "composites_total": 4.2,
+        "extended_total": 3.1,
+        "queries_canary_norm": {n: 0.423 for n in names},
+        "close_queries_canary_norm": {n: 0.401 for n in names},
+        "host": {
+            "cpu_canary_sec": [0.201, 0.206],
+            "load_gate": {"hot_start": False},
+        },
+    }
+    line = bench.compact_line(full)
+    assert "\n" not in line and len(line) <= 1900
+    got = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in got  # the documented driver contract
+    assert got["queries"] == full["queries"]
+    assert got["canary"] == [0.201, 0.206] and got["hot_start"] is False
+    assert got["close_queries_canary_norm"] == full["close_queries_canary_norm"]
+
+    # bloat the names: normalized maps drop, raw queries stays
+    big = dict(full)
+    wide = {f"{'x' * 120}_{i}": 0.5 for i in range(16)}
+    big["queries"] = wide
+    big["queries_canary_norm"] = wide
+    big["close_queries_canary_norm"] = wide
+    got2 = json.loads(bench.compact_line(big))
+    assert "queries" in got2
+    assert "queries_canary_norm" not in got2
+    assert "close_queries_canary_norm" not in got2

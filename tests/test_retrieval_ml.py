@@ -1153,6 +1153,26 @@ def test_nb_quantized_frame_rejects_malformed_model(spark):
     with pytest.raises(ValueError, match="bucket rows"):
         nb_score_quantized_frame(docs, dup)
 
+    # NULL priors on SOME rows with one consistent non-null pair
+    # (ADVICE r12): countDistinct skips NULL-containing rows, so this
+    # artifact passed n_pri == 1 and silently scored via MAX while
+    # nb_score_frame's Python-set check on the same model raises —
+    # the exact cross-scorer shape disagreement the ADVICE r11 fix
+    # was meant to close. Both scorers must reject it.
+    null_pri = spark.range(_CLF_D).selectExpr(
+        "id AS bucket",
+        "CAST(1 AS BIGINT) AS cnt_pos",
+        "CAST(1 AS BIGINT) AS cnt_neg",
+        "CAST(CASE WHEN id = 0 THEN NULL ELSE 2 END AS BIGINT) AS docs_pos",
+        "CAST(1 AS BIGINT) AS docs_neg",
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        nb_score_quantized_frame(docs, null_pri)
+    from net7_etl_bus_spark.operators.text import nb_score_frame
+
+    with pytest.raises(ValueError):
+        nb_score_frame(docs, null_pri)
+
 
 def test_sim_search_ivfpq_trained_shape_and_rank(spark):
     """The trained IVF-PQ chain (r12's new key): per-query ranks are
