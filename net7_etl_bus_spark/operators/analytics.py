@@ -550,7 +550,7 @@ _DECAY_MAX_K = 8
     oracle=f"""
     WITH k AS (
       SELECT o_orderpriority,
-             LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K}) AS k,
+             LEAST(GREATEST({_DECAY_REF_YEAR} - year(o_orderdate), 0), {_DECAY_MAX_K}) AS k,
              CASE WHEN ok THEN CAST(FLOOR(o_totalprice * 100) AS HUGEINT) END AS cents,
              CASE WHEN NOT ok AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END AS badrow
       FROM (SELECT *,
@@ -576,7 +576,14 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at the end. Power-of-two weights make the rescale a pure
     exponent shift, so the result is bit-identical cross-engine and
     independent of partial-aggregation order (a float Σ price·w^age
-    would be neither). Age clamps at K so the shift never underflows.
+    would be neither). Age clamps INTO [0, K]: the upper clamp keeps
+    the shift from underflowing; the LOWER clamp (clock-fuzz find,
+    r13) keeps a FUTURE order date — negative age, routine in real
+    data from clock-skewed or corrupted writers — from exploding the
+    shift count: unclamped, year 9999 made the shift 8006, which
+    DuckDB rejects outright while Spark's shiftleft silently wraps
+    the count mod 64 and produces a garbage weight. A future order
+    now decays as age 0 (weight 1, the maximum) in both engines.
 
     Scale shape: one scan, one map-side-combining hash agg; the decay
     weight is a narrow per-row expression — no window, no self-join
@@ -590,7 +597,7 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = pr.isNotNull() & ~F.isnan(pr) & (F.abs(pr) < F.lit(9e16))
     term = F.when(ok, F.expr(
         f"CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) * "
-        f"CAST(shiftleft(1L, {_DECAY_MAX_K} - LEAST({_DECAY_REF_YEAR} - year(o_orderdate), {_DECAY_MAX_K})) AS DECIMAL(38,0))"
+        f"CAST(shiftleft(1L, {_DECAY_MAX_K} - LEAST(GREATEST({_DECAY_REF_YEAR} - year(o_orderdate), 0), {_DECAY_MAX_K})) AS DECIMAL(38,0))"
     ))
     badrow = F.when(~ok & pr.isNotNull(), 1).otherwise(0)
     bad = F.max("badrow")

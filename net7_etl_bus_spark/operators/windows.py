@@ -9,6 +9,7 @@ the shuffle and bounded-memory ExternalSorter's for the sort.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -298,44 +299,87 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't express. Co-groups both sides by user_id (one shuffle each),
     then runs pandas' backward merge per group. Kept alongside
     ``join_asof`` to differentially test the custom-UDF path against
-    the pure-DataFrame path (and the DuckDB oracle)."""
+    the pure-DataFrame path (and the DuckDB oracle).
+
+    Timestamps cross the UDF boundary as INT64 MICROSECONDS, never as
+    timestamps (clock-fuzz find, r13): the Python worker converts each
+    Arrow batch to pandas with a hardcoded timestamp[us] ->
+    datetime64[ns] cast, so ONE far-range event time (anything past
+    2262-04-11, e.g. a corrupted-writer year-9999 row) killed the
+    whole task — at scale, one bad row takes down the executor. The
+    µs longs are exact at any representable magnitude (no datetime64
+    anywhere in the UDF), merge_asof on int64 keys has the identical
+    backward semantics, and timestamp_micros()/unix_micros() round-trip
+    losslessly. NULL event times never enter the UDF at all: NULL-ts
+    left rows are unioned back with a NULL match DataFrame-side
+    (merge_asof requires sorted non-null keys — the null-injection
+    fuzz found that crash first), and NULL-ts signups can never be
+    "most recent at-or-before"."""
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") != "signup").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    right = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
+    left_null_ts = left.filter(F.col("ts").isNull()).withColumn(
+        "last_signup_ts", F.lit(None).cast("timestamp")
+    )
+    # NTZ-proof epoch-µs extraction (events.ts arrives TIMESTAMP_NTZ;
+    # unix_micros only accepts LTZ): exact integer µs since the epoch
+    # wall time, no session-TZ dependence (UTC session makes LTZ↔NTZ
+    # casts the identity anyway).
+    to_us = (
+        "timestampdiff(MICROSECOND, "
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    left_us = left.filter(F.col("ts").isNotNull()).select(
+        "event_id", "user_id", F.expr(to_us).alias("ts_us"), "event_type"
+    )
+    right_us = e.filter(
+        (F.col("event_type") == "signup") & F.col("ts").isNotNull()
+    ).select("user_id", F.expr(to_us).alias("signup_us"))
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        # merge_asof REQUIRES sorted, non-NaT keys — a single NULL
-        # event time crashes the whole task at scale (found by the
-        # null-injection fuzz). NULL-ts left rows get a NULL match;
-        # NULL-ts signups can never be "most recent at-or-before".
-        nat_left = lpdf[lpdf["ts"].isna()].copy()
-        lpdf = lpdf[lpdf["ts"].notna()].sort_values("ts", kind="mergesort")
-        rpdf = rpdf[rpdf["signup_ts"].notna()]
-        nat_left["last_signup_ts"] = pd.NaT
-        if lpdf.empty or rpdf.empty:
-            lpdf["last_signup_ts"] = pd.NaT
-            return pd.concat([lpdf, nat_left], ignore_index=True)
-        rpdf = rpdf.sort_values("signup_ts", kind="mergesort")
-        out = pd.merge_asof(
-            lpdf, rpdf[["signup_ts"]], left_on="ts", right_on="signup_ts", direction="backward"
+        # np.searchsorted, NOT pd.merge_asof: merge_asof emits the
+        # matched key as float64 (unmatched rows become NaN), and
+        # float64 silently rounds int64 µs beyond 2^53 — a matched
+        # year-9999 signup would come back 1µs off. searchsorted
+        # side='right' - 1 is exactly the backward <= match, and the
+        # masked IntegerArray keeps exact int64 + nulls end-to-end.
+        out = lpdf.copy()
+        lv = out["ts_us"].to_numpy(dtype="int64")
+        if rpdf.empty:
+            out["last_signup_us"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        rv = np.sort(rpdf["signup_us"].to_numpy(dtype="int64"))
+        pos = np.searchsorted(rv, lv, side="right") - 1
+        matched = pos >= 0
+        vals = rv[np.clip(pos, 0, None)]
+        out["last_signup_us"] = pd.arrays.IntegerArray(
+            vals.astype("int64"), mask=~matched
         )
-        out = out.rename(columns={"signup_ts": "last_signup_ts"})
-        return pd.concat([out, nat_left], ignore_index=True)
+        return out
 
-    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string, last_signup_ts timestamp"
-    return (
-        left.groupBy("user_id")
-        .cogroup(right.groupBy("user_id"))
+    schema = (
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "event_type string, last_signup_us bigint"
+    )
+    merged = (
+        left_us.groupBy("user_id")
+        .cogroup(right_us.groupBy("user_id"))
         .applyInPandas(lambda l, r: merge(l, r), schema)
-        # NULL join key never matches in SQL; the cogroup would pair
-        # the NULL-user groups, so mask the result for those rows.
-        .withColumn(
-            "last_signup_ts",
-            F.when(F.col("user_id").isNotNull(), F.col("last_signup_ts")),
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            # NULL join key never matches in SQL; the cogroup would
+            # pair the NULL-user groups, so mask the result for those.
+            F.when(
+                F.col("user_id").isNotNull(),
+                F.timestamp_micros("last_signup_us"),
+            ).alias("last_signup_ts"),
         )
     )
+    return merged.unionByName(left_null_ts)
 
 
 @register(

@@ -74,12 +74,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Sweep ordering for the driver's count-capped correctness run (it
 # checks exactly the FIRST 50 queries per round in registration order).
-# Round-12 front of the line (r11 verdict item 1): the 1 key NEW in
-# r12 (never attested: the trained IVF-PQ search chain completing the
-# trained-quantizer trilogy), then ALL 41 keys whose latest driver
-# verdict is r7, then the first 8 (alphabetical) of the 50 r8-stale
-# keys — computed from CORRECTNESS_r01..r11.json via
-# scripts/rotation.py.
+# Round-13 front of the line (r12 verdict item 1): the 1 key NEW in
+# r13 (never attested: sim_search_ivf_cascade — the two-tier
+# assignment cascade under its own oracle), then the 2 r13 clock-fuzz
+# hardenings in _REVERIFY, then the first 47 (alphabetical) of the 50
+# r8-stale keys — computed from CORRECTNESS_r01..r12.json via
+# scripts/rotation.py. Three r8-stale keys (the alphabetical tail)
+# slip to r14.
 
 # Keys whose query or oracle SEMANTICS changed since their latest
 # driver verdict — rotated to the front like never-attested keys.
@@ -90,68 +91,57 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # and the entry expires on its own (ADVICE r11: the previous
 # bare-tuple form masked post-edit verdicts too, so a forgotten
 # manual removal would pin the key as never-attested forever).
-# Entries should still be deleted at the next rotation for
-# legibility — the r11 four (win_lag_lead, win_gaps_islands,
-# ts_rolling_stats, cdc_snapshot_diff) landed green in
-# CORRECTNESS_r11 and are gone per that contract.
+# Entries are deleted at the next rotation for legibility — the nine
+# r12 ragged/holes hardenings landed green in CORRECTNESS_r12 and are
+# gone per that contract (VERDICT r12 item 1).
 _REVERIFY: dict[str, int] = {
-    # r12 ragged-fuzz hardening (the new `ragged` mutation class's
-    # first run found all five): the PQ family + the broadcast MIPS
-    # index gained explicit fixed-dimension gates (oracle edits), and
-    # emb_quantize_int8's q8 is NULL (not '') on empty vectors
-    # (Spark-side semantics edit; its oracle already said NULL).
-    "emb_pq_quantize": 11,
-    "sim_search_pq": 11,
-    "sim_search_ivfpq": 11,
-    "sim_search_bcast_index": 11,
-    "emb_quantize_int8": 11,
-    # r12 holes-fuzz hardening (the new `holes` class — NULL ELEMENTS
-    # inside float arrays — found nine on its first run): the
-    # kmeans-ELIGIBLE contract now excludes missing-feature vectors
-    # explicitly (Spark's EXISTS returned NULL where DuckDB's
-    # list_bool_or skipped nulls — the eligible-set asymmetry diverged
-    # every trained chain at once), and emb_norm_stats surfaces holes
-    # as n_hole_vectors instead of mis-counting them as NULL vectors.
-    # sim_search_ivfpq_trained is also holes-hardened but is r12-new
-    # (never attested), so it needs no entry.
-    "emb_kmeans_train": 11,
-    "emb_norm_stats": 11,
-    "emb_semdedup_trained": 11,
-    "sim_search_ivf_trained": 11,
+    # r13 clock-fuzz hardening (the new `clock` class — timestamp
+    # precision/range edges — found both on its first full run):
+    # agg_decay_weighted's age now clamps INTO [0, K] (a future order
+    # date made the weight shift count 8006 — DuckDB errored, Spark's
+    # shiftleft silently wrapped mod 64: a wrong answer with no
+    # signal), and join_asof_pandas routes timestamps through the UDF
+    # as exact int64 µs (the worker's Arrow->pandas ns cast crashed
+    # the task on any ts past 2262; merge_asof replaced by exact
+    # searchsorted — its float64 coercion rounds µs beyond 2^53).
+    "agg_decay_weighted": 12,
+    "join_asof_pandas": 12,
 }
 # After this sweep lands green: zero keys with a verdict older than
-# r8. The composition (1 new + 9 reverify + 40 r7-stale — the ragged
-# and holes fuzz hardenings consumed every filler slot) and the
-# marker position are pinned by
+# r9 except the three slipped r8 keys. The composition (1 new + 2
+# reverify + 47 r8-stale) and the marker position are pinned by
 # tests/test_guards.py::test_sweep_rotation_arithmetic. Keys not in
 # the registry are ignored, so this list never breaks registration.
 _SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- NEW in r12, never driver-attested (1 key) ---
-    "sim_search_ivfpq_trained",
-    # --- query/oracle semantics edited after last verdict (the nine
-    # r12 ragged/holes-fuzz hardenings in _REVERIFY) ---
-    "emb_pq_quantize", "emb_quantize_int8", "sim_search_bcast_index",
-    "sim_search_ivfpq", "sim_search_pq", "emb_kmeans_train",
-    "emb_norm_stats", "emb_semdedup_trained", "sim_search_ivf_trained",
-    # --- last driver verdict: r7 (all 40 r7-stale keys) ---
-    "dedup_containment_recall", "derive_composite_key",
-    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "events_funnel",
-    "exists_agg", "file_checksum", "fn_json", "fn_json_typed", "fn_map",
-    "graph_label_propagation", "json_scan", "knn_classify",
-    "lookup_by_id", "orc_scan", "project_widen", "run_gate_predicate",
-    "semi_join_incoming", "shuffle_epoch_shards",
-    "sim_search_binary_rerank", "sim_search_ivf", "sim_search_lsh",
-    "sim_search_matryoshka", "sim_search_topk", "split_leakage_check",
-    "split_leakage_repair", "stream_dedup_first_event",
-    "stream_dedup_keys", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_stats", "text_token_count",
-    "watermark_late_data", "win_ntile_percent", "win_range_frame",
-    "win_rank_dense_rownum", "win_sliding", "win_tumbling", "xml_scan",
-    # ---- 50-key budget line (the driver stops here) ----
-    # --- next in line for r13: the 50 r8-stale keys, oldest first
-    # (locally diffcheck-green) ---
+    # --- NEW in r13, never driver-attested (1 key) ---
+    "sim_search_ivf_cascade",
+    # --- query/oracle semantics edited after last verdict (the two
+    # r13 clock-fuzz hardenings in _REVERIFY) ---
+    "agg_decay_weighted", "join_asof_pandas",
+    # --- last driver verdict: r8 (first 47 of the 50 r8-stale keys,
+    # alphabetical) ---
     "agg_mode", "agg_unpivot", "anomaly_zscore",
     "dedup_minhash_verified", "dedup_paragraph", "dedup_prefix",
+    "dq_audit", "emb_semdedup", "extract_nested_json",
+    "graph_degree_stats", "graph_pagerank", "profile_columns",
+    "q11_important_stock", "q12_priority_shipping",
+    "q13_order_count_dist", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "sample_hash_pct",
+    "sample_stratified", "sample_token_budget", "sample_weighted",
+    "split_train_test", "subquery_exists", "subquery_in_nested",
+    "subquery_lateral", "subquery_scalar_correlated",
+    "text_bm25_search", "text_bpe_pairs", "text_bpe_train",
+    "text_decontaminate", "text_feature_hash", "text_inverted_index",
+    "text_lm_score", "text_ngram_freq", "text_ngram_lm_counts",
+    "text_repetition", "text_scrub_pii",
+    # ---- 50-key budget line (the driver stops here) ----
+    # --- next in line for r14: the three slipped r8 keys, then the 41
+    # r9-stale keys (locally diffcheck-green) ---
+    "text_tfidf_topk", "text_url_canonicalize", "text_url_extract",
 )
 
 

@@ -727,3 +727,166 @@ def test_holes_fuzz_parity(spark, holes_dir, holes_duck, key):
     odf = holes_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# --- signs (signed zeros + subnormals) class ---------------------------
+# r13's thirteenth mutation class. First full-registry run: 239/0 —
+# the only class to land clean on its first run, which is itself the
+# evidence worth pinning: group-key -0.0 normalization, sign-LSH
+# `d >= 0` on -0.0, dsum's floor over subnormals, and norm/moment
+# folds all agree cross-engine TODAY. These pins keep a refactor from
+# quietly breaking any of them (e.g. swapping a groupBy key to a raw
+# double column without Spark's NormalizeFloatingNumbers, or an oracle
+# rewrite that formats -0.0 as "-0").
+SIGNS_REGRESSION_KEYS = [
+    "agg_stats_moments", "emb_norm_stats", "profile_columns",
+    "q1_pricing_summary", "sim_search_lsh", "sim_search_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def signs_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("signs_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.1,
+            SEED,
+            "signs",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def signs_duck(signs_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{signs_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_signs_mirror_has_signed_zeros_and_subnormals(signs_dir):
+    """Sharpness: the mirror must contain -0.0 in double columns, a
+    -0.0/+0.0 PAIR inside one embedding vector, and subnormals in both
+    widths — else the class degenerates to a plain copy."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(signs_dir, "lineitem.parquet"))
+    prices = [v for v in t.column("l_extendedprice").to_pylist() if v is not None]
+    assert any(v == 0.0 and math.copysign(1.0, v) < 0 for v in prices), "no -0.0"
+    assert any(0.0 < abs(v) < 2.3e-308 for v in prices), "no f64 subnormal"
+
+    e = pq.read_table(os.path.join(signs_dir, "embeddings.parquet"))
+    vecs = [v for v in e.column("embedding").to_pylist() if v]
+    paired = [
+        v
+        for v in vecs
+        if any(x == 0.0 and math.copysign(1.0, x) < 0 for x in v if x is not None)
+        and any(x == 0.0 and math.copysign(1.0, x) > 0 for x in v if x is not None)
+    ]
+    assert paired, "no vector carries a -0.0/+0.0 pair"
+    assert any(
+        any(x is not None and 0.0 < abs(x) < 1.2e-38 for x in v) for v in vecs
+    ), "no f32 subnormal"
+
+
+@pytest.mark.parametrize("key", SIGNS_REGRESSION_KEYS)
+def test_signs_fuzz_parity(spark, signs_dir, signs_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, signs_dir).toArrow().to_pandas()
+    odf = signs_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# --- clock (timestamp precision/range edges) class ---------------------
+# r13's fourteenth mutation class: sub-second µs residues, the epoch
+# and the µs before it, the datetime64[ns] range edges, 1582/1777/9999.
+# First full run found TWO real divergences plus a harness crash:
+# (1) agg_decay_weighted had no LOWER age clamp — a future order date
+# made the weight shift count 8006: DuckDB errored, Spark's shiftleft
+# silently wrapped the count mod 64 (a wrong answer with no signal);
+# (2) join_asof_pandas died in the Python worker — the Arrow->pandas
+# conversion hardcodes timestamp[us] -> datetime64[ns], so ONE ts past
+# 2262-04-11 killed the whole task (timestamps now cross the UDF as
+# exact int64 µs; merge_asof also replaced by searchsorted — its
+# float64 coercion rounds µs beyond 2^53); (3) diffcheck's own fetch
+# used toPandas with the same ns cast and crashed before comparing —
+# it now fetches via toArrow.
+CLOCK_REGRESSION_KEYS = [
+    "agg_decay_weighted", "join_asof", "join_asof_forward",
+    "join_asof_pandas", "ts_gapfill_locf", "watermark_late_data",
+    "win_session", "win_tumbling",
+]
+
+
+@pytest.fixture(scope="module")
+def clock_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("clock_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.1,
+            SEED,
+            "clock",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def clock_duck(clock_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{clock_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_clock_mirror_has_range_and_precision_edges(clock_dir):
+    """Sharpness: the events mirror must contain a year-9999 value, a
+    pre-1970 fractional-second value, something past the datetime64[ns]
+    range, and sub-second µs residues — else the class degenerates."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(clock_dir, "events.parquet"))
+    ts = [v for v in t.column("ts").to_pylist() if v is not None]
+    assert any(v.year == 9999 for v in ts), "no year-9999 value"
+    assert any(v.year < 1970 and v.microsecond == 999999 for v in ts), (
+        "no pre-epoch fractional second"
+    )
+    assert any(v.year in (2262,) for v in ts), "no ns-range-edge value"
+    assert any(v.microsecond not in (0, 500000, 999999) for v in ts), (
+        "no +1µs residue on an in-domain value"
+    )
+
+    o = pq.read_table(os.path.join(clock_dir, "orders.parquet"))
+    od = [v for v in o.column("o_orderdate").to_pylist() if v is not None]
+    assert any(v.year > 2262 for v in od), "no far-future order date"
+
+
+@pytest.mark.parametrize("key", CLOCK_REGRESSION_KEYS)
+def test_clock_fuzz_parity(spark, clock_dir, clock_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, clock_dir).toArrow().to_pandas()
+    odf = clock_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"

@@ -371,13 +371,14 @@ def test_sweep_rotation_arithmetic():
        drops out of the front-50 via the ``if k in d`` filter);
     2. the budget-line marker comment in the SOURCE sits after exactly
        50 keys — the true driver cutoff;
-    3. the r12 front-50 equals the documented composition from the r11
-       verdict plus the r12 fuzz hardenings: the keys NEW in r12 or
-       with edited semantics (never attested on their current form —
-       1 + 9), plus ALL 40 r7-stale keys (verified against
-       CORRECTNESS_r01..r11.json when present — every front-50 key
-       must be never-attested, r7-stale, or r8-stale, and no r7-stale
-       key may be left out).
+    3. the r13 front-50 equals the documented composition from the r12
+       verdict plus the r13 clock-fuzz hardenings: the key NEW in r13
+       (sim_search_ivf_cascade) and the 2 edited-semantics keys in
+       _REVERIFY (never attested on their current form), plus the
+       first 47 alphabetical of the 50 r8-stale keys (verified against
+       CORRECTNESS_r01..r12.json when present — every front-50 key
+       must be never-attested or r8-stale, and exactly three r8-stale
+       keys, the alphabetical tail, are left out).
 
     Ordering WITHIN the front-50 is deliberately unconstrained
     (ADVICE r9): the driver takes the first 50 keys of the dict as a
@@ -429,8 +430,8 @@ def test_sweep_rotation_arithmetic():
         if m is None:
             continue  # nonconforming file name (ADVICE r9)
         rnd = int(m.group(1))
-        if rnd > 11:
-            continue  # composition was computed from r01..r11
+        if rnd > 12:
+            continue  # composition was computed from r01..r12
         for k, v in json.load(open(p)).items():
             # failed entries don't attest (ADVICE r9), and verdicts at
             # or before a key's _REVERIFY oracle-edit round attest the
@@ -457,13 +458,24 @@ def test_sweep_rotation_arithmetic():
         f"_REVERIFY keys without a post-edit verdict must be in the "
         f"front-50: {unattested_rv - front}"
     )
-    r7_stale = {k for k, v in latest.items() if v == 7}
-    assert r7_stale <= front, f"r7-stale keys missing from front-50: {r7_stale - front}"
-    leftover = front - r7_stale
-    assert all(latest.get(k) in (None, 8) for k in leftover), (
-        "front-50 fillers must be never-attested (new or edited-oracle) "
+    never = {k for k in q if k not in latest}
+    assert never <= front, f"never-attested keys missing from front-50: {never - front}"
+    r8_stale = {k for k, v in latest.items() if v == 8}
+    # the r8 group (50 keys) no longer fits whole beside the new +
+    # reverify keys: exactly three alphabetical-last r8 keys slip to
+    # r14 (never-attested-on-current-form outranks stale-but-verified)
+    assert len(never) == 3 and len(r8_stale - front) == 3, (
+        f"expected exactly 3 never-attested keys and 3 slipped r8-stale "
+        f"keys, got new={never}, slipped={r8_stale - front}"
+    )
+    assert r8_stale - front == set(sorted(r8_stale)[-3:]), (
+        "the slipped r8-stale keys must be the alphabetical tail "
+        f"(fillers are taken sorted-first), got {r8_stale - front}"
+    )
+    assert all(latest.get(k) in (None, 8) for k in front), (
+        "front-50 keys must be never-attested (new or edited-oracle) "
         "or r8-stale, "
-        f"got: { {k: latest.get(k) for k in leftover if latest.get(k) not in (None, 8)} }"
+        f"got: { {k: latest.get(k) for k in front if latest.get(k) not in (None, 8)} }"
     )
 
     # Generator/checker agreement: the committed tuple's front-50 must
