@@ -121,6 +121,16 @@ SCALE_QUERIES = [
     # (emb_kmeans_train here; the IVF / IVF-PQ probe plans on the
     # annladder at 0.38/0.44) and add no new growth mechanism.
     "text_quality_nb_scored",
+    # r13 clock-fuzz-hardened plans: the decay agg (one scan + one
+    # map-combining hash agg — the [0,K] clamp must not change
+    # linearity) and the cogroup-pandas as-of join (two user_id
+    # shuffles + per-group searchsorted — Python work is n log n in
+    # group size, effectively linear at bounded group cardinality).
+    # sim_search_ivf_cascade is NOT enrolled: its assignment tier is
+    # the annladder's measured cascade shape (0.34/0.45) with fixed
+    # S=2 — no new growth mechanism.
+    "agg_decay_weighted",
+    "join_asof_pandas",
 ]
 
 

@@ -576,6 +576,23 @@ def test_ivfpq_probe_join_is_hash(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ivf_cascade_broadcast_only_group_limited(spark):
+    """sim_search_ivf_cascade (r13): the two-tier assignment must stay
+    broadcast-only — the S-row super relation, the K-row cmap, and the
+    probe relation broadcast (BroadcastNestedLoop for the deliberate
+    crossJoins, BroadcastHashJoin for the sid/cid equi-joins); the
+    corpus shuffles only at the vec_id/query_id rank windows, every
+    one of which carries WindowGroupLimit so per-partition top-k is
+    pruned below the shuffle. A CartesianProduct or SortMergeJoin
+    anywhere means a relation that must broadcast at 100 TB stopped
+    broadcasting."""
+    plan = plan_of(spark, "sim_search_ivf_cascade", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_span_ngram_two_explodes_hash_joins(spark):
     """dedup_span_ngram: the positional-window explode runs once per
     branch (marked windows + dup-hash set) — exactly two Generates,
