@@ -69,7 +69,10 @@ group/sort/join key, subnormal underflow, sign-preserving casts;
 precision/extreme specials — sub-second µs residues, the epoch and
 the µs before it, the datetime64[ns] range edges, 1582/1777/9999 —
 the truncation and range seams of every datetime kernel and of the
-comparison harness itself).
+comparison harness itself), or ``tempest`` (the stacked form of the
+r13 classes: clock at the given rate, then signs 3%, then nulls 3%,
+then a full row-order permutation — cross-class interactions under a
+shuffled physical layout, the precision-edge sibling of ``chaos``).
 Exit 0 iff every checked query matches on the mutated data.
 """
 
@@ -121,8 +124,6 @@ def mutate_table(
         # Rates are fixed per stage (skew uses the caller's rate; the
         # value-corruption stages use the proven per-class defaults)
         # and seeds are derived so the stack is fully reproducible.
-        import tempfile
-
         # Intermediate files MUST keep the table's basename: each stage
         # derives its _TABLE_KEYS protection (and its seeded rng) from
         # the filename, and losing it would let the extremes stage
@@ -144,6 +145,29 @@ def mutate_table(
             # Spark now executes the corrupted stack under a shuffled
             # physical layout too — the closest local approximation of
             # what a real cluster run actually sees.
+            mutate_table(stages[2], dst, 1.0, seed + 3, "reorder")
+        return
+    if mode == "tempest":
+        # Stacked adversary #2 (r13): the precision/edge classes
+        # composed — clock at the caller's rate, then signs 3%, then
+        # nulls 3%, then a full row-order permutation. `chaos` stacks
+        # the distribution/corruption classes (skew/extremes/nulls);
+        # this one makes the r13 interactions dense: a -0.0 beside a
+        # year-9999 timestamp on the same row, a NULL overwriting a
+        # sign-mutated cell, a subnormal in a window whose sort key
+        # got a µs residue — all under a shuffled physical layout.
+        # Same basename preservation rule as chaos: each stage derives
+        # key protection and its seeded rng from the filename.
+        base = os.path.basename(src)
+        with tempfile.TemporaryDirectory(prefix="tempest_") as td:
+            stages = []
+            for n in ("s1", "s2", "s3"):
+                p = os.path.join(td, n, base)
+                os.makedirs(os.path.dirname(p))
+                stages.append(p)
+            mutate_table(src, stages[0], rate, seed, "clock")
+            mutate_table(stages[0], stages[1], 0.03, seed + 1, "signs")
+            mutate_table(stages[1], stages[2], 0.03, seed + 2, "nulls")
             mutate_table(stages[2], dst, 1.0, seed + 3, "reorder")
         return
     t = pq.read_table(src)
@@ -741,7 +765,7 @@ def main() -> int:
     _MODES = (
         "nulls", "dupes", "both", "unicode", "extremes", "skew", "chaos",
         "boundary", "reorder", "split", "ties", "ragged", "holes",
-        "signs", "clock",
+        "signs", "clock", "tempest",
     )
     mode = rest[0] if rest and rest[0] in _MODES else "nulls"
     rest = rest[1:] if rest and rest[0] in _MODES else rest

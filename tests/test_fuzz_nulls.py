@@ -890,3 +890,74 @@ def test_clock_fuzz_parity(spark, clock_dir, clock_duck, key):
     odf = clock_duck.execute(oracles[key]).df()
     problems = dc.compare(key, sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+# --- tempest (stacked clock+signs+nulls+reorder) class -----------------
+# r13's fifteenth class: the precision/edge classes composed — clock
+# 10%, then signs 3%, then nulls 3%, then a full row-order
+# permutation. First full-registry run: 239/0 (each component was
+# hardened in its own class first; the value here is the INTERACTIONS
+# — a -0.0 beside a year-9999 ts on one row, a NULL overwriting a
+# sign-mutated cell, µs-residue sort keys under a shuffled layout).
+# Pins: the keys whose kernels sit at those intersections.
+TEMPEST_REGRESSION_KEYS = [
+    "agg_decay_weighted", "emb_norm_stats", "join_asof_pandas",
+    "q1_pricing_summary", "win_session",
+]
+
+
+@pytest.fixture(scope="module")
+def tempest_dir(spark, tmp_path_factory):
+    from fuzzcheck import mutate_table
+
+    dst = str(tmp_path_factory.mktemp("tempest_sf"))
+    for t in TESTDATA_TABLES:
+        mutate_table(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+            0.1,
+            SEED,
+            "tempest",
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def tempest_duck(tempest_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tempest_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_tempest_mirror_stacks_all_three_value_classes(tempest_dir):
+    """Sharpness: one mirror must show clock range edges, signed
+    zeros, AND injected NULLs (the nulls stage runs at 3% over every
+    column) — else a stage silently dropped out of the stack."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(tempest_dir, "events.parquet"))
+    ts = [v for v in t.column("ts").to_pylist() if v is not None]
+    assert any(v.year >= 2262 for v in ts), "clock stage missing"
+    assert t.column("value").null_count > 0, "nulls stage missing"
+    vals = [v for v in t.column("value").to_pylist() if v is not None]
+    assert any(v == 0.0 and math.copysign(1.0, v) < 0 for v in vals), (
+        "signs stage missing"
+    )
+
+
+@pytest.mark.parametrize("key", TEMPEST_REGRESSION_KEYS)
+def test_tempest_fuzz_parity(spark, tempest_dir, tempest_duck, key):
+    import diffcheck as dc
+
+    qs, oracles = registry.queries(), registry.oracles()
+    assert key in qs and key in oracles, f"registry key vanished: {key}"
+    sdf = qs[key](spark, tempest_dir).toArrow().to_pandas()
+    odf = tempest_duck.execute(oracles[key]).df()
+    problems = dc.compare(key, sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
