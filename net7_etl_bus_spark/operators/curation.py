@@ -131,6 +131,13 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).cast("bigint").alias("n_tokens"),
         F.md5(normalized_text("text")).alias("h"),
     )
+    # r13 A/B note: parallelizing + localCheckpointing flags (to stop
+    # the three differently-pruned consumers replaying the tokenize +
+    # md5 pass) measured WORSE at sf0.1 (med 4.01 s vs 3.39 s,
+    # proto_cs2): the eager checkpoint serializes what the scheduler
+    # otherwise overlaps, and the replayed flags scans are cheap next
+    # to the near-dup cascade. Deliberately left as-is; the cascade
+    # inside dedup_minhash_verified carries the r13 win instead.
     s12 = flags.filter(F.col("lang_ok") & F.col("q_ok"))
     keep3 = s12.groupBy("h").agg(F.min("doc_id").alias("kid")).select("kid")
     s3 = s12.join(keep3, s12.doc_id == keep3.kid, "left_semi").select("doc_id")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import probes
-from ..data import FIXTURES_DIR, load_table
+from ..data import FIXTURES_DIR, load_table, scan_parallel
 from ..plans.registry import register
 
 # MinHash configuration: 16 hash functions, banded 4x4.
@@ -73,7 +73,16 @@ def normalized_text(col: Column | str = "text") -> Column:
 
 
 def _tokens(df: DataFrame) -> DataFrame:
-    return df.select("doc_id", F.split(normalized_text("text"), " ").alias("w"))
+    # scan_parallel (OPTIMIZATION_r13): every shingle cascade starts
+    # here, and the testdata's single-row-group parquet pins the whole
+    # tokenize -> shingle -> md5 -> partial-agg pipeline to ONE scan
+    # task otherwise (parquet cannot split below a row group). The
+    # adaptive gate makes this a no-op whenever the input already
+    # splits into >= cores/2 tasks, i.e. at any production layout.
+    # A/B: md5-chain med 2.52s -> 1.17s at sf0.1 (proto_parscan).
+    return scan_parallel(df, "doc_id").select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("w")
+    )
 
 
 def _shingles(df: DataFrame) -> DataFrame:
@@ -491,6 +500,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous candidate-driven exploded-shingle joins, which in turn
     beat persist-based variants (cache-write cost exceeded the
     recompute; no ReusedExchange fires across branches under AQE).
+    r13 update: with the heavier with-sets aggregate, duplicating the
+    signature chain across the cand/verify branches became the
+    dominant cost, so the signature relation is now localCheckpointed
+    once — see _verified_pairs.
     """
     return _verified_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -515,12 +528,11 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
     # norm_len >= cap and lower() expands length at most 3x — then
     # (2) the exact word count, only on the rare corpus where tier 1
     # fires. When the corpus has no mega doc — the overwhelmingly
-    # common case — the whole function returns ONE lazy single-pass
-    # plan with NO persist and NO probe-of-the-cascade: identical cost
-    # to the unguarded r3 shape plus one cheap column scan (the prior
-    # design probed the CACHED candidate relation, which forced the
-    # full signature cascade to materialize into the cache before the
-    # verify job — measured ~1.4 s extra single-shot at sf0.1).
+    # common case — the whole function builds the signature relation
+    # once (checkpointed below) and NO probe-of-the-cascade runs (the
+    # prior design probed the CACHED candidate relation, which forced
+    # the full signature cascade to materialize into the cache before
+    # the verify job — measured ~1.4 s extra single-shot at sf0.1).
     has_mega = probes.exists(
         docs.filter(F.length("text") * 3 >= cap)
     ) and probes.exists(
@@ -529,6 +541,23 @@ def _verified_pairs(docs: DataFrame, cap: int = _XS_CAP) -> DataFrame:
 
     sh = _shingles_counted(docs)
     sig = _minhash_signature_from(sh, with_sets=True, cap=cap)
+    # Materialize the signature relation ONCE (OPTIMIZATION_r13). The
+    # candidate branch and the two verify sides consume sig through
+    # DIFFERENTLY-PRUNED subtrees (cand needs h0..h15 only, so
+    # Catalyst drops the collect_set from its copy of the aggregate;
+    # the sides keep xs) — the subtrees are no longer identical, so
+    # AQE exchange reuse cannot fire across them and the whole
+    # shingle-explode + md5 + aggregation chain ran TWICE per query
+    # (plans/r13/dedup_minhash_verified_before.txt: four documents
+    # scans, two full signature aggregations). sig is one compact row
+    # per doc (16 bigints + the capped hash set, <= ~65 KB worst
+    # case), so the checkpoint is corpus-ROW-sized, far below what
+    # builds it; the r3-era measurement that rejected persist here
+    # predates the with-sets aggregate, whose duplicated cost now
+    # dominates (A/B at sf0.1: med 3.11s -> 2.04s with checkpoint +
+    # scan_parallel, proto_verified). Same localCheckpoint/GC-release
+    # contract as the mega path's `joined` below.
+    sig = sig.localCheckpoint()
     cand = _lsh_candidate_pairs(sig)
     side = sig.select("doc_id", "xs", "n_shingles", "is_mega")
     sa = side.select(
@@ -1511,6 +1540,17 @@ def _containment_lsh_frame(
     )
     sh = _shingles_counted(docs)
     sig = _minhash_signature_from(sh, with_sets=True)
+    if not has_mega:
+        # Materialize the signature relation ONCE (OPTIMIZATION_r13) —
+        # the same three-consumer shape as _verified_pairs (cand +
+        # both xs sides re-derive sig through differently-pruned
+        # subtrees, so AQE exchange reuse cannot fire and the whole
+        # shingle-explode + md5 + aggregation chain ran twice); see
+        # the measured rationale there. Only on the no-mega path: the
+        # mega fallback consumes sig through cand ALONE, where
+        # Catalyst prunes the collect_set out of the aggregate — a
+        # checkpoint there would force the xs arrays nobody reads.
+        sig = sig.localCheckpoint()
     cand = _lsh_candidate_pairs(sig, n_bands, rows_per_band)
 
     if not has_mega:

@@ -1014,18 +1014,25 @@ def test_events_funnel_single_events_scan(spark):
 
 def test_containment_lsh_matches_verified_cascade_shape(spark):
     """dedup_containment_lsh (no-mega corpus) reuses the verified
-    cascade's plan shape: subtree duplication across the three
-    signature consumers is the MEASURED choice there (persist was
-    slower; no ReusedExchange under AQE) — pin that this op's Generate
-    count stays within the verified cascade's envelope plus exactly
-    one (the 2-struct direction explode; the unionAll formulation this
-    pin caught doubled the whole cascade to 12), and that the whole
+    cascade's plan shape: since OPTIMIZATION_r13 both checkpoint the
+    signature relation once (the duplicated with-sets aggregate across
+    the three signature consumers became the dominant cost — the
+    MEASURED reversal of the r3-era persist-was-slower choice), so the
+    visible plan hangs off one ExistingRDD scan and the Generate count
+    stays within the verified cascade's envelope plus exactly one (the
+    2-struct direction explode; the unionAll formulation the original
+    pin caught doubled the whole cascade to 12, and a dropped
+    checkpoint here would now show up the same way), and the whole
     thing is JVM-side."""
     ours = plan_of(spark, "dedup_containment_lsh", mode="simple")
     theirs = plan_of(spark, "dedup_minhash_verified", mode="simple")
     assert ours.count("Generate") <= theirs.count("Generate") + 1, (
         ours.count("Generate"), theirs.count("Generate"),
     )
+    # Both cascades' signature subtrees are checkpointed: the plans
+    # must read sig from an ExistingRDD scan, not rebuild it.
+    assert "ExistingRDD" in ours, ours
+    assert "ExistingRDD" in theirs, theirs
     assert "BatchEvalPython" not in ours and "ArrowEvalPython" not in ours, ours
     assert "CartesianProduct" not in ours, ours
 
