@@ -49,6 +49,27 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _vnorm(a):
+    """sqrt(sum(a_i^2)) as a Column — _cosine's norm subexpression,
+    exposed so pair-scoring sites can HOIST it to the per-vector side
+    (n + m norm folds instead of 2*n*m; OPTIMIZATION_r13). The fold is
+    character-identical to _cosine's na/nb, so dot/(_vnorm(a) *
+    _vnorm(b)) produces bit-identical doubles to _cosine(a, b)."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def _vdot(a, b):
+    """_cosine's dot-product subexpression (same zip_with + left
+    fold), for sites that pair it with hoisted _vnorm columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 # DuckDB twin: list_transform + a left fold via list_reduce (sequential).
 # Iterates greatest(len(a), len(b)) — indexing past the shorter list
 # yields NULL, so a ragged pair folds to a NULL dot product, the SAME
@@ -181,7 +202,20 @@ def _lsh_signatures(emb):
     sign-LSH kernel (hyperplane dots -> sign bits -> per-table bucket
     fold), a pure narrow map over the embedding column."""
     planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    # ONE py4j call for the 16x64 plane literal (OPTIMIZATION_r13):
+    # the nested F.array(*[F.lit(x) ...]) construction made ~1040
+    # driver round trips per INVOCATION of this kernel — ~13 s of pure
+    # py4j latency before any job ran (same finding as the bloom
+    # bitmap literal in relational.py; guide §5, driver-side work).
+    # repr(x) is Python's shortest exact round-trip and Spark's SQL
+    # parser reads the D-suffixed literal to the identical double, so
+    # the expression tree (a nested array literal) is unchanged — the
+    # oracle CTE embeds the same repr() values.
+    planes_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+        ) + ")"
+    )
     dots = F.transform(
         planes_lit,
         lambda p: F.aggregate(
@@ -287,16 +321,32 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()  # null vectors are not searchable
     )
-    signed = e.withColumn("sigs", _lsh_signatures(F.col("embedding")))
+    # OPTIMIZATION_r13: (a) scan_parallel — the 16 plane-folds per
+    # vector are real per-row CPU pinned to the single-row-group scan
+    # task; (b) the vector norm is computed ONCE per corpus row in the
+    # signed relation and carried through the bucket explode, instead
+    # of 2 norm folds per candidate PAIR in _cosine (dot/(qn*cn) over
+    # the same doubles — bit-identical; see _vnorm). The broadcast
+    # query side replays this subtree with vec_id < N_QUERIES pushed
+    # below the signing, so its copy signs only the query rows.
+    signed = scan_parallel(e, "vec_id").select(
+        "vec_id",
+        "label",
+        "embedding",
+        _vnorm(F.col("embedding")).alias("nrm"),
+        _lsh_signatures(F.col("embedding")).alias("sigs"),
+    )
     buckets = signed.select(
         "vec_id",
         "label",
         "embedding",
+        "nrm",
         F.posexplode("sigs").alias("table_id", "bucket"),
     )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
         "table_id",
         "bucket",
     )
@@ -304,17 +354,24 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
         "table_id",
         "bucket",
     )
     candidates = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "neighbor_label", "q_emb", "c_emb")
+        # q_norm/c_norm are functions of the ids, so identical across
+        # the per-table duplicates dropDuplicates collapses
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            "q_emb", "c_emb", "q_norm", "c_norm",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
     )
     scored = candidates.withColumn(
-        "cosine", _cosine(F.col("q_emb"), F.col("c_emb"))
+        "cosine",
+        _vdot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
     ).select("query_id", "neighbor_id", "neighbor_label", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
@@ -341,11 +398,32 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()  # null vectors are not searchable
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # OPTIMIZATION_r13: norms hoisted to the per-vector sides (n + n
+    # folds instead of 2·n²/2 — each pair previously folded BOTH
+    # norms; dot/(na*nb) over the same doubles is bit-identical, see
+    # _vnorm), and the STREAM side of the vec_a < vec_b
+    # BroadcastNestedLoopJoin is scan_parallel'd — all n²/2 dot folds
+    # ran in the one scan task the single-row-group input plans (the
+    # broadcast side stays on the raw scan). A/B at sf0.1: 33.3 s ->
+    # 1.1 s. The all-pairs shape itself is this key's documented
+    # point (correctness baseline for the LSH cascade).
+    a = scan_parallel(e, "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        _vnorm(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        _vnorm(F.col("embedding")).alias("norm_b"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cosine",
+            _vdot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cosine") >= 0.85)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -711,27 +789,50 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()  # null vectors are not searchable
     )
-    buckets = e.select(
+    # OPTIMIZATION_r13: the bucket relation is consumed by BOTH sides
+    # of the self-join — without materialization the 16-plane signing
+    # pass ran TWICE over the corpus (no pushed filter narrows either
+    # copy, unlike sim_search_lsh's query side), each on the one scan
+    # task the single-row-group input plans. scan_parallel + ONE
+    # localCheckpoint of the signed relation (corpus-row-sized:
+    # embedding + norm + 4 bucket ids/row; same GC-release contract as
+    # the dedup cascades), and the vector norm folds once per row
+    # instead of twice per candidate pair (bit-identical dot/(na*nb),
+    # see _vnorm).
+    signed = scan_parallel(e, "vec_id").select(
         "vec_id",
         "embedding",
-        F.posexplode(_lsh_signatures(F.col("embedding"))).alias("table_id", "bucket"),
+        _vnorm(F.col("embedding")).alias("nrm"),
+        _lsh_signatures(F.col("embedding")).alias("sigs"),
+    ).localCheckpoint()
+    buckets = signed.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode("sigs").alias("table_id", "bucket"),
     )
     a = buckets.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "table_id", "bucket",
+        F.col("nrm").alias("norm_a"), "table_id", "bucket",
     )
     b = buckets.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        "table_id", "bucket",
+        F.col("nrm").alias("norm_b"), "table_id", "bucket",
     )
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        # norms are functions of the ids — identical across the
+        # per-table duplicates dropDuplicates collapses
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "norm_a", "norm_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        cand.withColumn("cosine", _cosine(F.col("emb_a"), F.col("emb_b")))
+        cand.withColumn(
+            "cosine",
+            _vdot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cosine") >= 0.85)
         .select("vec_a", "vec_b", "cosine")
     )

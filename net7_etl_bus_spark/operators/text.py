@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import FIXTURES_DIR, load_table
+from ..data import FIXTURES_DIR, load_table, scan_parallel
 from ..plans.registry import register
 from .dedup import _ASCII_LC as _ALC, _ASCII_UC as _AUC, normalized_text
 
@@ -222,8 +222,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length(txt) - (_FP_WINDOW - 1)),
         lambda i: F.md5(txt.substr(i, F.lit(_FP_WINDOW))),
     )
+    # scan_parallel (OPTIMIZATION_r13): one md5 per CHARACTER of every
+    # document — the heaviest narrow map in the registry — pinned to
+    # the one scan task the single-row-group input plans. The filter
+    # stays below the repartition so pushdown-eligible pruning is
+    # unaffected (length() is not pushable anyway). A/B at sf0.1:
+    # 14.3 s -> 1.0 s.
     return (
-        d.filter(F.length(txt) >= _FP_WINDOW)
+        scan_parallel(d.filter(F.length(txt) >= _FP_WINDOW), "doc_id")
         .select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
     )
 
@@ -270,6 +276,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(normalized_text("text"), " ")
+    # scan_parallel (OPTIMIZATION_r13): tokenize + array_distinct
+    # (O(n_words²) worst case) + bigram construction are per-row CPU
+    # on the single-row-group scan task; the explode + partial
+    # aggregation downstream inherit the spread. A/B at sf0.1:
+    # 11.5 s -> 1.4 s.
+    d = scan_parallel(d, "doc_id")
     base = d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
@@ -829,7 +841,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
     )
-    w_lit = F.array(*[F.lit(w) for w in _CLF_W])
+    # one py4j call for the 64-int literal (OPTIMIZATION_r13; same
+    # driver-latency finding as the bloom bitmap — ~13 ms per F.lit)
+    w_lit = F.expr("array(" + ",".join(str(w) for w in _CLF_W) + ")")
     bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _CLF_D
     weight = F.element_at(w_lit, (bucket + 1).cast("int"))
     scored = toks.groupBy("doc_id").agg(
@@ -920,7 +934,9 @@ def teacher_labels(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
     )
-    w_lit = F.array(*[F.lit(w) for w in _CLF_W])
+    # one py4j call for the 64-int literal (OPTIMIZATION_r13; same
+    # driver-latency finding as the bloom bitmap — ~13 ms per F.lit)
+    w_lit = F.expr("array(" + ",".join(str(w) for w in _CLF_W) + ")")
     weight = F.element_at(w_lit, (_clf_bucket("tok") + 1).cast("int"))
     return toks.groupBy("doc_id").agg(
         ((F.sum(weight) + _CLF_BIAS) >= 0).alias("is_q")
@@ -1026,7 +1042,10 @@ def nb_score_frame(docs: DataFrame, model: DataFrame, alpha: int = 1) -> DataFra
     toks = docs.select(
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
     )
-    w_lit = F.array(*[F.lit(w) for w in weights])
+    # one py4j call for the 64-double literal (OPTIMIZATION_r13);
+    # repr() round-trips each double exactly, D suffix keeps the
+    # literal a double — the identical expression tree
+    w_lit = F.expr("array(" + ",".join(f"{w!r}D" for w in weights) + ")")
     weight = F.element_at(w_lit, (_clf_bucket("tok") + 1).cast("int"))
     scored = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
