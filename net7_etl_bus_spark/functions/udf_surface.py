@@ -111,56 +111,115 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-group aggregation via applyInPandas (the UDAF
-    surface): one shuffle on the group key, then an arbitrary pandas
-    program per group. Cent-exact accumulation (floor-scaled int64)
+    surface). Cent-exact accumulation (floor-scaled integer cents)
     keeps the float sum order-independent so it hash-matches the
-    oracle — same discipline as registry.dsum."""
+    oracle — same discipline as registry.dsum.
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        # SQL aggregate semantics by hand: NULL prices are IGNORED by
-        # SUM/MAX, COUNT(*) still counts the row, an all-NULL group
-        # sums/maxes to NULL — and the dsum extremes contract applies:
-        # NaN/Inf/out-of-domain prices poison total_spend to NaN (the
-        # engine must surface corruption, not launder it), while max
-        # keeps SQL semantics (NaN ranks greatest in both engines).
+    OPTIMIZATION_r13 (guide §4.5 — amortize per-call overhead): the
+    grouped map runs per SALT BUCKET (pmod(xxhash64(o_custkey), B)),
+    not per customer — grouping ~thousands of customers into one
+    Python call whose kernel does a vectorized pandas groupby over the
+    real key. groupBy(o_custkey).applyInPandas paid ~1.4 ms of
+    per-group glue (Arrow slice + pandas construction + 1-row result
+    frame) x |customers|: 24.2 s at sf0.1 vs 2.9 s bucketed, 8.2x,
+    value-identical (A/B in OPTIMIZATION_r13.md). B adapts to the
+    input row count from parquet footers (target ~2k rows/call,
+    floor = defaultParallelism so every core gets work, cap 65536 so
+    the bucket-id shuffle stays wide at 100 TB — guide §2.5 synthetic
+    keys); results never depend on B."""
+
+    def stats_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SQL aggregate semantics by hand, vectorized per bucket:
+        # NULL prices are IGNORED by SUM/MAX, COUNT(*) still counts
+        # the row, an all-NULL group sums/maxes to NULL — and the dsum
+        # extremes contract applies: NaN/Inf/out-of-domain prices
+        # poison total_spend to NaN (the engine must surface
+        # corruption, not launder it), while max keeps SQL semantics
+        # (NaN ranks greatest in both engines).
         #
         # ARROW TRAP (fuzz-found): applyInPandas converts a nullable
         # float64 column so that SQL NULL and real NaN are both NaN in
         # pandas — indistinguishable inside the kernel. Any kernel that
         # must tell them apart (this one: NULLs are ignored, NaNs
         # poison) computes the distinction JVM-SIDE and ships it as
-        # boolean flag columns.
+        # boolean flag columns. Likewise o_custkey re-wraps as
+        # masked Int64 so NULL keys survive exactly (a bigint column
+        # with NULLs otherwise degrades to float64 — lossy past 2^53).
         is_null = pdf["p_null"].to_numpy(dtype=bool)
         is_bad = pdf["p_bad"].to_numpy(dtype=bool)
-        prices = pdf["o_totalprice"].to_numpy()
-        nn = ~is_null
-        has = bool(nn.any())
-        bad = bool(is_bad.any())
-        good = prices[nn & ~is_bad]
-        # Accumulate in Python ints, not numpy int64: each in-domain
-        # row's cents fit int64 (|price| < 9e16 -> |cents| < 9e18 <
-        # 2^63), but a GROUP of such rows can exceed it, and numpy
-        # wraps silently instead of raising (advice r4) — while the
-        # oracle accumulates the same rows in DECIMAL(38,0). Python
-        # ints are unbounded, so the group sum is exact like the
-        # oracle's; float(cents)/100.0 then mirrors the oracle's
-        # CAST(sum AS DOUBLE)/100.0 (both correctly-rounded
-        # int->double, then one shared IEEE division).
-        cents = sum(int(v) for v in np.floor(good * 100.0)) if len(good) else 0
-        spend = float("nan") if bad else (float(cents) / 100.0 if has else None)
-        mx = None
-        if has:
-            real_nan = is_bad & np.isnan(prices)  # NaN specifically, not Inf/huge
-            mx = float("nan") if real_nan.any() else prices[nn].max()
+        prices = pdf["o_totalprice"].to_numpy(dtype=float)
+        keys = pd.array(pdf["o_custkey"], dtype="Int64")
+        good_mask = (~is_null) & (~is_bad)
+        cents = np.zeros(len(pdf), dtype=float)
+        cents[good_mask] = np.floor(prices[good_mask] * 100.0)
+        g = pd.DataFrame(
+            {
+                "k": keys,
+                "n": np.ones(len(pdf), dtype="int64"),
+                "has": (~is_null).astype("int64"),
+                "bad": is_bad.astype("int64"),
+                "real_nan": (is_bad & np.isnan(prices)).astype("int64"),
+                "cents": cents,
+                "abs_cents": np.abs(cents),
+                # -inf sentinel for ignored NULL rows: never the max
+                # unless the group has no non-null price (masked below)
+                "price_nn": np.where(is_null, -np.inf, prices),
+            }
+        ).groupby("k", sort=False, dropna=False)
+        agg = g.agg(
+            n_orders=("n", "sum"),
+            has=("has", "max"),
+            bad=("bad", "max"),
+            real_nan=("real_nan", "max"),
+            cents_f=("cents", "sum"),
+            abs_cents=("abs_cents", "sum"),
+            mx=("price_nn", "max"),
+        ).reset_index()
+        # Float cents sums are exact while every |prefix| < 2^52 (the
+        # sum of |cents| bounds every prefix, signs included). Groups
+        # past that redo in unbounded Python ints — identical
+        # elementwise floors, exact sum, matching the DECIMAL(38,0)
+        # oracle. Each in-domain row's cents fit int64, but a GROUP of
+        # such rows can exceed it, and numpy wraps silently instead of
+        # raising (advice r4) — hence Python ints, never numpy int64;
+        # float(cents)/100.0 then mirrors the oracle's
+        # CAST(sum AS DOUBLE)/100.0 (correctly-rounded int->double,
+        # then one shared IEEE division).
+        sus = agg["abs_cents"].to_numpy() >= float(1 << 52)
+        if sus.any():
+            kcol = pdf["o_custkey"]
+            ci = agg.columns.get_loc("cents_f")
+            for i in np.flatnonzero(sus):
+                k = agg["k"].iloc[i]
+                m = kcol.isna() if pd.isna(k) else (kcol == k)
+                rows = pdf[m.to_numpy(dtype=bool)]
+                gm = (~rows["p_null"].to_numpy(dtype=bool)) & (
+                    ~rows["p_bad"].to_numpy(dtype=bool)
+                )
+                gv = rows["o_totalprice"].to_numpy(dtype=float)[gm]
+                agg.iloc[i, ci] = float(sum(int(v) for v in np.floor(gv * 100.0)))
+        has = agg["has"].to_numpy() == 1
+        bad = agg["bad"].to_numpy() == 1
+        spend = pd.arrays.FloatingArray(
+            np.where(bad, np.nan, agg["cents_f"].to_numpy() / 100.0), mask=~has
+        )
+        mx_vals = agg["mx"].to_numpy(dtype=float).copy()
+        mx_vals[agg["real_nan"].to_numpy() == 1] = np.nan
+        mx = pd.arrays.FloatingArray(mx_vals, mask=~has)
         return pd.DataFrame(
             {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
-                "n_orders": [len(pdf)],
-                "total_spend": [spend],
-                "max_order": [mx],
+                "o_custkey": agg["k"],
+                "n_orders": agg["n_orders"].astype("int64"),
+                "total_spend": spend,
+                "max_order": mx,
             }
         )
 
+    from ..data import table_rows
+
+    rows = table_rows(sf_dir, "orders")
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    n_buckets = min(max((rows or 4096 * par) // 2048, par), 65536)
     o = load_table(spark, sf_dir, "orders")
     pr = F.col("o_totalprice")
     o = o.select(
@@ -168,9 +227,11 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         pr.isNull().alias("p_null"),
         (pr.isNotNull() & (F.isnan(pr) | (F.abs(pr) >= F.lit(9e16)))).alias("p_bad"),
+        F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets)).alias("bkt"),
     )
-    return o.groupBy("o_custkey").applyInPandas(
-        stats, "o_custkey bigint, n_orders bigint, total_spend double, max_order double"
+    return o.groupBy("bkt").applyInPandas(
+        stats_bucket,
+        "o_custkey bigint, n_orders bigint, total_spend double, max_order double",
     )
 
 

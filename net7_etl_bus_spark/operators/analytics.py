@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import probes
-from ..data import load_table
+from ..data import load_table, scan_parallel
 from ..plans.registry import ddouble, dsum, register, sql_ddouble, sql_dsum
 
 # --- agg_histogram ----------------------------------------------------
@@ -249,7 +249,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, timestamps are formatted with an explicit pattern, so
     every cell is bit-comparable across engines.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # scan_parallel (OPTIMIZATION_r13): the multi-count_distinct agg
+    # expands every row N_distinct-agg-fold via Expand before the
+    # partial aggregate — real per-row work on the scan task.
+    o = scan_parallel(load_table(spark, sf_dir, "orders"), "o_orderkey")
     aggs = []
     for col, kind in _PROFILE_COLS:
         aggs += [

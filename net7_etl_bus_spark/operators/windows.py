@@ -308,20 +308,38 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     2262-04-11, e.g. a corrupted-writer year-9999 row) killed the
     whole task — at scale, one bad row takes down the executor. The
     µs longs are exact at any representable magnitude (no datetime64
-    anywhere in the UDF), merge_asof on int64 keys has the identical
-    backward semantics, and timestamp_micros()/unix_micros() round-trip
-    losslessly. NULL event times never enter the UDF at all: NULL-ts
-    left rows are unioned back with a NULL match DataFrame-side
-    (merge_asof requires sorted non-null keys — the null-injection
-    fuzz found that crash first), and NULL-ts signups can never be
-    "most recent at-or-before"."""
+    anywhere in the UDF), and timestamp_micros() round-trips
+    losslessly. NULL event times and NULL user ids never enter the
+    UDF at all: those left rows union back with a NULL match
+    DataFrame-side (a NULL join key never matches in SQL; merge keys
+    must be non-null — the null-injection fuzz found that crash
+    first), NULL-ts signups can never be "most recent at-or-before" —
+    and with both columns null-free inside the kernel, every column
+    crosses as exact int64 (a bigint column with any NULL degrades to
+    float64 in pandas — lossy past 2^53).
+
+    OPTIMIZATION_r13 (guide §4.5 — amortize per-call overhead): the
+    cogroup runs per SALT BUCKET (pmod(xxhash64(user_id), B)), not per
+    user — ~1.4 ms of per-group Python glue x |users| dominated the
+    runtime (6.2 s at sf0.1; 1.6 s bucketed, 3.8x, value-identical —
+    OPTIMIZATION_r13.md). The kernel handles every user of a bucket in
+    one vectorized pass: dense-rank users and timestamps, pack
+    (user_rank, ts_rank) into ONE exact int64 that is
+    order-isomorphic to (user, ts), and one searchsorted
+    side='right'-1 over the packed right keys is exactly the per-user
+    backward <= match; the matched VALUE is recovered from the
+    ts-rank — int64 end-to-end, no float in any key path (pd.merge_asof
+    would emit matched keys as float64 — a matched year-9999 signup
+    would come back 1 µs off). B adapts to the input row count from
+    parquet footers (floor = defaultParallelism, cap 65536 — guide
+    §2.5 synthetic keys); results never depend on B."""
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") != "signup").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    left_null_ts = left.filter(F.col("ts").isNull()).withColumn(
-        "last_signup_ts", F.lit(None).cast("timestamp")
-    )
+    left_nomatch = left.filter(
+        F.col("ts").isNull() | F.col("user_id").isNull()
+    ).withColumn("last_signup_ts", F.lit(None).cast("timestamp"))
     # NTZ-proof epoch-µs extraction (events.ts arrives TIMESTAMP_NTZ;
     # unix_micros only accepts LTZ): exact integer µs since the epoch
     # wall time, no session-TZ dependence (UTC session makes LTZ↔NTZ
@@ -330,29 +348,49 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(MICROSECOND, "
         "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ))"
     )
-    left_us = left.filter(F.col("ts").isNotNull()).select(
-        "event_id", "user_id", F.expr(to_us).alias("ts_us"), "event_type"
-    )
+    from ..data import table_rows
+
+    rows = table_rows(sf_dir, "events")
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    n_buckets = min(max((rows or 4096 * par) // 2048, par), 65536)
+    bkt = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bkt")
+    left_us = left.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", F.expr(to_us).alias("ts_us"), "event_type", bkt)
+    # The right-side user id needs its own name: both sides resolve to
+    # the SAME scan attribute, and the cogroup's child pruning dedups
+    # an attribute the two sides share — r_user keeps the column alive
+    # in the right pdf.
     right_us = e.filter(
-        (F.col("event_type") == "signup") & F.col("ts").isNotNull()
-    ).select("user_id", F.expr(to_us).alias("signup_us"))
+        (F.col("event_type") == "signup")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("r_user"), F.expr(to_us).alias("signup_us"), bkt)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        # np.searchsorted, NOT pd.merge_asof: merge_asof emits the
-        # matched key as float64 (unmatched rows become NaN), and
-        # float64 silently rounds int64 µs beyond 2^53 — a matched
-        # year-9999 signup would come back 1µs off. searchsorted
-        # side='right' - 1 is exactly the backward <= match, and the
-        # masked IntegerArray keeps exact int64 + nulls end-to-end.
-        out = lpdf.copy()
-        lv = out["ts_us"].to_numpy(dtype="int64")
-        if rpdf.empty:
-            out["last_signup_us"] = pd.array([None] * len(out), dtype="Int64")
+        out = lpdf.drop(columns=["bkt"]).copy()
+        n = len(out)
+        if rpdf.empty or n == 0:
+            out["last_signup_us"] = pd.array([None] * n, dtype="Int64")
             return out
-        rv = np.sort(rpdf["signup_us"].to_numpy(dtype="int64"))
-        pos = np.searchsorted(rv, lv, side="right") - 1
-        matched = pos >= 0
-        vals = rv[np.clip(pos, 0, None)]
+        lu = out["user_id"].to_numpy(dtype="int64")
+        lv = out["ts_us"].to_numpy(dtype="int64")
+        ru = rpdf["r_user"].to_numpy(dtype="int64")
+        rv = rpdf["signup_us"].to_numpy(dtype="int64")
+        users = np.unique(np.concatenate([lu, ru]))
+        lur = np.searchsorted(users, lu).astype("int64")
+        rur = np.searchsorted(users, ru).astype("int64")
+        all_ts = np.unique(np.concatenate([lv, rv]))
+        # rank keys are bucket-local (< |bucket rows|), so the packed
+        # product stays far under 2^63
+        width = np.int64(len(all_ts) + 1)
+        ltr = np.searchsorted(all_ts, lv).astype("int64")
+        rtr = np.searchsorted(all_ts, rv).astype("int64")
+        rkey = np.sort(rur * width + rtr)
+        pos = np.searchsorted(rkey, lur * width + ltr, side="right") - 1
+        cand = np.clip(pos, 0, None)
+        matched = (pos >= 0) & (rkey[cand] // width == lur)
+        vals = all_ts[rkey[cand] % width]
         out["last_signup_us"] = pd.arrays.IntegerArray(
             vals.astype("int64"), mask=~matched
         )
@@ -363,23 +401,18 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, last_signup_us bigint"
     )
     merged = (
-        left_us.groupBy("user_id")
-        .cogroup(right_us.groupBy("user_id"))
+        left_us.groupBy("bkt")
+        .cogroup(right_us.groupBy("bkt"))
         .applyInPandas(lambda l, r: merge(l, r), schema)
         .select(
             "event_id",
             "user_id",
             F.timestamp_micros("ts_us").alias("ts"),
             "event_type",
-            # NULL join key never matches in SQL; the cogroup would
-            # pair the NULL-user groups, so mask the result for those.
-            F.when(
-                F.col("user_id").isNotNull(),
-                F.timestamp_micros("last_signup_us"),
-            ).alias("last_signup_ts"),
+            F.timestamp_micros("last_signup_us").alias("last_signup_ts"),
         )
     )
-    return merged.unionByName(left_null_ts)
+    return merged.unionByName(left_nomatch)
 
 
 @register(

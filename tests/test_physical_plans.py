@@ -11,6 +11,8 @@ fails here, at sf0.001, long before it melts a cluster.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -425,11 +427,23 @@ def test_skew_key_profile_topk_no_global_sort(spark):
 
 def test_sample_weighted_no_shuffle(spark):
     """sample_weighted: membership is a pure per-row function of
-    (key, weight) — the plan must be scan -> project -> filter with
+    (key, weight) — no join, no aggregation exchange. The ONLY
+    exchange allowed is data.scan_parallel's adaptive xxhash64 spread
+    (OPTIMIZATION_r13: md5 + instr folds on a single-row-group local
+    scan; identity branch at production row-group counts), and with
+    the off switch the plan must be scan -> project -> filter with
     ZERO exchanges."""
     plan = plan_of(spark, "sample_weighted", mode="simple")
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "xxhash64" in plan or "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+    os.environ["SPARK_GRAFT_SCAN_REPARTITION"] = "off"
+    try:
+        off_plan = plan_of(spark, "sample_weighted", mode="simple")
+    finally:
+        os.environ.pop("SPARK_GRAFT_SCAN_REPARTITION", None)
+    assert "Exchange" not in off_plan, off_plan
+    assert "Join" not in off_plan, off_plan
 
 
 def test_win_running_distinct_two_windows_no_join(spark):
@@ -832,11 +846,17 @@ def test_graph_triangle_count_equi_joins_only(spark):
     """graph_triangle_count: every join — co-occurrence, degree
     decoration, wedge, closing edge — must be a hash/merge EQUI join
     (inequalities ride as residuals); a nested-loop anywhere here is
-    the O(V^2) failure mode."""
+    the O(V^2) failure mode. OPTIMIZATION_r13: the undirected and
+    oriented edge relations localCheckpoint (each had 3 consumers
+    replaying the co-occurrence self-join under lineage), so the
+    co-occurrence/degree HashAggregates now run once inside the
+    checkpointed subplans and the final plan consumes the oriented
+    relation as >= 3 ExistingRDD scans (e1/e2/e3)."""
     plan = plan_of(spark, "graph_triangle_count", mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("HashAggregate") >= 4, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan  # checkpoint reuse
+    assert plan.count("HashAggregate") >= 2, plan  # triangle count agg
 
 
 def test_emb_kmeans_train_bounded_plan(spark):
@@ -854,14 +874,15 @@ def test_emb_kmeans_train_bounded_plan(spark):
 
 def test_emb_semdedup_cluster_scoped_pairs(spark):
     """emb_semdedup: the dedup pair join must be an EQUI join on cid
-    (cluster-scoped — the whole point of SemDeDup), assignment via
-    WindowGroupLimit, and the only nested-loops the K-row centroid
-    broadcast (one per reference to the assignment subplan: ledger
-    base + both pair sides)."""
+    (cluster-scoped — the whole point of SemDeDup) over the
+    localCheckpointed assign relation (OPTIMIZATION_r13: one
+    crossJoin+argmin computation feeds ledger base + both pair sides
+    as ExistingRDD scans — the argmin's WindowGroupLimit now runs
+    inside the checkpointed subplan, before this final plan)."""
     plan = plan_of(spark, "emb_semdedup", mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan  # checkpoint reuse
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         plan.count("BroadcastHashJoin") >= 1, plan
 
@@ -1095,14 +1116,13 @@ def test_emb_semdedup_trained_trains_once_cluster_scoped(spark):
     it as a materialized scan (3 references — ledger base + both pair
     sides) instead of re-running the 3-round Lloyd subplan per
     reference; the semdedup tier itself keeps emb_semdedup's exact
-    shape — K-row broadcast nested-loops only, argmin via
-    WindowGroupLimit, the pair join a cid EQUI join, no cartesian,
-    no Python."""
+    shape — the pair join a cid EQUI join over the checkpointed
+    assign relation (OPTIMIZATION_r13: argmin WindowGroupLimit runs
+    inside the checkpointed subplan), no cartesian, no Python."""
     plan = plan_of(spark, "emb_semdedup_trained", mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan  # checkpoint reuse
-    assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         plan.count("BroadcastHashJoin") >= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
