@@ -1510,9 +1510,13 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (c) scan_parallel on the dirty (stream) side: part broadcasts,
     #     so every block's levenshtein work ran in the ONE scan task
     #     the single-row-group input plans.
-    # A/B at sf0.1: 46.5 s -> 0.6 s (the blocking equi-join shape —
-    # the key's documented point — is unchanged; plan pin
-    # test_fuzzy_join_blocks_to_hash_join still holds).
+    # A/B at sf0.1: 46.5 s -> 2.97 s (isolated median-of-5 on the
+    # final tree; an earlier mid-round A/B read 0.6 s but does not
+    # reproduce — the remaining cost is the banded levenshtein over
+    # block pairs that survive the length band, which is the
+    # residual's real work). The blocking equi-join shape — the key's
+    # documented point — is unchanged; plan pin
+    # test_fuzzy_join_blocks_to_hash_join still holds.
     dirty = scan_parallel(p, "p_partkey").select(
         F.col("p_partkey").alias("dirty_id"),
         F.concat(

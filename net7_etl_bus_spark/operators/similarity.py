@@ -407,15 +407,29 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast side stays on the raw scan). A/B at sf0.1: 33.3 s ->
     # 1.1 s. The all-pairs shape itself is this key's documented
     # point (correctness baseline for the LSH cascade).
+    #
+    # The hoisted norms are coalesce(_vnorm, 0.0) — value-identical
+    # output: _vnorm is NULL only for a vector with a NULL element,
+    # and any pair involving such a vector has a NULL dot product
+    # (zip_with propagates the hole), so its cosine is NULL and fails
+    # the >= 0.85 filter under either norm encoding. What the
+    # coalesce buys: the filter's isnotnull(cosine) constraint makes
+    # Catalyst infer isnotnull(norm) per side, push it below the
+    # scan_parallel Exchange, and RE-EXPAND the O(dim) norm fold into
+    # the one-task scan-side Filter. At sf0.1 the time win is small
+    # (2.30 -> 2.22 s — the n²/2 parallel dot folds dominate) but the
+    # duplicated fold grows with dim x corpus on the ONE scan task,
+    # exactly the straggler shape the repartition exists to remove.
+    nz = lambda c: F.coalesce(_vnorm(c), F.lit(0.0))  # noqa: E731
     a = scan_parallel(e, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        _vnorm(F.col("embedding")).alias("norm_a"),
+        nz(F.col("embedding")).alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        _vnorm(F.col("embedding")).alias("norm_b"),
+        nz(F.col("embedding")).alias("norm_b"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))

@@ -279,25 +279,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan_parallel (OPTIMIZATION_r13): tokenize + array_distinct
     # (O(n_words²) worst case) + bigram construction are per-row CPU
     # on the single-row-group scan task; the explode + partial
-    # aggregation downstream inherit the spread. A/B at sf0.1:
-    # 11.5 s -> 1.4 s.
-    d = scan_parallel(d, "doc_id")
+    # aggregation downstream inherit the spread.
+    #
+    # The >= 2-words filter is applied BEFORE the repartition as the
+    # exactly-equivalent cheap predicate contains(' ') on the
+    # normalized text (split on a single space yields >= 2 elements —
+    # empty strings count — iff the string contains a space; NULL text
+    # fails both forms). Filtering on the DERIVED size(split(...))
+    # column instead re-ran the whole tokenize + bigram expression
+    # chain inside the scan-side Filter: Catalyst pushes filters
+    # through RepartitionByExpression and re-expands project aliases,
+    # so the expensive expressions ran TWICE, the first time on the
+    # one-task scan below the Exchange — 10.1 s instead of 1.4 s at
+    # sf0.1 (the round's one measured-then-regressed shape; caught by
+    # the final-tree allbench sweep and pinned by
+    # test_physical_plans.test_text_repetition_no_expensive_scan_side_filter).
+    d = scan_parallel(d.filter(normalized_text("text").contains(" ")), "doc_id")
     base = d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_words"),
         F.transform(
-            # guarded by the >=2 filter below: sequence() would run
-            # DESCENDING for 1-word docs, fabricating a bogus bigram
+            # guarded by the contains(' ') filter above (>= 2 words):
+            # sequence() would run DESCENDING for 1-word docs,
+            # fabricating a bogus bigram
             F.sequence(F.lit(1), F.size(words) - 1),
             lambda i: F.concat_ws(
                 " ", F.element_at(words, i), F.element_at(words, i + 1)
             ),
         ).alias("bigrams"),
-    ).filter(F.col("n_words") >= 2)
+    )
     bc = (
+        # explode_outer, not explode: every surviving doc has
+        # n_words - 1 >= 1 bigrams, so outer vs inner emit identical
+        # rows — but a plain explode makes InferFiltersFromGenerate
+        # fabricate size(bigrams) > 0 / isnotnull(bigrams) predicates
+        # that push below the repartition Exchange and re-expand the
+        # bigram construction on the one-task scan side (same
+        # pathology as the derived-column filter above).
         base.select(
-            "doc_id", "n_words", "n_distinct_words", F.explode("bigrams").alias("bigram")
+            "doc_id", "n_words", "n_distinct_words",
+            F.explode_outer("bigrams").alias("bigram"),
         )
         .groupBy("doc_id", "bigram")
         .agg(

@@ -1141,3 +1141,33 @@ def test_text_quality_nb_train_counting_plan(spark):
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 6, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_text_repetition_no_expensive_scan_side_filter(spark):
+    """text_repetition (OPTIMIZATION_r13 regression pin): the >=2-words
+    gate must reach the plan as the cheap Contains predicate, and NO
+    Filter may re-expand the tokenize/bigram expression chain. A
+    filter on the DERIVED size(split(...)) column — or a plain explode
+    whose InferFiltersFromGenerate predicates push below the
+    scan_parallel Exchange — re-runs the expensive expressions on the
+    one-task scan side (10.1 s vs 1.3 s at sf0.1)."""
+    plan = plan_of(spark, "text_repetition")
+    conditions = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Condition :")
+    ]
+    assert conditions, plan  # the contains(' ') gate must exist
+    for ln in conditions:
+        assert "transform(" not in ln, f"bigram chain re-expanded in Filter: {ln[:200]}"
+        assert "array_distinct(" not in ln, f"distinct-words re-expanded: {ln[:200]}"
+    assert any("Contains(" in ln or "contains(" in ln for ln in conditions), plan
+
+
+def test_emb_dedup_cosine_no_norm_fold_in_filters(spark):
+    """emb_dedup_cosine (OPTIMIZATION_r13 regression pin): the hoisted
+    per-vector norms are non-nullable (coalesce), so the cosine
+    filter's inferred isnotnull constraints must NOT re-expand the
+    O(dim) norm fold into any Filter below the scan_parallel Exchange."""
+    plan = plan_of(spark, "emb_dedup_cosine")
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Condition :"):
+            assert "aggregate(" not in ln, f"norm fold re-expanded in Filter: {ln[:200]}"
