@@ -336,12 +336,22 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vnorm(F.col("embedding")).alias("nrm"),
         _lsh_signatures(F.col("embedding")).alias("sigs"),
     )
+    # posexplode_outer, not posexplode: sigs is ALWAYS a non-null
+    # N_TABLES-element array (a transform over a literal sequence), so
+    # outer vs inner emit identical rows — but the inner form makes
+    # InferFiltersFromGenerate fabricate size(sigs) > 0 /
+    # isnotnull(sigs) predicates that push below the scan_parallel
+    # Exchange and RE-EXPAND the whole 16-plane signing fold into the
+    # one-task scan-side Filter (the text_repetition pathology;
+    # OPTIMIZATION_r13 "second systemic finding"). Isolated
+    # median-of-5 at sf0.1: 1.92 -> 1.61 s here, and sim_eval_recall —
+    # which embeds this subtree — 4.10 -> 1.97 s.
     buckets = signed.select(
         "vec_id",
         "label",
         "embedding",
         "nrm",
-        F.posexplode("sigs").alias("table_id", "bucket"),
+        F.posexplode_outer("sigs").alias("table_id", "bucket"),
     )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -1171,3 +1171,17 @@ def test_emb_dedup_cosine_no_norm_fold_in_filters(spark):
     for ln in plan.splitlines():
         if ln.strip().startswith("Condition :"):
             assert "aggregate(" not in ln, f"norm fold re-expanded in Filter: {ln[:200]}"
+
+
+def test_sim_search_lsh_no_signing_fold_in_filters(spark):
+    """sim_search_lsh (OPTIMIZATION_r13 regression pin): the bucket
+    fan-out is posexplode_outer (sigs is always a non-null
+    N_TABLES-element array), so InferFiltersFromGenerate must NOT
+    fabricate predicates that re-expand the 16-plane signing fold
+    into a Filter below the scan_parallel Exchange."""
+    plan = plan_of(spark, "sim_search_lsh")
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Condition :"):
+            assert "aggregate(" not in ln and "transform(" not in ln, (
+                f"signing fold re-expanded in Filter: {ln[:200]}"
+            )
