@@ -131,6 +131,14 @@ SCALE_QUERIES = [
     # S=2 — no new growth mechanism.
     "agg_decay_weighted",
     "join_asof_pandas",
+    # r13 optimization-round pushdown fix (the one changed TEXT plan;
+    # the per-copy word suffix keeps its duplicate statistics
+    # scale-invariant like the other text keys): one explode + two
+    # hash aggregations — token-linear. The session's other two
+    # changed plans are embedding near-dup/ANN ops
+    # (emb_dedup_cosine, sim_search_lsh), excluded by the standing
+    # replicated-vectors-are-real-near-dups rule above.
+    "text_repetition",
 ]
 
 
