@@ -1,10 +1,14 @@
 """Dump .explain('formatted') for the bench query set (or an explicit
-key list) to plans/r13/<query>_<tag>.txt — the optimization round's
-plan evidence (OPTIMIZATION_r13.md references these files).
+key list) to plans/<round>/<query>_<tag>.txt — the optimization round's
+plan evidence (OPTIMIZATION_r<N>.md references these files).
+
+The round dir comes from $SPARK_GRAFT_PLAN_ROUND (default r14). The
+tag is free-form so plans can be stamped at each optimization commit
+(waypoints), not just round endpoints — VERDICT r13 item 9.
 
 Usage:
     python scripts/plandump.py before [key ...]
-    python scripts/plandump.py after  [key ...]
+    python scripts/plandump.py after_<commitish> [key ...]
 """
 
 from __future__ import annotations
@@ -33,7 +37,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     keys = sys.argv[2:] or BENCH_SET
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plandump")
     qs = registry.queries()

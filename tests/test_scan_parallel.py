@@ -9,8 +9,6 @@ well-split inputs, honors the A/B off switch, and never changes rows.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -38,27 +36,31 @@ def test_repartition_fires_on_single_row_group(spark):
 
 
 def test_identity_when_input_is_well_split(spark, tmp_path):
-    """A directory with >= cores/2 row groups must take the identity
-    branch — at production layouts the helper is a no-op by
-    arithmetic, not by configuration."""
+    """A directory with >= ceil(cores/2) row groups must take the
+    identity branch — at production layouts the helper is a no-op by
+    arithmetic, not by configuration. The gate needs units*2 >= target,
+    so writing ceil(target/2) non-empty files suffices even when the
+    fixture has fewer rows than cores (ADVICE r13: repartition(target)
+    can yield empty files on a high-core host)."""
     target = spark.sparkContext.defaultParallelism
+    n_rows = _docs(spark).count()
+    n_files = -(-target // 2)  # units * 2 >= target
+    if n_rows < n_files:
+        pytest.skip(f"fixture too small ({n_rows} rows) for {n_files} files")
     dst = str(tmp_path / "split_docs")
-    # one row group per output file; write enough files to clear the gate
-    n_files = target  # units * 2 >= target
     _docs(spark).repartition(n_files).write.parquet(dst)
-    assert data._row_groups(dst) >= n_files
+    assert data._row_groups(dst) * 2 >= target
     df = spark.read.parquet(dst)
     out = data.scan_parallel(df, "doc_id")
     assert out is df  # identity: no repartition node added
 
 
-def test_off_switch_restores_identity(spark):
-    os.environ["SPARK_GRAFT_SCAN_REPARTITION"] = "off"
-    try:
-        df = _docs(spark)
-        assert data.scan_parallel(df, "doc_id") is df
-    finally:
-        del os.environ["SPARK_GRAFT_SCAN_REPARTITION"]
+def test_off_switch_restores_identity(spark, monkeypatch):
+    # monkeypatch.setenv restores any harness-set prior value (e.g. an
+    # A/B run with =off) after the test — ADVICE r13.
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_REPARTITION", "off")
+    df = _docs(spark)
+    assert data.scan_parallel(df, "doc_id") is df
 
 
 def test_values_unchanged_by_repartition(spark):
